@@ -1,0 +1,253 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Core.r
+import graft.pipeline._
+
+/** Training-data pipeline query surface: dedup, similarity search, text
+  * analysis, multimodal plumbing. Hash-bearing ops use md5 so the DuckDB
+  * oracle can reproduce signatures bit-for-bit (see Dedup scaladoc for
+  * the xxhash64 production variant).
+  */
+object PipelineQueries {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.engine.Core.normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- exact dedup ----
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(T(s, d, "documents"), "doc_id", "text")
+        .orderBy("keep_id")),
+
+    // ---- MinHash + LSH candidate pairs ----
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLshPairs(T(s, d, "documents"), "doc_id", "text",
+        k = 3, bands = 4, rowsPerBand = 2)
+        .orderBy("doc1", "doc2")),
+
+    // ---- SimHash fingerprints ----
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhash32(T(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc")),
+
+    // ---- SimHash near-dup pairs (hamming <= 2; 4 byte-bands make the
+    //      candidate set provably complete by pigeonhole) ----
+    "q_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(T(s, d, "documents"), "doc_id", "text", maxHamming = 2)
+        .orderBy("doc1", "doc2")),
+
+    // ---- n-gram Jaccard near-dup pairs ----
+    "q_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(T(s, d, "documents"), "doc_id", "text",
+        k = 3, minJaccard = 0.2)
+        .select(col("doc1"), col("doc2"), r(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc1", "doc2")),
+
+    // ---- text quality / language-ID / fingerprinting ----
+    "q_text_quality" -> ((s, d) => {
+      val t = col("text")
+      T(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.tokenCountBpe(t).as("n_tokens_bpe"),
+        r(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
+        r(TextAnalysis.meanWordLen(t), 6).as("mean_word_len"),
+        r(TextAnalysis.stopwordRatio(t, TextAnalysis.EnStops), 6).as("stop_ratio"),
+        r(TextAnalysis.qualityScore(t), 4).as("quality"),
+        TextAnalysis.langId(t).as("lang_guess"),
+        TextAnalysis.fingerprint(t).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- brute-force cosine top-k (exact ANN baseline) ----
+    "q_ann_cosine" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+        .select(col("query_id"), col("neighbor_id"), r(col("cos"), 6).as("cos"),
+          col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- LSH-bucketed ANN (scale path; no SQL oracle — hyperplanes are
+    //      engine-seeded; driver records rows-only check) ----
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+        planes = 4, dim = 64)
+        .select(col("query_id"), col("neighbor_id"), r(col("cos"), 6).as("cos"),
+          col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- embedding near-dup pairs (exact threshold search) ----
+    "q_embed_near_dup" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val l = v.select(col("vec_id").as("id1"), col("v").as("v1"))
+      val rr = v.select(col("vec_id").as("id2"), col("v").as("v2"))
+      l.join(rr, col("id1") < col("id2"))
+        .withColumn("cos", Similarity.cosine(col("v1"), col("v2")))
+        .filter(col("cos") >= 0.4)
+        .select(col("id1"), col("id2"), r(col("cos"), 6).as("cos"))
+        .orderBy("id1", "id2")
+    }),
+
+    // ---- multimodal plumbing: binary column + stub decode ----
+    "q_multimodal" -> ((s, d) => {
+      val media = Multimodal.fromText(T(s, d, "documents"), "doc_id", "text")
+      Multimodal.decodeImages(media)
+        .toDF()
+        .select(col("id").as("doc_id"), col("byteLen").as("byte_len"),
+          col("width"), col("height"), col("channels"))
+        .orderBy("doc_id")
+    })
+  )
+
+  /** Shared shingle CTE (word 3-grams, distinct) mirroring
+    * Dedup.shingles(k=3). */
+  private val ShingleCte =
+    """words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                 FROM documents),
+       s0 AS (SELECT doc_id,
+                CASE WHEN len(w) >= 3 THEN
+                  list_transform(generate_series(0, len(w)-3),
+                                 i -> array_to_string(w[i+1:i+3], ' '))
+                ELSE [array_to_string(w, ' ')] END AS shl
+              FROM words),
+       sh AS (SELECT DISTINCT doc_id, unnest(shl) AS s FROM s0)"""
+
+  /** Token CTE mirroring simhash32's distinct whitespace tokens. */
+  private val TokenCte =
+    """toks AS (SELECT DISTINCT doc_id,
+                unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+                FROM documents)"""
+
+  private val SimhashCte =
+    s"""$TokenCte,
+       h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks),
+       bits AS (SELECT doc_id, b.bt,
+                  sum(CASE WHEN (hv >> b.bt) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+                FROM h, (SELECT unnest(generate_series(0, 31)) AS bt) b
+                GROUP BY 1, 2),
+       fp AS (SELECT doc_id,
+                sum(CASE WHEN sgn > 0 THEN 1::BIGINT << bt ELSE 0 END) AS simhash
+              FROM bits GROUP BY 1)"""
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+
+    "q_dedup_minhash" ->
+      s"""WITH $ShingleCte,
+         mh AS (SELECT doc_id, b.band,
+                  min(md5(CAST(b.band*2 AS VARCHAR) || ':' || s)) AS h0,
+                  min(md5(CAST(b.band*2+1 AS VARCHAR) || ':' || s)) AS h1
+                FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) b
+                GROUP BY 1, 2)
+         SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+         FROM mh a JOIN mh c
+           ON a.band = c.band AND a.h0 = c.h0 AND a.h1 = c.h1
+          AND a.doc_id < c.doc_id
+         ORDER BY doc1, doc2""",
+
+    "q_dedup_simhash" ->
+      s"""WITH $SimhashCte
+         SELECT doc_id AS doc, simhash FROM fp ORDER BY doc""",
+
+    "q_simhash_pairs" ->
+      s"""WITH $SimhashCte
+         SELECT a.doc_id AS doc1, c.doc_id AS doc2,
+                bit_count(xor(a.simhash, c.simhash)) AS hamming
+         FROM fp a JOIN fp c ON a.doc_id < c.doc_id
+         WHERE bit_count(xor(a.simhash, c.simhash)) <= 2
+         ORDER BY doc1, doc2""",
+
+    "q_ngram_jaccard" ->
+      s"""WITH $ShingleCte,
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         common AS (SELECT a.doc_id AS doc1, c.doc_id AS doc2, count(*) AS inter
+                    FROM sh a JOIN sh c ON a.s = c.s AND a.doc_id < c.doc_id
+                    GROUP BY 1, 2)
+         SELECT doc1, doc2,
+                round(inter * 1.0 / (s1.sz + s2.sz - inter) + 1e-9, 6) AS jaccard
+         FROM common
+         JOIN sizes s1 ON doc1 = s1.doc_id
+         JOIN sizes s2 ON doc2 = s2.doc_id
+         WHERE inter * 1.0 / (s1.sz + s2.sz - inter) >= 0.2
+         ORDER BY doc1, doc2""",
+
+    "q_text_quality" -> {
+      val toks = """string_split_regex(lower(trim(text)), '\s+')"""
+      def langSet(lang: String) = TextAnalysis.LangStops.toMap.apply(lang)
+        .map(s => s"'$s'").mkString("[", ",", "]")
+      def ratio(set: String) =
+        s"""(CASE WHEN len($toks) > 0 THEN
+            len(list_filter($toks, x -> list_contains($set, x)))*1.0 / len($toks)
+            ELSE 0.0 END)"""
+      // explicit ASCII punct class == TextAnalysis.PunctClass
+      val punct = """(CASE WHEN length(text) > 0 THEN
+          (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')))*1.0
+          / length(text) ELSE 0.0 END)"""
+      val mwl = s"""(CASE WHEN len($toks) > 0 THEN
+          list_sum(list_transform($toks, x -> length(x)))*1.0 / len($toks) END)"""
+      // argmax over (score, lang) with Spark greatest(struct) tie-break:
+      // highest score, then lexicographically greatest lang
+      val se = ratio(langSet("en")); val sd = ratio(langSet("de"))
+      val sf = ratio(langSet("fr")); val ss = ratio(langSet("es"))
+      val best = s"greatest($se, $sd, $sf, $ss)"
+      val lang = s"""(CASE WHEN $best <= 0 THEN 'und'
+          WHEN $sf = $best THEN 'fr'
+          WHEN $ss = $best THEN 'es'
+          WHEN $se = $best THEN 'en'
+          ELSE 'de' END)"""
+      s"""SELECT doc_id,
+         len($toks) AS n_tokens,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_tokens_bpe,
+         round($punct + 1e-9, 6) AS punct_ratio,
+         round($mwl + 1e-9, 6) AS mean_word_len,
+         round(${ratio(TextAnalysis.EnStops.map(s => s"'$s'").mkString("[", ",", "]"))} + 1e-9, 6) AS stop_ratio,
+         round(((CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN $punct < 0.2 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN ${ratio(TextAnalysis.EnStops.map(s => s"'$s'").mkString("[", ",", "]"))} > 0.02 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN $mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0 + 1e-9,
+              4) AS quality,
+         $lang AS lang_guess,
+         md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fingerprint
+         FROM documents ORDER BY doc_id"""
+    },
+
+    "q_ann_cosine" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 10),
+         scored AS (SELECT q.qid, c.vec_id AS nid,
+                      list_cosine_similarity(qv, CAST(c.embedding AS DOUBLE[])) AS cos
+                    FROM q, embeddings c WHERE c.vec_id <> q.qid),
+         ranked AS (SELECT qid, nid, cos,
+                      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+                    FROM scored)
+         SELECT qid AS query_id, nid AS neighbor_id, round(cos + 1e-9, 6) AS cos, rank
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_embed_near_dup" ->
+      """SELECT a.vec_id AS id1, c.vec_id AS id2,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])) + 1e-9, 6) AS cos
+         FROM embeddings a JOIN embeddings c ON a.vec_id < c.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])) >= 0.4
+         ORDER BY id1, id2""",
+
+    "q_multimodal" ->
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
+         64 + (octet_length(CAST(text AS BLOB)) % 512) AS width,
+         64 + (ascii(text) * 4) % 512 AS height,
+         3 AS channels
+         FROM documents ORDER BY doc_id"""
+    // q_ann_lsh intentionally omitted: hyperplanes are engine-seeded
+    // (java.util.Random), not SQL-reproducible -> rows-only check.
+  )
+}

@@ -1,0 +1,85 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core frame model for the graft engine.
+  *
+  * The reference (parallel-pandas) operates on pandas frames with a row
+  * index and NaN-based missing data (`/root/reference/parallel_pandas/core/
+  * parallel_dataframe.py:48`, `tests/conftest.py:27-32`). Spark rows are
+  * unordered and distinguish NaN from null, so the engine:
+  *
+  *   1. materializes the row index as an ordinary column (`withIndex`) —
+  *      every order-sensitive op (cumsum, rank, rolling, transform) orders
+  *      by it explicitly;
+  *   2. normalizes NaN -> null once at ingest (`nanToNull`) so Spark's
+  *      null-skipping aggregates reproduce pandas `skipna=True` semantics.
+  *
+  * At cluster scale `monotonically_increasing_id` gives a partition-stable
+  * but non-dense index; when a dense index is required use a natural key
+  * (the engine's own queries always use natural keys from the data).
+  */
+object Core {
+
+  val IdxCol = "__idx"
+
+  /** Materialize a row index column. Partition-stable, not dense —
+    * sufficient for ordering; O(1) per row, no shuffle. */
+  def withIndex(df: DataFrame, col: String = IdxCol): DataFrame =
+    df.withColumn(col, monotonically_increasing_id())
+
+  /** NaN -> null for one column (no-op for non-floating types). */
+  def nanToNull(c: Column, dt: DataType): Column = dt match {
+    case DoubleType | FloatType => when(isnan(c), lit(null)).otherwise(c)
+    case _                      => c
+  }
+
+  /** Normalize every floating column's NaN to null (pandas-skipna parity —
+    * see SURVEY.md §1 invariants). */
+  def nanToNull(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.map { f =>
+      nanToNull(col(f.name), f.dataType).as(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Numeric column names of a frame (pandas `numeric_only=True`). */
+  def numericCols(df: DataFrame): Seq[String] =
+    df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }.toIndexedSeq
+
+  /** Guard against Spark aggregate NaN leaking where DuckDB/pandas yield
+    * null (e.g. stddev of a single row). */
+  def noNaN(c: Column): Column = when(isnan(c), lit(null)).otherwise(c)
+
+  /** The testdata `events.ts` is parquet TIMESTAMP(NANOS), which Spark's
+    * reader only accepts as a raw long via
+    * `spark.sql.legacy.parquet.nanosAsLong=true`. Rebuild a proper
+    * TimestampType column from the nanos (values are µs-aligned — verified
+    * sub-µs == 0 across all SFs) so downstream code is type-uniform. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) =>
+        df.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast(LongType)))
+      case None => df
+    }
+
+  /** Round a double column for oracle-stable output. Floating-point sums
+    * are association-order-dependent; Spark's partial aggregation and
+    * DuckDB's sequential/segment-tree evaluation differ in the last ulps,
+    * so query outputs are rounded identically on both sides.
+    *
+    * The +1e-9 epsilon (applied to the ORACLE SQL's round() too) shifts
+    * the round-half boundary off the populated decimal grid: means /
+    * variances of 2-decimal inputs land EXACTLY on half-boundaries
+    * (e.g. expanding mean 50.06925, ewm var 483.605), where each engine's
+    * last ulp — and Spark's run-to-run partial-merge order — decides the
+    * direction. With the shift, both engines round such values up,
+    * deterministically. Values not within 1e-9 below a boundary are
+    * unaffected. */
+  def r(c: Column, scale: Int = 4): Column =
+    round(noNaN(c) + lit(1e-9), scale)
+}

@@ -1,0 +1,71 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Correlation matrices: pearson / spearman / kendall.
+  *
+  * Reference: `p_corr` (`/root/reference/parallel_pandas/core/
+  * parallel_dataframe.py:285-325`, numba kernels `_numba.py:44-158`).
+  * pandas semantics: full col x col matrix, pairwise NaN masking,
+  * `min_periods` gate; spearman = pearson over average ranks; kendall is
+  * tau-b (tie-adjusted).
+  *
+  * Scale notes: pearson over k columns is one aggregate pass with
+  * k*(k-1)/2 `corr` expressions (map-side combinable — fine for the
+  * reference's <=100-column frames; for very wide frames use
+  * `ml.stat.Correlation` on an assembled vector, which computes the
+  * Gramian once). Spearman's rank step is a per-column sort — here a
+  * global window at test scale; the 100 TB path ranks via
+  * `ml.stat.Correlation("spearman")`. Kendall is inherently O(n^2)
+  * pairwise (the reference's numba kernel too, `_numba.py:106-146`) —
+  * exposed over a bounded slice, with sampling as the scale strategy.
+  */
+object Corr {
+
+  /** Pairwise pearson matrix in long form (c1, c2, corr), upper triangle. */
+  def pearsonLong(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__$b") }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) => s"'$a', '$b', `${a}__$b`" }
+      .mkString(s"stack(${pairs.size}, ", ", ", ") as (c1, c2, corr)")
+    one.select(expr(stacked))
+  }
+
+  /** Average-rank of a column (pandas rank method='average') — the
+    * spearman prestep. */
+  def avgRank(c: Column): Column = {
+    val r = rank().over(Window.orderBy(c))
+    val ties = count(c).over(Window.partitionBy(c))
+    when(c.isNull, lit(null)).otherwise(r + (ties - 1) / 2.0)
+  }
+
+  /** Spearman rho for one pair: pearson over average ranks. */
+  def spearman(df: DataFrame, a: String, b: String): DataFrame =
+    df.select(avgRank(col(a)).as("ra"), avgRank(col(b)).as("rb"))
+      .agg(corr(col("ra"), col("rb")).as("spearman"))
+
+  /** Kendall tau-b over a (bounded) frame: self-join pairwise counting.
+    * tau_b = (C - D) / sqrt((n0 - tx)(n0 - ty)). */
+  def kendall(df: DataFrame, a: String, b: String): DataFrame = {
+    val base = df.select(col(a).as("x"), col(b).as("y"))
+      .filter(col(a).isNotNull && col(b).isNotNull)
+      .withColumn("i", monotonically_increasing_id())
+    val l = base.select(col("i").as("i1"), col("x").as("x1"), col("y").as("y1"))
+    val r = base.select(col("i").as("i2"), col("x").as("x2"), col("y").as("y2"))
+    val pairs = l.join(r, col("i1") < col("i2"))
+    val sgn = (p: Column, q: Column) => when(p < q, 1).when(p > q, -1).otherwise(0)
+    pairs.agg(
+      sum(sgn(col("x1"), col("x2")) * sgn(col("y1"), col("y2"))).cast("double").as("cd"),
+      count(lit(1)).cast("double").as("n0"),
+      sum(when(col("x1") === col("x2"), 1).otherwise(0)).cast("double").as("tx"),
+      sum(when(col("y1") === col("y2"), 1).otherwise(0)).cast("double").as("ty")
+    ).select(
+      (col("cd") / sqrt((col("n0") - col("tx")) * (col("n0") - col("ty"))))
+        .as("kendall"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GroupBy operators: agg-spec interpreter, transform, pivot_table, merge.
+  *
+  * Reference: `/root/reference/parallel_pandas/core/parallel_groupby.py`
+  * (p_agg `:187-257`, p_transform `:96-184`, p_apply `:66-93`) and
+  * `parallel_dataframe.py` (pivot_table `:100-183`, merge `:650-687`).
+  *
+  * pandas semantics kept:
+  *   - null group keys are excluded from aggregation (`dropna=True`,
+  *     `parallel_groupby.py:111-124`) but transform leaves their rows
+  *     null;
+  *   - `sort=True` default -> result ordered by keys;
+  *   - agg specs: string | list | dict | named -> one Catalyst agg
+  *     expression each, single hash-aggregate pass (map-side partials,
+  *     one shuffle on the keys — the minimal plan at any scale).
+  */
+object GroupOps {
+
+  /** String agg-spec -> Catalyst aggregate (pandas names). */
+  def aggFn(name: String)(c: Column): Column = name match {
+    case "sum"     => sum(c)
+    case "mean"    => avg(c)
+    case "min"     => min(c)
+    case "max"     => max(c)
+    case "count"   => count(c)
+    case "median"  => percentile(c, lit(0.5))
+    case "std"     => stddev_samp(c)
+    case "var"     => var_samp(c)
+    case "sem"     => Reductions.sem(c)
+    case "skew"    => Reductions.sampleSkew(c)
+    case "kurt"    => Reductions.sampleKurt(c)
+    case "prod"    => Reductions.product(c)
+    case "nunique" => count_distinct(c)
+    case "first"   => first(c, ignoreNulls = true)
+    case "last"    => last(c, ignoreNulls = true)
+    case other     => throw new IllegalArgumentException(s"agg fn: $other")
+  }
+
+  /** Dict/list agg spec: (column -> list of fn names), output columns
+    * named `col_fn` (pandas flattened MultiIndex convention). Null keys
+    * dropped, result sorted by keys (pandas defaults). */
+  def agg(df: DataFrame, keys: Seq[String],
+          spec: Seq[(String, Seq[String])],
+          dropNullKeys: Boolean = true,
+          sortKeys: Boolean = true): DataFrame = {
+    val base = if (dropNullKeys)
+      df.filter(keys.map(col(_).isNotNull).reduce(_ && _)) else df
+    val exprs = spec.flatMap { case (c, fns) =>
+      fns.map(f => aggFn(f)(col(c)).as(s"${c}_$f"))
+    }
+    val out = base.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
+    if (sortKeys) out.orderBy(keys.map(col): _*) else out
+  }
+
+  /** transform fast path: built-in agg broadcast back to rows — a window
+    * aggregate partitioned by the keys (no join, one shuffle). Null keys
+    * produce null output (pandas parity) rather than aggregating the
+    * null partition. */
+  def transform(fn: String, c: Column, keys: Seq[Column]): Column = {
+    val w = Window.partitionBy(keys: _*)
+    val anyNull = keys.map(_.isNull).reduce(_ || _)
+    when(anyNull, lit(null)).otherwise(aggFn(fn)(c).over(w))
+  }
+
+  /** pivot_table: groupBy(index).pivot(column, values).agg. Providing the
+    * pivot values explicitly skips Spark's extra distinct-collect job and
+    * makes output columns deterministic. */
+  def pivotTable(df: DataFrame, index: Seq[String], column: String,
+                 values: Seq[String], value: String, aggfunc: String,
+                 fillValue: Option[Double] = None,
+                 dropNullKeys: Boolean = true): DataFrame = {
+    val base = if (dropNullKeys)
+      df.filter(index.map(col(_).isNotNull).reduce(_ && _)) else df
+    val out = base.groupBy(index.map(col): _*)
+      .pivot(column, values)
+      .agg(aggFn(aggfunc)(col(value)))
+    val filled = fillValue.map(v => out.na.fill(v, values)).getOrElse(out)
+    filled.orderBy(index.map(col): _*)
+  }
+
+  /** pandas merge: equi-join with suffix disambiguation of overlapping
+    * non-key columns. Spark picks broadcast/sort-merge itself; callers
+    * can wrap the right side in `broadcast()`. */
+  def merge(left: DataFrame, right: DataFrame, on: Seq[String],
+            how: String = "inner",
+            suffixes: (String, String) = ("_x", "_y")): DataFrame = {
+    val overlap = (left.columns.toSet intersect right.columns.toSet) -- on.toSet
+    val l = overlap.foldLeft(left)((d, c) => d.withColumnRenamed(c, c + suffixes._1))
+    val r = overlap.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + suffixes._2))
+    l.join(r, on, how)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Rolling / expanding window operators, row-count and time-offset,
+  * plain and grouped.
+  *
+  * Reference: `/root/reference/parallel_pandas/core/parallel_window.py`
+  * (rolling ops `:140-197`, expanding `:262-275`, grouped mixin
+  * `:216-255`, time-window chunking `tools.py:8-36`). The reference's
+  * overlap-chunk-trim machinery disappears entirely: Spark's WindowExec
+  * sorts within partitions and evaluates frames natively.
+  *
+  * pandas parity points:
+  *   - rolling default `min_periods = window` -> first n-1 rows null;
+  *     expanding default `min_periods = 1`. Gated via `count(...) over w`.
+  *   - grouped variants are the same expressions with
+  *     `Window.partitionBy(groupKeys)` — one shuffle on the keys, then
+  *     per-partition sort; scales linearly with executors.
+  *
+  * Time windows: pandas `rolling("1h")` covers `(ts - 1h, ts]`
+  * (closed='right'). A Spark `rangeBetween(-(ms-1), 0)` over epoch-millis
+  * reproduces the open left edge at millisecond resolution.
+  */
+object WindowOps {
+
+  /** Trailing row window of size n ending at the current row. */
+  def rollingSpec(w: WindowSpec, n: Int): WindowSpec =
+    w.rowsBetween(-(n - 1), Window.currentRow)
+
+  def expandingSpec(w: WindowSpec): WindowSpec =
+    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  /** Trailing time window over an epoch-micros ordering column
+    * (`unix_micros(ts)`): pandas-closed-right `(ts - offset, ts]`. */
+  def timeSpec(w: WindowSpec, offsetMicros: Long): WindowSpec =
+    w.rangeBetween(-(offsetMicros - 1), 0)
+
+  /** min_periods gate: null until enough non-null values in the frame. */
+  def gated(c: Column, w: WindowSpec, minPeriods: Int)(agg: Column => Column): Column =
+    when(count(c).over(w) >= minPeriods, agg(c).over(w))
+
+  // --- the 12 registered stat ops (main.py:44-45) over any frame spec ---
+  def rMean(c: Column, w: WindowSpec, mp: Int): Column = gated(c, w, mp)(avg)
+  def rSum(c: Column, w: WindowSpec, mp: Int): Column = gated(c, w, mp)(sum)
+  def rMin(c: Column, w: WindowSpec, mp: Int): Column = gated(c, w, mp)(min)
+  def rMax(c: Column, w: WindowSpec, mp: Int): Column = gated(c, w, mp)(max)
+  def rStd(c: Column, w: WindowSpec, mp: Int): Column = gated(c, w, mp)(stddev_samp)
+  def rVar(c: Column, w: WindowSpec, mp: Int): Column = gated(c, w, mp)(var_samp)
+  def rMedian(c: Column, w: WindowSpec, mp: Int): Column =
+    gated(c, w, mp)(percentile(_, lit(0.5)))
+  def rQuantile(c: Column, w: WindowSpec, mp: Int, q: Double): Column =
+    gated(c, w, mp)(percentile(_, lit(q)))
+  def rSem(c: Column, w: WindowSpec, mp: Int): Column =
+    when(count(c).over(w) >= mp, stddev_samp(c).over(w) / sqrt(count(c).over(w)))
+  def rSkew(c: Column, w: WindowSpec, mp: Int): Column = {
+    val n = count(c).over(w).cast("double")
+    when(n >= math.max(mp, 3), skewness(c).over(w) * sqrt(n * (n - 1)) / (n - 2))
+  }
+  def rKurt(c: Column, w: WindowSpec, mp: Int): Column = {
+    val n = count(c).over(w).cast("double")
+    when(n >= math.max(mp, 4),
+      ((n + 1) * kurtosis(c).over(w) + lit(6.0)) * (n - 1) / ((n - 2) * (n - 3)))
+  }
+  def rCount(c: Column, w: WindowSpec): Column = count(c).over(w)
+
+  /** pandas `Rolling.rank(method='average', pct=…)`: rank of the current
+    * value within its own trailing window. No Spark builtin — evaluate
+    * over the collected frame with array HOFs (stays in codegen; frame
+    * arrays are window-sized, so memory is O(window) per row). */
+  def rRank(c: Column, w: WindowSpec, mp: Int, pct: Boolean = false): Column = {
+    val arr = collect_list(c).over(w) // nulls excluded by collect_list
+    val less = size(filter(arr, x => x < c))
+    val eq = size(filter(arr, x => x === c))
+    val rk = less + (eq + 1) / 2.0
+    val n = size(arr)
+    val out = if (pct) rk / n else rk
+    when(c.isNotNull && n >= mp, out)
+  }
+
+  /** pandas `Rolling.apply(func, raw=True)`: arbitrary Scala function over
+    * the window contents as an array. */
+  def rApply(c: Column, w: WindowSpec, mp: Int,
+             f: Seq[Double] => Double): Column = {
+    val fUdf = udf((xs: Seq[Double]) => f(xs))
+    val arr = collect_list(c).over(w)
+    when(count(c).over(w) >= mp, fUdf(arr))
+  }
+
+  /** Weighted window mean/sum (pandas `win_type=` rolling). Weights are
+    * positional over the full window; pandas yields null until the window
+    * is full. Uses lag-composition so everything stays declarative. */
+  def weightedSum(c: Column, w: WindowSpec, weights: Seq[Double]): Column = {
+    val n = weights.size
+    val terms = weights.zipWithIndex.map { case (wt, i) =>
+      lag(c, n - 1 - i).over(w) * lit(wt)
+    }
+    terms.reduce(_ + _) // any null in the frame -> null (pandas: NaN)
+  }
+  def weightedMean(c: Column, w: WindowSpec, weights: Seq[Double]): Column =
+    weightedSum(c, w, weights) / lit(weights.sum)
+
+  /** Standard window weight generators (scipy.signal equivalents used by
+    * pandas win_type). */
+  def triangWeights(n: Int): Seq[Double] =
+    (1 to n).map { i =>
+      if (n % 2 == 1) 1.0 - math.abs(i - (n + 1) / 2.0) * 2.0 / (n + 1)
+      else if (i <= n / 2) (2.0 * i - 1) / n else (2.0 * (n - i) + 1) / n
+    }
+  def gaussianWeights(n: Int, std: Double): Seq[Double] =
+    (0 until n).map { i =>
+      val x = i - (n - 1) / 2.0
+      math.exp(-0.5 * (x / std) * (x / std))
+    }
+}
