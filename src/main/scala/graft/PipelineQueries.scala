@@ -83,17 +83,10 @@ object PipelineQueries {
     }),
 
     // ---- embedding near-dup pairs (exact threshold search) ----
-    "q_embed_near_dup" -> ((s, d) => {
-      val emb = T(s, d, "embeddings")
-      val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val l = v.select(col("vec_id").as("id1"), col("v").as("v1"))
-      val rr = v.select(col("vec_id").as("id2"), col("v").as("v2"))
-      l.join(rr, col("id1") < col("id2"))
-        .withColumn("cos", Similarity.cosine(col("v1"), col("v2")))
-        .filter(col("cos") >= 0.4)
+    "q_embed_near_dup" -> ((s, d) =>
+      Similarity.nearDupPairsExact(T(s, d, "embeddings"), threshold = 0.4)
         .select(col("id1"), col("id2"), r(col("cos"), 6).as("cos"))
-        .orderBy("id1", "id2")
-    }),
+        .orderBy("id1", "id2")),
 
     // ---- multimodal plumbing: binary column + stub decode ----
     "q_multimodal" -> ((s, d) => {
@@ -141,12 +134,18 @@ object PipelineQueries {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
 
+    // mirrors minhashLshPairs: one md5 per shingle, 60-bit halves a/b,
+    // hash i = a + i*b, band i holds hashes (2i, 2i+1)
     "q_dedup_minhash" ->
       s"""WITH $ShingleCte,
-         mh AS (SELECT doc_id, b.band,
-                  min(md5(CAST(b.band*2 AS VARCHAR) || ':' || s)) AS h0,
-                  min(md5(CAST(b.band*2+1 AS VARCHAR) || ':' || s)) AS h1
-                FROM sh, (SELECT unnest(generate_series(0, 3)) AS band) b
+         hh AS (SELECT doc_id,
+                  ('0x' || substr(md5(s), 1, 15))::BIGINT AS a,
+                  ('0x' || substr(md5(s), 17, 15))::BIGINT AS b
+                FROM sh),
+         mh AS (SELECT doc_id, bb.band,
+                  min(a + (bb.band*2) * b) AS h0,
+                  min(a + (bb.band*2+1) * b) AS h1
+                FROM hh, (SELECT unnest(generate_series(0, 3)) AS band) bb
                 GROUP BY 1, 2)
          SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
          FROM mh a JOIN mh c
@@ -166,11 +165,14 @@ object PipelineQueries {
          WHERE bit_count(xor(a.simhash, c.simhash)) <= 2
          ORDER BY doc1, doc2""",
 
+    // mirrors ngramJaccardPairs incl. the maxShingleDf=1000 skew cap
     "q_ngram_jaccard" ->
       s"""WITH $ShingleCte,
+         shf AS (SELECT * FROM sh WHERE s IN
+                   (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000)),
          sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
          common AS (SELECT a.doc_id AS doc1, c.doc_id AS doc2, count(*) AS inter
-                    FROM sh a JOIN sh c ON a.s = c.s AND a.doc_id < c.doc_id
+                    FROM shf a JOIN shf c ON a.s = c.s AND a.doc_id < c.doc_id
                     GROUP BY 1, 2)
          SELECT doc1, doc2,
                 round(inter * 1.0 / (s1.sz + s2.sz - inter) + 1e-9, 6) AS jaccard

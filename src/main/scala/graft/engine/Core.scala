@@ -55,6 +55,16 @@ object Core {
     * null (e.g. stddev of a single row). */
   def noNaN(c: Column): Column = when(isnan(c), lit(null)).otherwise(c)
 
+  /** Ensure at least session-default parallelism before heavy map-side
+    * compute: a small parquet input arrives as ONE partition, which would
+    * run e.g. shingle/hash generation on a single core (observed 7s for
+    * an 0.2s job). No-op when the input is already parallel — at real
+    * scale the scan has hundreds of partitions and this adds nothing. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** The testdata `events.ts` is parquet TIMESTAMP(NANOS), which Spark's
     * reader only accepts as a raw long via
     * `spark.sql.legacy.parquet.nanosAsLong=true`. Rebuild a proper
