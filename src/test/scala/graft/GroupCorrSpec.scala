@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Corr, GroupOps}
+
+/** GroupBy + correlation differential tests vs hand-computed pandas:
+  * g = DataFrame(k=[a,a,b,b,None], v=[1,3,2,6,9]):
+  *   g.groupby('k').v.mean() = {a: 2, b: 4}  (null key dropped)
+  *   g.groupby('k').v.transform('mean') = [2,2,4,4,nan]
+  * x=[1,2,2,3], y=[4,1,3,2]: pearson=-0.6324555320336759,
+  *   spearman=-0.632455532033676, kendall tau-b=-0.5477225575051661 */
+class GroupCorrSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val g = Seq(
+    (Some("a"), 1.0), (Some("a"), 3.0), (Some("b"), 2.0),
+    (Some("b"), 6.0), (None, 9.0)).toDF("k", "v")
+
+  test("agg: list spec, col_fn naming, null keys dropped, sorted") {
+    val out = GroupOps.agg(g, Seq("k"), Seq("v" -> Seq("mean", "sum")))
+    assert(out.columns.toSeq == Seq("k", "v_mean", "v_sum"))
+    val rows = out.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(("a", 2.0, 4.0), ("b", 4.0, 8.0)))
+  }
+
+  test("transform('mean') broadcasts per group; null keys yield null") {
+    val out = g.withColumn("i", monotonically_increasing_id())
+      .select(col("i"), GroupOps.transform("mean", col("v"), Seq(col("k"))).as("t"))
+      .orderBy("i")
+    assertSeqApprox(colD(out, "t"),
+      Seq(Some(2.0), Some(2.0), Some(4.0), Some(4.0), None))
+  }
+
+  test("pivot_table with explicit values and fill") {
+    val df = Seq(("r1", "F", 1.0), ("r1", "O", 2.0), ("r2", "F", 3.0))
+      .toDF("idx", "cat", "v")
+    val out = GroupOps.pivotTable(df, Seq("idx"), "cat", Seq("F", "O"), "v",
+      "sum", fillValue = Some(0.0))
+    val rows = out.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(("r1", 1.0, 2.0), ("r2", 3.0, 0.0)))
+  }
+
+  test("merge renames overlapping columns with suffixes") {
+    val l = Seq((1, "x", 10.0)).toDF("id", "name", "score")
+    val r = Seq((1, "y", 20.0)).toDF("id", "name", "score")
+    val out = GroupOps.merge(l, r, on = Seq("id"))
+    assert(out.columns.toSet ==
+      Set("id", "name_x", "score_x", "name_y", "score_y"))
+    assert(out.count() == 1)
+  }
+
+  test("merge outer keeps non-matching keys") {
+    val l = Seq((1, 10.0), (2, 20.0)).toDF("id", "a")
+    val r = Seq((2, 200.0), (3, 300.0)).toDF("id", "b")
+    val out = GroupOps.merge(l, r, on = Seq("id"), how = "outer")
+    assert(out.count() == 3)
+  }
+
+  private lazy val xy = Seq((1.0, 4.0), (2.0, 1.0), (2.0, 3.0), (3.0, 2.0))
+    .toDF("x", "y")
+
+  test("pearson long-form matrix") {
+    val out = Corr.pearsonLong(xy, Seq("x", "y"))
+    val r = out.collect()(0)
+    assert((r.getString(0), r.getString(1)) == ("x", "y"))
+    assertApprox(optD(r, 2), Some(-0.6324555320336759), 1e-9)
+  }
+
+  test("spearman = pearson over average ranks") {
+    assertApprox(d1(Corr.spearman(xy, "x", "y")), Some(-0.632455532033676), 1e-9)
+  }
+
+  test("kendall tau-b with ties") {
+    assertApprox(d1(Corr.kendall(xy, "x", "y")), Some(-0.5477225575051661), 1e-9)
+  }
+}

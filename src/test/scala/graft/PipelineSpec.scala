@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+/** Training-data pipeline ops: dedup, similarity, text analysis,
+  * multimodal plumbing — semantics on small known inputs. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps"),
+    (2L, "the quick brown fox jumps"),   // exact dup of 1
+    (3L, "the quick brown fox leaps"),   // near dup (4/6 shingle overlap? see test)
+    (4L, "completely different text here now")).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text").orderBy("keep_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L) // ids 1,2 grouped
+  }
+
+  test("shingles: sliding k-grams, short-text fallback") {
+    val out = Seq("a b c d", "a b").toDF("t")
+      .select(Dedup.shingles(col("t"), 3)).collect()
+    assert(out(0).getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(out(1).getSeq[String](0) == Seq("a b"))
+  }
+
+  test("minhash LSH: identical docs collide in every band") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical texts get identical fingerprints") {
+    val fps = Dedup.simhash32(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(4L))
+  }
+
+  test("simhash pairs: hamming 0 for identical docs") {
+    val out = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.exists { case (a, b, h) => a == 1L && b == 2L && h == 0 })
+  }
+
+  test("ngram jaccard: exact intersection-over-union") {
+    // doc1/doc2 identical -> jaccard 1.0; doc1 vs doc3 share 2 of 3
+    // shingles each -> 2/(3+3-2) = 0.5
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3,
+      minJaccard = 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assertApprox(out.get((1L, 2L)), Some(1.0))
+    assertApprox(out.get((1L, 3L)), Some(0.5))
+  }
+
+  test("cosine similarity: known vectors") {
+    val df = Seq((Seq(1.0, 0.0, 2.0), Seq(2.0, 1.0, 2.0))).toDF("a", "b")
+    assertApprox(d1(df.select(Similarity.cosine(col("a"), col("b")))),
+      Some(0.8944271909999159), 1e-12)
+  }
+
+  test("brute-force top-k ranks by cosine desc") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(emb.filter(col("vec_id") === 0), emb, k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    // rank1 = vec 3 (identical direction, cos=1), rank2 = vec 1
+    assert(out.toSeq == Seq((3L, 1), (1L, 2)))
+  }
+
+  test("exact near-dup pairs: symmetric threshold search") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.05f)),
+      (2L, Array(-1.0f, 0.2f))).toDF("vec_id", "embedding")
+    val out = Similarity.nearDupPairsExact(emb, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((0L, 1L)))
+  }
+
+  test("text analysis: token counts, ratios, quality, fingerprint") {
+    val df = Seq("The cat and the dog!").toDF("t")
+    val r = df.select(
+      TextAnalysis.tokenCount(col("t")),
+      TextAnalysis.tokenCountBpe(col("t")),
+      TextAnalysis.punctRatio(col("t")),
+      TextAnalysis.stopwordRatio(col("t"), TextAnalysis.EnStops),
+      TextAnalysis.langId(col("t"))).collect()(0)
+    assert(r.getInt(0) == 5)
+    assert(r.getInt(1) == 6) // 5 words + '!'
+    assertApprox(optD(r, 2), Some(1.0 / 20))
+    assertApprox(optD(r, 3), Some(3.0 / 5)) // the, and, the
+    assert(r.getString(4) == "en")
+  }
+
+  test("fingerprint is order- and duplication-invariant") {
+    val df = Seq(("b a b", "a b")).toDF("t1", "t2")
+    val r = df.select(TextAnalysis.fingerprint(col("t1")),
+      TextAnalysis.fingerprint(col("t2"))).collect()(0)
+    assert(r.getString(0) == r.getString(1))
+  }
+
+  test("language id picks the best-scoring stopword set") {
+    val df = Seq("der hund und die katze ist nicht hier").toDF("t")
+    assert(df.select(TextAnalysis.langId(col("t"))).collect()(0).getString(0) == "de")
+  }
+
+  test("multimodal: binary plumbing, stub decode, frame sampling") {
+    val media = Multimodal.fromText(docs, "doc_id", "text")
+    val meta = Multimodal.decodeImages(media).collect().map(m => m.id -> m).toMap
+    assert(meta(1L).byteLen == "the quick brown fox jumps".length)
+    assert(meta(1L).channels == 3)
+    // identical payloads -> identical checksums/dims
+    assert(meta(1L).checksum == meta(2L).checksum)
+    assert(meta(1L).width == meta(2L).width)
+    val frames = Multimodal.frameSample(media, 3)
+    assert(frames.count() == 4 * 3)
+  }
+}

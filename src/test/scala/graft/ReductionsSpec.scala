@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Reductions
+
+/** Differential tests vs hand-computed pandas values (pandas 2.x):
+  * s = pd.Series([1,2,4,8]): s.skew()=1.1376243669576889,
+  * s.kurt()=0.7576559546313799, s.sem()=1.547847968417226,
+  * s.var(ddof=2)=14.375, (s-s.mean()).abs().mean()=2.25,
+  * s.quantile([.25,.5,.75])=[1.75,3.0,5.0]. */
+class ReductionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val s = Seq(1.0, 2.0, 4.0, 8.0).toDF("v")
+
+  test("sample skew matches pandas G1") {
+    assertApprox(d1(s.agg(Reductions.sampleSkew(col("v")))),
+      Some(1.1376243669576889))
+  }
+
+  test("sample kurt matches pandas G2") {
+    assertApprox(d1(s.agg(Reductions.sampleKurt(col("v")))),
+      Some(0.7576559546313799), 1e-8)
+  }
+
+  test("sem matches pandas") {
+    assertApprox(d1(s.agg(Reductions.sem(col("v")))), Some(1.547847968417226))
+  }
+
+  test("var with ddof=2") {
+    assertApprox(d1(s.agg(Reductions.varDdof(col("v"), 2))), Some(14.375))
+  }
+
+  test("exact percentile = pandas linear interpolation") {
+    val r = s.agg(
+      percentile(col("v"), lit(0.25)),
+      percentile(col("v"), lit(0.5)),
+      percentile(col("v"), lit(0.75))).collect()(0)
+    assertApprox(optD(r, 0), Some(1.75))
+    assertApprox(optD(r, 1), Some(3.0))
+    assertApprox(optD(r, 2), Some(5.0))
+  }
+
+  test("product aggregator: exact, null-skipping") {
+    val df = Seq(Some(2.0), None, Some(3.0), Some(0.5)).toDF("v")
+    assertApprox(d1(df.agg(Reductions.product(col("v")))), Some(3.0))
+  }
+
+  test("sum min_count gates to null") {
+    assertApprox(d1(s.agg(Reductions.sumMinCount(col("v"), 5))), None)
+    assertApprox(d1(s.agg(Reductions.sumMinCount(col("v"), 4))), Some(15.0))
+  }
+
+  test("mad matches pandas") {
+    val out = Reductions.mad(s, Seq("v"))
+    assertApprox(d1(out), Some(2.25))
+  }
+
+  test("idxmax/idxmin take the first occurrence on ties") {
+    val df = Seq((10L, 1.0), (20L, 5.0), (30L, 5.0)).toDF("idx", "v")
+    val r = df.agg(
+      Reductions.idxmax(col("idx"), col("v")),
+      Reductions.idxmin(col("idx"), col("v"))).collect()(0)
+    assert(r.getLong(0) == 20L)
+    assert(r.getLong(1) == 10L)
+  }
+
+  test("mode returns all tied modes sorted") {
+    val df = Seq(1.0, 2.0, 2.0, 3.0, 3.0).toDF("v")
+    val modes = Reductions.modeAll(df, "v").collect().map(_.getDouble(0)).toSeq
+    assert(modes == Seq(2.0, 3.0))
+  }
+
+  test("rank method=average with ties and pct") {
+    val df = Seq(5.0, 1.0, 3.0, 1.0, 4.0).toDF("v")
+      .withColumn("i", monotonically_increasing_id())
+    val out = df.select(col("i"), Reductions.rankAvg(col("v")).as("r"),
+      Reductions.rankAvg(col("v"), pct = true).as("p")).orderBy("i")
+    assertSeqApprox(colD(out, "r"),
+      Seq(5.0, 1.5, 3.0, 1.5, 4.0).map(Some(_)))
+    assertSeqApprox(colD(out, "p"),
+      Seq(1.0, 0.3, 0.6, 0.3, 0.8).map(Some(_)))
+  }
+
+  test("describe: 8 stats x columns, exact quartiles") {
+    val out = Reductions.describe(s, Seq("v")).orderBy("stat")
+    val m = out.collect().map(r => r.getString(0) -> optD(r, 1)).toMap
+    assertApprox(m("count"), Some(4.0))
+    assertApprox(m("mean"), Some(3.75))
+    assertApprox(m("min"), Some(1.0))
+    assertApprox(m("25%"), Some(1.75))
+    assertApprox(m("50%"), Some(3.0))
+    assertApprox(m("75%"), Some(5.0))
+    assertApprox(m("max"), Some(8.0))
+  }
+}

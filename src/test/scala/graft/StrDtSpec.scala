@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+import org.apache.spark.sql.functions._
+import graft.engine.StrDt
+
+/** str/dt accessor surface (SURVEY.md §2.10) on known values. */
+class StrDtSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("str ops") {
+    val df = Seq("  Hello World  ").toDF("s")
+    val r = df.select(
+      StrDt.strLower(col("s")),
+      StrDt.strStrip(col("s")),
+      StrDt.strLen(col("s")),
+      StrDt.strContains(col("s"), "W.rld"), // regex default, pandas parity
+      StrDt.strSlice(trim(col("s")), 0, 5),
+      StrDt.strReplace(col("s"), "World", "W", regex = false),
+      StrDt.strCount(col("s"), "l"),
+      StrDt.strZfill(lit("7"), 4),
+      StrDt.strExtract(lit("Brand#13"), "#([0-9]+)", 1),
+      StrDt.strSplitItem(lit("a b c"), " ", 1)).collect()(0)
+    assert(r.getString(0) == "  hello world  ")
+    assert(r.getString(1) == "Hello World")
+    assert(r.getInt(2) == 15)
+    assert(r.getBoolean(3))
+    assert(r.getString(4) == "Hello")
+    assert(r.getString(5) == "  Hello W  ")
+    assert(r.getInt(6) == 3)
+    assert(r.getString(7) == "0007")
+    assert(r.getString(8) == "13")
+    assert(r.getString(9) == "b")
+  }
+
+  test("str.replace literal mode quotes regex metacharacters") {
+    val df = Seq("a.b").toDF("s")
+    val r = df.select(
+      StrDt.strReplace(col("s"), ".", "_", regex = false),
+      StrDt.strReplace(col("s"), ".", "_", regex = true)).collect()(0)
+    assert(r.getString(0) == "a_b")  // literal dot only
+    assert(r.getString(1) == "___")  // regex dot matches all
+  }
+
+  test("dt ops: pandas dayofweek offset (Mon=0), floor, strftime, day name") {
+    // 2024-01-01 is a Monday
+    val df = Seq(Date.valueOf("2024-01-01")).toDF("d")
+    val r = df.select(
+      StrDt.dtYear(col("d")), StrDt.dtMonth(col("d")), StrDt.dtDay(col("d")),
+      StrDt.dtDayOfWeek(col("d")), StrDt.dtQuarter(col("d")),
+      StrDt.dtStrftime(col("d"), "%Y/%m/%d"),
+      StrDt.dtDayName(col("d"))).collect()(0)
+    assert(r.getInt(0) == 2024 && r.getInt(1) == 1 && r.getInt(2) == 1)
+    assert(r.getInt(3) == 0) // Monday
+    assert(r.getInt(4) == 1)
+    assert(r.getString(5) == "2024/01/01")
+    assert(r.getString(6) == "Monday")
+  }
+
+  test("dt floor/ceil to hour") {
+    val df = Seq(Timestamp.valueOf("2024-03-05 10:20:30")).toDF("t")
+    val r = df.select(
+      StrDt.dtFloor(col("t"), "hour").cast("string"),
+      StrDt.dtCeil(col("t"), "hour").cast("string")).collect()(0)
+    assert(r.getString(0) == "2024-03-05 10:00:00")
+    assert(r.getString(1) == "2024-03-05 11:00:00")
+  }
+
+  test("dt ceil is identity when already aligned") {
+    val df = Seq(Timestamp.valueOf("2024-03-05 10:00:00")).toDF("t")
+    val r = df.select(StrDt.dtCeil(col("t"), "hour").cast("string")).collect()(0)
+    assert(r.getString(0) == "2024-03-05 10:00:00")
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{Cumulative, Ewm, WindowOps}
+
+/** Window/cumulative/ewm differential tests vs hand-computed pandas:
+  * r = pd.Series([1,3,2,5,4]):
+  *   r.rolling(3).mean() = [nan,nan,2,3.3333...,3.6666...]
+  *   r.rolling(3).rank(method='average') = [nan,nan,2,3,2]
+  *   r.expanding(2).std() = [nan,1.41421356,1.0,1.70782513,1.58113883]
+  *   r.rolling(3,win_type='triang').mean() = [nan,nan,2.25,3.0,4.0]
+  * e = pd.Series([1,2,3,4]).ewm(alpha=0.2,adjust=True):
+  *   mean=[1,1.5555...,2.14754...,2.77506...]
+  *   var =[nan,0.5,0.99180...,1.63154...], sum=[1,2.8,5.24,8.192]
+  * pd.Series([1,nan,2]).cumsum() = [1,nan,3]
+  * pd.Series([1,nan,3]).pct_change() (pad) = [nan,0,2] */
+class WindowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val r5 = Seq(1.0, 3.0, 2.0, 5.0, 4.0).zipWithIndex
+    .map { case (v, i) => (i.toLong, v) }.toDF("i", "v")
+  private val byI = Window.orderBy("i")
+
+  test("rolling mean with min_periods=window") {
+    val w = WindowOps.rollingSpec(byI, 3)
+    val out = r5.select(col("i"), WindowOps.rMean(col("v"), w, 3).as("m")).orderBy("i")
+    assertSeqApprox(colD(out, "m"),
+      Seq(None, None, Some(2.0), Some(10.0 / 3), Some(11.0 / 3)))
+  }
+
+  test("rolling rank method=average inside trailing window") {
+    val w = WindowOps.rollingSpec(byI, 3)
+    val out = r5.select(col("i"), WindowOps.rRank(col("v"), w, 3).as("r")).orderBy("i")
+    assertSeqApprox(colD(out, "r"),
+      Seq(None, None, Some(2.0), Some(3.0), Some(2.0)))
+  }
+
+  test("rolling apply: arbitrary function over the frame") {
+    val w = WindowOps.rollingSpec(byI, 2)
+    val out = r5.select(col("i"),
+      WindowOps.rApply(col("v"), w, 2, xs => xs.max - xs.min).as("range")).orderBy("i")
+    assertSeqApprox(colD(out, "range"),
+      Seq(None, Some(2.0), Some(1.0), Some(3.0), Some(1.0)))
+  }
+
+  test("expanding std with min_periods=2") {
+    val w = WindowOps.expandingSpec(byI)
+    val out = r5.select(col("i"), WindowOps.rStd(col("v"), w, 2).as("s")).orderBy("i")
+    assertSeqApprox(colD(out, "s"),
+      Seq(None, Some(1.4142135623730951), Some(1.0),
+        Some(1.707825127659933), Some(1.5811388300841898)))
+  }
+
+  test("weighted (triang) rolling mean") {
+    val out = r5.select(col("i"),
+      WindowOps.weightedMean(col("v"), byI, WindowOps.triangWeights(3)).as("m"))
+      .orderBy("i")
+    assertSeqApprox(colD(out, "m"),
+      Seq(None, None, Some(2.25), Some(3.0), Some(4.0)))
+  }
+
+  test("ewm mean/var/sum match pandas adjust=True bias=False") {
+    val e = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("i", "v")
+    val out = e.select(col("i"),
+      Ewm.mean(col("v"), byI, 0.2).as("m"),
+      Ewm.variance(col("v"), byI, 0.2).as("var"),
+      Ewm.sum(col("v"), byI, 0.2).as("s")).orderBy("i")
+    assertSeqApprox(colD(out, "m"),
+      Seq(1.0, 1.5555555555555554, 2.1475409836065573, 2.7750677506775063)
+        .map(Some(_)))
+    assertSeqApprox(colD(out, "var"),
+      Seq(None, Some(0.5), Some(0.9918032786885247), Some(1.6315473810475811)),
+      1e-8)
+    assertSeqApprox(colD(out, "s"),
+      Seq(1.0, 2.8, 5.24, 8.192).map(Some(_)))
+  }
+
+  test("cumsum keeps null cells null but skips them in the running sum") {
+    val df = Seq(Some(1.0), None, Some(2.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("i", "v")
+    val out = df.select(col("i"), Cumulative.cumsum(col("v"), byI).as("c")).orderBy("i")
+    assertSeqApprox(colD(out, "c"), Seq(Some(1.0), None, Some(3.0)))
+  }
+
+  test("cumprod exact") {
+    val df = Seq(2.0, 3.0, 0.5).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("i", "v")
+    val out = df.select(col("i"), Cumulative.cumprod(col("v"), byI).as("c")).orderBy("i")
+    assertSeqApprox(colD(out, "c"), Seq(2.0, 6.0, 3.0).map(Some(_)))
+  }
+
+  test("pct_change with pad fill") {
+    val df = Seq(Some(1.0), None, Some(3.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("i", "v")
+    val out = df.select(col("i"), Cumulative.pctChange(col("v"), byI).as("p")).orderBy("i")
+    assertSeqApprox(colD(out, "p"), Seq(None, Some(0.0), Some(2.0)))
+  }
+
+  test("time-offset window is closed-right (ts-offset, ts]") {
+    // events at 0s, 30s, 3600s with a 1h window: the third event's frame
+    // is (0s, 3600s] — the open left edge excludes the event at exactly
+    // ts - offset, so n=2 (pandas closed='right' semantics).
+    val df = Seq((0L, 1.0), (30_000_000L, 2.0), (3_600_000_000L, 4.0))
+      .toDF("us", "v")
+    val spec = WindowOps.timeSpec(Window.orderBy("us"), 3_600_000_000L)
+    val out = df.select(col("us"), count(col("v")).over(spec).as("n")).orderBy("us")
+    assert(colD(out, "n") == Seq(Some(1.0), Some(2.0), Some(2.0)))
+  }
+}
