@@ -1,0 +1,284 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine._
+import graft.engine.Core.r
+
+/** Second tranche of reference-parity queries: axis=1 row-wise ops,
+  * applymap / dict-map / chunk_apply, merge variants, pivot margins,
+  * multi-spec groupby agg, rolling higher moments, ewm sum/std,
+  * gated correlation, weighted (gaussian) windows.
+  * Same conventions as [[Queries]]. */
+object Queries2 {
+
+  import Queries.Ev
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Core.normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
+
+  private val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+  private val evWin = "PARTITION BY user_id ORDER BY ts, event_id"
+
+  /** Gaussian win_type weights shared by query and oracle (inlined as
+    * literals so both engines use identical constants). */
+  private val gaussW: Seq[Double] = WindowOps.gaussianWeights(5, 1.0)
+  private def lit17(d: Double): String =
+    "%.17g".formatLocal(java.util.Locale.ROOT, d)
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- §2.2 axis=1 row-wise reductions over array() HOFs ----
+    "q_rowwise" -> ((s, d) => {
+      val cols = array(col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      val valid = filter(cols, x => x.isNotNull)
+      T(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        r(aggregate(valid, lit(0.0), (acc, x) => acc + x), 2).as("row_sum"),
+        r(aggregate(valid, lit(0.0), (acc, x) => acc + x) / size(valid), 4)
+          .as("row_mean"),
+        r(least(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")), 4).as("row_min"),
+        r(greatest(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")), 4).as("row_max"))
+        .orderBy("l_orderkey", "l_linenumber", "row_sum")
+    }),
+
+    // ---- §2.4 applymap: scalar fn over every cell ----
+    "q_applymap" -> ((s, d) => {
+      val base = T(s, d, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      val out = Apply.applymap(base, Seq("l_quantity", "l_extendedprice"),
+        c => r(c / 3.0, 2))
+      out.orderBy("l_orderkey", "l_linenumber", "l_quantity")
+    }),
+
+    // ---- §2.4 Series.map(dict): partial lookup table, missing -> null ----
+    "q_map_dict" -> ((s, d) => {
+      val dict = Map("BUILDING" -> "BLD", "AUTOMOBILE" -> "AUT",
+        "MACHINERY" -> "MCH")
+      T(s, d, "customer").select(
+        col("c_custkey"),
+        col("c_mktsegment"),
+        Apply.mapDict(col("c_mktsegment"), dict).as("seg_code"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- §2.4 chunk_apply(split_by_col): per-partition imperative UDF ----
+    "q_chunk_apply" -> ((s, d) => {
+      import s.implicits._
+      val ds = T(s, d, "events").select("event_id", "user_id", "value").as[Ev]
+      val out = Apply.chunkApply(ds, Some(col("user_id"))) { it =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Double)]
+        it.foreach { e =>
+          val (n, sm) = m.getOrElse(e.user_id, (0L, 0.0))
+          m(e.user_id) = (n + 1, sm + e.value)
+        }
+        m.iterator.map { case (u, (n, sm)) => (u, n, sm) }
+      }
+      out.toDF("user_id", "n", "vsum")
+        .select(col("user_id"), col("n"), r(col("vsum"), 2).as("vsum"))
+        .orderBy("user_id")
+    }),
+
+    // ---- §2.7 merge: full outer + indicator ----
+    "q_merge_outer" -> ((s, d) => {
+      val c = T(s, d, "customer").filter(col("c_custkey") <= 200)
+        .select(col("c_custkey").as("custkey"), col("c_name"))
+      val o = T(s, d, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"), r(sum("o_totalprice"), 2).as("sum_total"))
+        .filter(col("custkey").between(100, 300))
+      GroupOps.merge(c, o, on = Seq("custkey"), how = "outer")
+        .withColumn("_merge",
+          when(col("c_name").isNull, "right_only")
+            .when(col("n_orders").isNull, "left_only")
+            .otherwise("both"))
+        .orderBy("custkey")
+    }),
+
+    // ---- §2.7 pivot_table(margins=True) ----
+    "q_pivot_margins" -> ((s, d) => {
+      val li = T(s, d, "lineitem")
+      val base = li.groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum("l_quantity"))
+      val withRowMargin = base.select(
+        col("l_returnflag"),
+        r(col("F"), 2).as("F"), r(col("O"), 2).as("O"),
+        r(col("F") + col("O"), 2).as("All"))
+      val marginRow = li.agg(
+        r(sum(when(col("l_linestatus") === "F", col("l_quantity"))), 2).as("F"),
+        r(sum(when(col("l_linestatus") === "O", col("l_quantity"))), 2).as("O"),
+        r(sum("l_quantity"), 2).as("All"))
+        .select(lit("All").as("l_returnflag"), col("F"), col("O"), col("All"))
+      withRowMargin.union(marginRow).orderBy("l_returnflag")
+    }),
+
+    // ---- §2.8 groupby agg: list/dict spec with col_fn naming ----
+    "q_agg_spec" -> ((s, d) => {
+      val out = GroupOps.agg(T(s, d, "lineitem"), Seq("l_returnflag"),
+        Seq("l_quantity" -> Seq("sum", "mean", "std"),
+          "l_extendedprice" -> Seq("min", "max"),
+          "l_discount" -> Seq("nunique")))
+      out.select(col("l_returnflag"),
+        r(col("l_quantity_sum"), 2).as("qty_sum"),
+        r(col("l_quantity_mean"), 4).as("qty_mean"),
+        r(col("l_quantity_std"), 6).as("qty_std"),
+        r(col("l_extendedprice_min"), 2).as("price_min"),
+        r(col("l_extendedprice_max"), 2).as("price_max"),
+        col("l_discount_nunique").as("disc_nunique"))
+    }),
+
+    // ---- §2.9 rolling skew/kurt/sem (sample-adjusted higher moments) ----
+    "q_rolling_moments" -> ((s, d) => {
+      val w = WindowOps.rollingSpec(byUser, 10)
+      T(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        r(WindowOps.rSkew(col("value"), w, 10), 6).as("roll_skew"),
+        r(WindowOps.rKurt(col("value"), w, 10), 6).as("roll_kurt"),
+        r(WindowOps.rSem(col("value"), w, 10), 6).as("roll_sem"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- §2.9 ewm sum / std ----
+    "q_ewm_sum_std" -> ((s, d) => {
+      T(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        r(Ewm.sum(col("value"), byUser, 0.2), 4).as("ewm_sum"),
+        r(Ewm.std(col("value"), byUser, 0.2), 4).as("ewm_std"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- §2.6 corr with min_periods gate (per-group) ----
+    "q_corr_minp" -> ((s, d) => {
+      T(s, d, "events")
+        .withColumn("tsu", unix_micros(col("ts")).cast("double"))
+        .groupBy("user_id")
+        .agg(r(when(count(lit(1)) >= 60, corr(col("value"), col("tsu"))), 6)
+          .as("corr_vt"), count(lit(1)).as("n"))
+        .orderBy("user_id")
+    }),
+
+    // ---- §2.9 weighted window, win_type='gaussian' ----
+    "q_weighted_gaussian" -> ((s, d) => {
+      T(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        r(WindowOps.weightedMean(col("value"), byUser, gaussW), 4).as("gmean"))
+        .orderBy("user_id", "event_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_rowwise" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(l_quantity + l_extendedprice + l_discount + l_tax + 1e-9, 2) AS row_sum,
+         round((l_quantity + l_extendedprice + l_discount + l_tax)/4 + 1e-9, 4) AS row_mean,
+         round(least(l_quantity, l_extendedprice, l_discount, l_tax) + 1e-9, 4) AS row_min,
+         round(greatest(l_quantity, l_extendedprice, l_discount, l_tax) + 1e-9, 4) AS row_max
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, row_sum""",
+
+    "q_applymap" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(l_quantity/3.0 + 1e-9, 2) AS l_quantity,
+         round(l_extendedprice/3.0 + 1e-9, 2) AS l_extendedprice
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity""",
+
+    "q_map_dict" ->
+      """SELECT c_custkey, c_mktsegment,
+         CASE c_mktsegment WHEN 'BUILDING' THEN 'BLD'
+                           WHEN 'AUTOMOBILE' THEN 'AUT'
+                           WHEN 'MACHINERY' THEN 'MCH' END AS seg_code
+         FROM customer ORDER BY c_custkey""",
+
+    "q_chunk_apply" ->
+      """SELECT user_id, count(*) AS n, round(sum(value) + 1e-9, 2) AS vsum
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_merge_outer" ->
+      """SELECT COALESCE(c.custkey, o.custkey) AS custkey, c.c_name,
+                o.n_orders, o.sum_total,
+         CASE WHEN c.c_name IS NULL THEN 'right_only'
+              WHEN o.n_orders IS NULL THEN 'left_only'
+              ELSE 'both' END AS _merge
+         FROM (SELECT c_custkey AS custkey, c_name FROM customer
+               WHERE c_custkey <= 200) c
+         FULL JOIN (SELECT o_custkey AS custkey, count(*) AS n_orders,
+                      round(sum(o_totalprice) + 1e-9, 2) AS sum_total
+                    FROM orders GROUP BY 1
+                    HAVING o_custkey BETWEEN 100 AND 300) o
+           USING (custkey)
+         ORDER BY custkey""",
+
+    "q_pivot_margins" ->
+      """SELECT l_returnflag,
+         round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F') + 1e-9, 2) AS "F",
+         round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O') + 1e-9, 2) AS "O",
+         round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F')
+             + sum(l_quantity) FILTER (WHERE l_linestatus = 'O') + 1e-9, 2) AS "All"
+         FROM lineitem GROUP BY 1
+         UNION ALL
+         SELECT 'All',
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F') + 1e-9, 2),
+           round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O') + 1e-9, 2),
+           round(sum(l_quantity) + 1e-9, 2)
+         FROM lineitem
+         ORDER BY l_returnflag""",
+
+    "q_agg_spec" ->
+      """SELECT l_returnflag,
+         round(sum(l_quantity) + 1e-9, 2) AS qty_sum,
+         round(avg(l_quantity) + 1e-9, 4) AS qty_mean,
+         round(stddev_samp(l_quantity) + 1e-9, 6) AS qty_std,
+         round(min(l_extendedprice) + 1e-9, 2) AS price_min,
+         round(max(l_extendedprice) + 1e-9, 2) AS price_max,
+         count(DISTINCT l_discount) AS disc_nunique
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_rolling_moments" ->
+      s"""SELECT event_id, user_id,
+         round(CASE WHEN count(value) OVER w >= 10 THEN skewness(value) OVER w END + 1e-9, 6) AS roll_skew,
+         round(CASE WHEN count(value) OVER w >= 10 THEN kurtosis(value) OVER w END + 1e-9, 6) AS roll_kurt,
+         round(CASE WHEN count(value) OVER w >= 10 THEN
+           stddev_samp(value) OVER w / sqrt(count(value) OVER w) END + 1e-9, 6) AS roll_sem
+         FROM events WINDOW w AS ($evWin ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
+
+    "q_ewm_sum_std" ->
+      """WITH o AS (SELECT event_id, user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         c AS (SELECT event_id, user_id, rn,
+           sum(value * pow(0.8, -rn)) OVER w AS su,
+           sum(pow(0.8, -rn)) OVER w AS sw,
+           sum(value * value * pow(0.8, -rn)) OVER w AS sxx,
+           (1 - pow(0.8, rn)) / 0.2 AS swc,
+           (1 - pow(0.64, rn)) / 0.36 AS sw2c
+           FROM o WINDOW w AS (PARTITION BY user_id ORDER BY rn ROWS UNBOUNDED PRECEDING))
+         SELECT event_id, user_id,
+           round(su * pow(0.8, rn) + 1e-9, 4) AS ewm_sum,
+           round(sqrt(CASE WHEN rn >= 2 THEN
+             (sxx/sw - (su/sw)*(su/sw)) * (swc*swc/(swc*swc - sw2c)) END) + 1e-9, 4) AS ewm_std
+         FROM c ORDER BY user_id, event_id""",
+
+    "q_corr_minp" ->
+      """SELECT user_id,
+         round(CASE WHEN count(*) >= 60
+               THEN corr(value, epoch_us(ts)) END + 1e-9, 6) AS corr_vt,
+         count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_weighted_gaussian" -> {
+      val terms = gaussW.zipWithIndex.map { case (wt, i) =>
+        val lagN = gaussW.size - 1 - i
+        if (lagN == 0) s"${lit17(wt)}*value"
+        else s"${lit17(wt)}*lag(value,$lagN) OVER w"
+      }.mkString(" + ")
+      s"""SELECT event_id, user_id,
+         round(($terms) / ${lit17(gaussW.sum)} + 1e-9, 4) AS gmean
+         FROM events WINDOW w AS ($evWin) ORDER BY user_id, event_id"""
+    }
+  )
+}
