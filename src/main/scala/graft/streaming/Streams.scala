@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming counterparts of the engine's stream-shaped batch
+  * ops (sessionization, windowed aggregation, running state).
+  *
+  * The reference is batch-only (SURVEY.md §2.11) — this module is the
+  * forward-looking surface a 100 TB training-data pipeline needs when the
+  * same tables arrive as streams: `readStream` -> these transforms ->
+  * `writeStream`, with event-time watermarks bounding state.
+  *
+  * Scale notes: all operators here are keyed by user/session, so state is
+  * hash-partitioned across executors; watermarks bound state size; and
+  * every aggregation is incremental (no per-batch recomputation).
+  */
+object Streams {
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionUpdate(user_id: Long, session_start: java.sql.Timestamp,
+                           n_events: Long, sum_value: Double, closed: Boolean)
+  case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)
+
+  /** Tumbling event-time windowed aggregate with a watermark — the
+    * streaming form of `groupBy(user).rolling(time)` aggregation.
+    * Late rows beyond `watermark` are dropped; state for closed windows
+    * is evicted automatically. */
+  def windowedStats(events: DataFrame, windowDur: String, watermark: String,
+                    tsCol: String = "ts", keyCol: String = "user_id",
+                    valCol: String = "value"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(valCol).as("sum_value"),
+        avg(valCol).as("mean_value"))
+
+  /** Gap-based sessionization with explicit state: the streaming
+    * equivalent of the batch `q_sessionize` query. A session closes when
+    * no event arrives within `gapMs` of the last one. Closure is driven
+    * by EVENT-time timeouts against the watermark — deterministic and
+    * replayable, no wall-clock dependence (a processing-time timeout
+    * would also busy-loop micro-batches while armed). */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long,
+                 watermark: String = "10 minutes"): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, it: Iterator[SessionEvent],
+         state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionUpdate(user, new java.sql.Timestamp(s.start),
+              s.n, s.sum, closed = true))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            var out = List.empty[SessionUpdate]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1, sum = s.sum + e.value))
+                case Some(s) => // gap exceeded: close previous, open new
+                  out ::= SessionUpdate(user, new java.sql.Timestamp(s.start),
+                    s.n, s.sum, closed = true)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the watermark passes lastTs + gap
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            out.reverseIterator
+          }
+        })
+  }
+
+  /** Running per-key mean via mapGroupsWithState — the streaming form of
+    * `groupby(key).transform('mean')` kept incrementally up to date. */
+  case class KeyMean(key: Long, n: Long, mean: Double)
+  case class MeanState(n: Long, sum: Double)
+
+  def runningMean(events: Dataset[SessionEvent]): Dataset[KeyMean] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[MeanState]) => {
+          val prev = state.getOption.getOrElse(MeanState(0L, 0.0))
+          var n = prev.n; var sum = prev.sum
+          it.foreach { e => n += 1; sum += e.value }
+          state.update(MeanState(n, sum))
+          KeyMean(user, n, sum / n)
+        })
+  }
+}

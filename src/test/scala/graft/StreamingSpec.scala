@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+import graft.streaming.Streams.SessionEvent
+
+/** Drive the streaming operators end-to-end over MemoryStream sources. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Seconds offset from a base an hour past the epoch — an event at
+    * exactly epoch 0 equals the initial watermark and is dropped as late
+    * by stateful operators. */
+  private def ts(s: Long) = new Timestamp((3600 + s) * 1000)
+
+  test("windowed stats with watermark aggregates per event-time window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val q = Streams.windowedStats(in.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_stats")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(
+        SessionEvent(1L, ts(0), 2.0), SessionEvent(1L, ts(60), 4.0),
+        SessionEvent(1L, ts(700), 10.0), // second window
+        SessionEvent(2L, ts(30), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_stats")
+        .select("user_id", "n", "sum_value", "mean_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toSet
+      assert(rows == Set((1L, 2L, 6.0, 3.0), (1L, 1L, 10.0, 10.0), (2L, 1L, 1.0, 1.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap and on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val q = Streams.sessionize(in.toDS(), gapMs = 60_000, watermark = "1 minute")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two bursts 10 min apart in ONE batch: first session closes inline
+      in.addData(
+        SessionEvent(7L, ts(0), 1.0), SessionEvent(7L, ts(30), 2.0),
+        SessionEvent(7L, ts(630), 5.0))
+      q.processAllAvailable()
+      val first = spark.table("sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+      assert(first.toSeq == Seq((7L, 2L, 3.0, true)))
+      // a late event from another user advances the watermark far past
+      // the open session's timeout -> event-time timeout closes it
+      in.addData(SessionEvent(99L, ts(5000), 0.0))
+      q.processAllAvailable()
+      in.addData(SessionEvent(99L, ts(9000), 0.0)) // one more batch to fire timeouts
+      q.processAllAvailable()
+      val all = spark.table("sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+        .toSet
+      assert(all.contains((7L, 1L, 5.0, true))) // second session closed by timeout
+    } finally q.stop()
+  }
+
+  test("running per-key mean stays incrementally correct across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val q = Streams.runningMean(in.toDS())
+      .writeStream.format("memory").queryName("running_mean")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(SessionEvent(1L, ts(0), 2.0), SessionEvent(1L, ts(1), 4.0))
+      q.processAllAvailable()
+      in.addData(SessionEvent(1L, ts(2), 9.0))
+      q.processAllAvailable()
+      val last = spark.table("running_mean").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .maxBy(_._2)
+      assert(last == ((1L, 3L, 5.0)))
+    } finally q.stop()
+  }
+}
