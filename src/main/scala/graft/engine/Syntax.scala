@@ -1,0 +1,114 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.WindowSpec
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.functions._
+
+/** Discoverable operator surface — the engine's analogue of the
+  * reference's `.parallel` accessor namespace (`df.parallel.mean()` ⇔
+  * `df.p_mean()`, `/root/reference/parallel_pandas/core/accessor.py:15-83`,
+  * registered `main.py:53-55`).
+  *
+  * `import graft.engine.Syntax._` gives every DataFrame a `.pp` handle:
+  *
+  * {{{
+  *   df.pp.mean()                       // one row, per-column means
+  *   df.pp.describe("x", "y")
+  *   df.pp.quantile(0.95, "x")
+  *   df.pp.agg(Seq("k"), Seq("x" -> Seq("sum", "mean")))
+  *   df.pp.pivotTable(Seq("k"), "cat", Seq("A","B"), "x", "sum")
+  *   df.pp.merge(other, on = Seq("id"), how = "left")
+  *   df.pp.applymap(Seq("x"), c => c * 2)
+  * }}}
+  *
+  * Reductions run over all numeric columns by default (pandas
+  * `numeric_only` behavior). Everything returns plain DataFrames.
+  */
+object Syntax {
+
+  implicit class PpOps(private val df: DataFrame) extends AnyVal {
+    def pp: Pp = new Pp(df)
+  }
+
+  final class Pp(private val df: DataFrame) {
+
+    private def numeric(cols: Seq[String]): Seq[String] = {
+      val cs = if (cols.nonEmpty) cols else Core.numericCols(df)
+      require(cs.nonEmpty,
+        s"no numeric columns in schema [${df.columns.mkString(", ")}] — " +
+          "name the columns explicitly")
+      cs
+    }
+
+    private def reduce(cols: Seq[String], f: Column => Column,
+                       suffix: String): DataFrame = {
+      val cs = numeric(cols)
+      val aggs = cs.map(c => f(col(c)).as(s"${c}_$suffix"))
+      df.agg(aggs.head, aggs.tail: _*)
+    }
+
+    // ---- §2.2 reductions ----
+    def min(cols: String*): DataFrame = reduce(cols, F.min, "min")
+    def max(cols: String*): DataFrame = reduce(cols, F.max, "max")
+    def mean(cols: String*): DataFrame = reduce(cols, avg, "mean")
+    def sum(cols: String*): DataFrame = reduce(cols, F.sum, "sum")
+    def median(cols: String*): DataFrame =
+      reduce(cols, percentile(_, lit(0.5)), "median")
+    def std(cols: String*): DataFrame = reduce(cols, stddev_samp, "std")
+    def variance(cols: String*): DataFrame = reduce(cols, var_samp, "var")
+    def sem(cols: String*): DataFrame = reduce(cols, Reductions.sem, "sem")
+    def skew(cols: String*): DataFrame = reduce(cols, Reductions.sampleSkew, "skew")
+    def kurt(cols: String*): DataFrame = reduce(cols, Reductions.sampleKurt, "kurt")
+    def prod(cols: String*): DataFrame = reduce(cols, Reductions.product, "prod")
+    def nunique(cols: String*): DataFrame =
+      reduce(cols, count_distinct(_), "nunique")
+
+    def quantile(q: Double, cols: String*): DataFrame =
+      reduce(cols, percentile(_, lit(q)), s"q$q")
+    def mad(cols: String*): DataFrame = Reductions.mad(df, numeric(cols))
+    def describe(cols: String*): DataFrame =
+      Reductions.describe(df, numeric(cols))
+    def mode(c: String): DataFrame = Reductions.modeAll(df, c)
+
+    // ---- §2.4 element-wise ----
+    def applymap(cols: Seq[String], f: Column => Column): DataFrame =
+      Apply.applymap(df, cols, f)
+    def isin(c: String, values: Seq[Any]): DataFrame =
+      df.withColumn(s"${c}_isin", col(c).isin(values: _*))
+    def replace(c: String, from: String, to: String,
+                regex: Boolean = false): DataFrame =
+      df.withColumn(c, StrDt.strReplace(col(c), from, to, regex))
+
+    // ---- §2.8 groupby ----
+    def agg(keys: Seq[String], spec: Seq[(String, Seq[String])]): DataFrame =
+      GroupOps.agg(df, keys, spec)
+    def transform(fn: String, valueCol: String, keys: Seq[String]): DataFrame =
+      df.withColumn(s"${valueCol}_$fn",
+        GroupOps.transform(fn, col(valueCol), keys.map(col)))
+
+    // ---- §2.7 reshaping ----
+    def pivotTable(index: Seq[String], column: String, values: Seq[String],
+                   value: String, aggfunc: String = "mean"): DataFrame =
+      GroupOps.pivotTable(df, index, column, values, value, aggfunc)
+    def merge(right: DataFrame, on: Seq[String], how: String = "inner",
+              suffixes: (String, String) = ("_x", "_y")): DataFrame =
+      GroupOps.merge(df, right, on, how, suffixes)
+    def pctChange(c: String, w: WindowSpec): DataFrame =
+      df.withColumn(s"${c}_pct_change", Cumulative.pctChange(col(c), w))
+
+    // ---- §2.3 cumulative (order given by the caller's window) ----
+    def cumsum(c: String, w: WindowSpec): DataFrame =
+      df.withColumn(s"${c}_cumsum", Cumulative.cumsum(col(c), w))
+    def cummax(c: String, w: WindowSpec): DataFrame =
+      df.withColumn(s"${c}_cummax", Cumulative.cummax(col(c), w))
+    def cummin(c: String, w: WindowSpec): DataFrame =
+      df.withColumn(s"${c}_cummin", Cumulative.cummin(col(c), w))
+    def cumprod(c: String, w: WindowSpec): DataFrame =
+      df.withColumn(s"${c}_cumprod", Cumulative.cumprod(col(c), w))
+
+    // ---- §2.6 correlation ----
+    def corrMatrix(cols: String*): DataFrame =
+      Corr.pearsonLong(df, numeric(cols))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Syntax._
+
+/** The `.pp` accessor surface (SURVEY.md §2.13 — `.parallel` analogue). */
+class SyntaxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq((1.0, 10.0, "a"), (2.0, 20.0, "a"), (3.0, 60.0, "b"))
+    .toDF("x", "y", "k")
+
+  test("reductions over all numeric columns by default") {
+    val m = df.pp.mean()
+    assert(m.columns.toSeq == Seq("x_mean", "y_mean"))
+    val r = m.collect()(0)
+    assertApprox(optD(r, 0), Some(2.0))
+    assertApprox(optD(r, 1), Some(30.0))
+  }
+
+  test("quantile / nunique / describe shapes") {
+    assertApprox(d1(df.pp.quantile(0.5, "x")), Some(2.0))
+    assert(df.pp.nunique("k").collect()(0).getLong(0) == 2L)
+    assert(df.pp.describe("x").count() == 8)
+  }
+
+  test("groupby agg and transform through the accessor") {
+    val a = df.pp.agg(Seq("k"), Seq("x" -> Seq("sum")))
+    assert(a.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("a", 3.0), ("b", 3.0)))
+    val t = df.pp.transform("mean", "x", Seq("k"))
+    assert(t.columns.contains("x_mean"))
+    assert(t.filter(col("k") === "a").select("x_mean")
+      .collect().forall(_.getDouble(0) == 1.5))
+  }
+
+  test("merge and applymap through the accessor") {
+    val right = Seq(("a", 100.0)).toDF("k", "z")
+    val m = df.pp.merge(right, on = Seq("k"), how = "left")
+    assert(m.count() == 3)
+    val am = df.pp.applymap(Seq("x"), c => c * 2)
+    assert(colD(am.orderBy("x"), "x") == Seq(2.0, 4.0, 6.0).map(Some(_)))
+  }
+}
