@@ -135,7 +135,14 @@ object Dedup {
   }
 
   /** SimHash near-dup candidates: byte-band bucketing then hamming
-    * distance <= maxHamming via bit_count(xor). */
+    * distance <= maxHamming via bit_count(xor).
+    *
+    * Dedup across bands WITHOUT a distinct(): a pair is emitted only
+    * from its FIRST colliding band (all earlier bands must differ, which
+    * is checkable from the two fingerprints carried through the join).
+    * On templated corpora where near-dup pairs are plentiful, this
+    * replaces a multi-million-row distinct shuffle with a codegen'd
+    * filter. */
   def simhashPairs(df: DataFrame, id: String, text: String,
                    maxHamming: Int = 3): DataFrame = {
     val fps = simhash32(df, id, text)
@@ -148,10 +155,17 @@ object Dedup {
       .localCheckpoint() // reused by both self-join sides
     val l = banded.select(col("doc").as("doc1"), col("simhash").as("f1"), col("band"), col("key"))
     val r = banded.select(col("doc").as("doc2"), col("simhash").as("f2"), col("band"), col("key"))
+    def bandByte(c: Column, b: Int) = shiftright(c, b * 8).bitwiseAND(0xff)
+    val firstCollidingBand = (0 until 4).map { b =>
+      val earlierDiffer = (0 until b)
+        .map(e => bandByte(col("f1"), e) =!= bandByte(col("f2"), e))
+        .foldLeft(lit(true))(_ && _)
+      (col("band") === b) && earlierDiffer
+    }.reduce(_ || _)
     l.join(r, Seq("band", "key")).filter(col("doc1") < col("doc2"))
+      .filter(firstCollidingBand)
       .select(col("doc1"), col("doc2"),
         bit_count(col("f1").bitwiseXOR(col("f2"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
