@@ -195,7 +195,8 @@ object Queries {
         r(WindowOps.rSum(col("value"), w, 5), 4).as("roll_sum"),
         r(WindowOps.rMin(col("value"), w, 5), 4).as("roll_min"),
         r(WindowOps.rMax(col("value"), w, 5), 4).as("roll_max"),
-        r(WindowOps.rStd(col("value"), w, 5), 4).as("roll_std"))
+        r(WindowOps.rStd(col("value"), w, 5), 4).as("roll_std"),
+        r(WindowOps.rVar(col("value"), w, 5), 4).as("roll_var"))
         .orderBy("user_id", "event_id")
     }),
 
@@ -512,7 +513,8 @@ object Queries {
          round(CASE WHEN count(value) OVER w >= 5 THEN sum(value) OVER w END + 1e-9,4) AS roll_sum,
          round(CASE WHEN count(value) OVER w >= 5 THEN min(value) OVER w END + 1e-9,4) AS roll_min,
          round(CASE WHEN count(value) OVER w >= 5 THEN max(value) OVER w END + 1e-9,4) AS roll_max,
-         round(CASE WHEN count(value) OVER w >= 5 THEN stddev_samp(value) OVER w END + 1e-9,4) AS roll_std
+         round(CASE WHEN count(value) OVER w >= 5 THEN stddev_samp(value) OVER w END + 1e-9,4) AS roll_std,
+         round(CASE WHEN count(value) OVER w >= 5 THEN var_samp(value) OVER w END + 1e-9,4) AS roll_var
          FROM events WINDOW w AS ($evWin ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
          ORDER BY user_id, event_id""",
 

@@ -162,6 +162,31 @@ object Queries2 {
         .orderBy("user_id")
     }),
 
+    // ---- §2.10 remaining str ops: strip, count, endswith ----
+    "q_str_ops2" -> ((s, d) => {
+      T(s, d, "part").select(
+        col("p_partkey"),
+        StrDt.strStrip(concat(lit("  "), col("p_name"), lit(" "))).as("name_stripped"),
+        StrDt.strCount(col("p_name"), " ").as("n_spaces"),
+        StrDt.strEndsWith(col("p_type"), "STEEL").as("is_steel"),
+        StrDt.strContains(col("p_name"), "^a.*e").as("a_to_e"))
+        .orderBy("p_partkey")
+    }),
+
+    // ---- §2.10 remaining dt ops on a true timestamp: hour/minute,
+    //      floor day, ceil hour, strftime with time tokens ----
+    "q_dt_ops2" -> ((s, d) => {
+      val ts = col("ts")
+      T(s, d, "events").select(
+        col("event_id"),
+        StrDt.dtHour(ts).as("h"),
+        StrDt.dtMinute(ts).as("mi"),
+        StrDt.dtFloor(ts, "day").as("day_start"),
+        StrDt.dtCeil(ts, "hour").as("hour_ceil"),
+        StrDt.dtStrftime(ts, "%Y-%m-%d %H:%M").as("ymdhm"))
+        .orderBy("event_id")
+    }),
+
     // ---- §2.9 weighted window, win_type='gaussian' ----
     "q_weighted_gaussian" -> ((s, d) => {
       T(s, d, "events").select(
@@ -269,6 +294,23 @@ object Queries2 {
                THEN corr(value, epoch_us(ts)) END + 1e-9, 6) AS corr_vt,
          count(*) AS n
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_str_ops2" ->
+      """SELECT p_partkey,
+         trim('  ' || p_name || ' ') AS name_stripped,
+         len(string_split(p_name, ' ')) - 1 AS n_spaces,
+         ends_with(p_type, 'STEEL') AS is_steel,
+         regexp_matches(p_name, '^a.*e') AS a_to_e
+         FROM part ORDER BY p_partkey""",
+
+    "q_dt_ops2" ->
+      """SELECT event_id,
+         hour(ts) AS h, minute(ts) AS mi,
+         date_trunc('day', ts) AS day_start,
+         CASE WHEN date_trunc('hour', ts) = ts THEN ts
+              ELSE date_trunc('hour', ts) + INTERVAL 1 HOUR END AS hour_ceil,
+         strftime(ts, '%Y-%m-%d %H:%M') AS ymdhm
+         FROM events ORDER BY event_id""",
 
     "q_weighted_gaussian" -> {
       val terms = gaussW.zipWithIndex.map { case (wt, i) =>
