@@ -162,6 +162,31 @@ object Queries2 {
         .orderBy("user_id")
     }),
 
+    // ---- GLOBAL cumsum via two-pass range-partitioned prefix sum —
+    //      the scale path that avoids a single-partition window ----
+    "q_cumsum_global" -> ((s, d) => {
+      val order = Seq(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      Cumulative.globalCumsum(T(s, d, "lineitem"), order,
+        col("l_quantity"), "cum_qty")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          r(col("cum_qty"), 2).as("cum_qty"))
+        .orderBy(order: _*)
+    }),
+
+    // ---- salted two-phase aggregation for skewed keys ----
+    "q_salted_agg" -> ((s, d) => {
+      val out = GroupOps.saltedStats(T(s, d, "events"),
+        Seq("event_type"), "value", salt = 16)
+      out.select(col("event_type"),
+        r(col("value_sum"), 2).as("vsum"),
+        col("value_count").as("vcount"),
+        r(col("value_mean"), 4).as("vmean"),
+        r(col("value_min"), 4).as("vmin"),
+        r(col("value_max"), 4).as("vmax"))
+        .orderBy("event_type")
+    }),
+
     // ---- §2.10 remaining str ops: strip, count, endswith ----
     "q_str_ops2" -> ((s, d) => {
       T(s, d, "part").select(
@@ -293,6 +318,23 @@ object Queries2 {
          round(CASE WHEN count(*) >= 60
                THEN corr(value, epoch_us(ts)) END + 1e-9, 6) AS corr_vt,
          count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q_cumsum_global" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         round(sum(l_quantity) OVER (ORDER BY l_orderkey, l_linenumber,
+           l_quantity, l_extendedprice, l_discount
+           ROWS UNBOUNDED PRECEDING) + 1e-9, 2) AS cum_qty
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount""",
+
+    "q_salted_agg" ->
+      """SELECT event_type,
+         round(sum(value) + 1e-9, 2) AS vsum,
+         count(value) AS vcount,
+         round(sum(value)/count(value) + 1e-9, 4) AS vmean,
+         round(min(value) + 1e-9, 4) AS vmin,
+         round(max(value) + 1e-9, 4) AS vmax
          FROM events GROUP BY 1 ORDER BY 1""",
 
     "q_str_ops2" ->

@@ -42,6 +42,40 @@ object Cumulative {
   def cumprod(c: Column, w: WindowSpec): Column =
     keepNull(c, udaf(Reductions.productAgg).apply(c).over(running(w)))
 
+  /** GLOBAL running sum without a single-partition window — the 100 TB
+    * path for un-grouped cumulatives. Two passes:
+    *   1. range-partition by the order key and take per-partition sums
+    *      (tiny: one row per partition, collected to the driver);
+    *   2. per-partition running sum (parallel `Window.partitionBy` on the
+    *      partition id) plus the broadcast prefix offset.
+    *
+    * The ranged frame is localCheckpoint'ed: `repartitionByRange` SAMPLES
+    * to pick bounds, so re-evaluating it for the second pass could assign
+    * rows to different partitions than the offsets were computed from.
+    * `order` must be a total order (unique keys) for a well-defined
+    * result — same requirement as any running sum. */
+  def globalCumsum(df: org.apache.spark.sql.DataFrame, order: Seq[Column],
+                   value: Column, out: String,
+                   partitions: Int = 0): org.apache.spark.sql.DataFrame = {
+    val n = if (partitions > 0) partitions
+            else df.sparkSession.sparkContext.defaultParallelism
+    val ranged = df.repartitionByRange(n, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val partials = ranged.groupBy("__pid")
+      .agg(coalesce(sum(value), lit(0.0)).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val pids = partials.keys.toSeq.sorted
+    val offsets: Map[Int, Double] = pids.zip(
+      pids.scanLeft(0.0)((acc, p) => acc + partials(p)).dropRight(1)).toMap
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn(out, sum(value).over(w) +
+        coalesce(element_at(typedLit(offsets), col("__pid")), lit(0.0)))
+      .drop("__pid")
+  }
+
   /** pct_change(periods, fill_method='pad'): forward-fill then lag.
     * `x/lag(x) - 1` over the given ordering. */
   def pctChange(c: Column, w: WindowSpec, periods: Int = 1,

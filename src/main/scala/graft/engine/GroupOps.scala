@@ -83,6 +83,31 @@ object GroupOps {
     filled.orderBy(index.map(col): _*)
   }
 
+  /** Two-phase aggregation for SKEWED keys (the classic salting pattern):
+    * partial-aggregate per (key, salt), then combine the salt buckets.
+    * Exact for the algebraic stats exposed here (sum/count/min/max, with
+    * mean = combined sum / combined count). The salt is the deterministic
+    * partition id modulo `salt` — no rand(), so results are reproducible.
+    *
+    * When ONE key holds a large share of all rows, a plain groupBy sends
+    * that key's every row to a single reducer; salting caps any single
+    * task at ~1/salt of the key's volume. (Spark's AQE skew handling
+    * covers joins, not aggregations — this is the aggregation-side
+    * equivalent.) */
+  def saltedStats(df: DataFrame, keys: Seq[String], value: String,
+                  salt: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id(), lit(salt)))
+    val partial = salted.groupBy((keys :+ "__salt").map(col): _*)
+      .agg(sum(col(value)).as("__s"), count(col(value)).as("__n"),
+        min(col(value)).as("__mn"), max(col(value)).as("__mx"))
+    partial.groupBy(keys.map(col): _*)
+      .agg(sum("__s").as(s"${value}_sum"),
+        sum("__n").as(s"${value}_count"),
+        (sum("__s") / sum("__n")).as(s"${value}_mean"),
+        min("__mn").as(s"${value}_min"),
+        max("__mx").as(s"${value}_max"))
+  }
+
   /** pandas merge: equi-join with suffix disambiguation of overlapping
     * non-key columns. Spark picks broadcast/sort-merge itself; callers
     * can wrap the right side in `broadcast()`. */

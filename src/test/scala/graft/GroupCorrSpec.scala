@@ -56,6 +56,19 @@ class GroupCorrSpec extends SparkSpec {
     assert(out.count() == 3)
   }
 
+  test("salted two-phase stats equal a plain aggregation") {
+    val df = (1 to 200).map(i => (if (i <= 190) "hot" else "cold", i * 1.0))
+      .toDF("k", "v").repartition(8)
+    val out = GroupOps.saltedStats(df, Seq("k"), "v", salt = 4)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(4), r.getDouble(5)))
+    val hotSum = (1 to 190).map(_ * 1.0).sum
+    val coldSum = (191 to 200).map(_ * 1.0).sum
+    assert(out.toSeq == Seq(
+      ("cold", coldSum, 10L, 191.0, 200.0),
+      ("hot", hotSum, 190L, 1.0, 190.0)))
+  }
+
   private lazy val xy = Seq((1.0, 4.0), (2.0, 1.0), (2.0, 3.0), (3.0, 2.0))
     .toDF("x", "y")
 

@@ -98,6 +98,15 @@ class WindowSpec extends SparkSpec {
     assertSeqApprox(colD(out, "p"), Seq(None, Some(0.0), Some(2.0)))
   }
 
+  test("global cumsum: two-pass prefix sum equals a sequential running sum") {
+    val df = (1 to 100).map(i => (i.toLong, i * 0.5)).toDF("i", "v")
+      .repartition(7) // scatter rows so offsets actually matter
+    val out = Cumulative.globalCumsum(df, Seq(col("i")), col("v"), "c")
+      .orderBy("i")
+    val expect = (1 to 100).scanLeft(0.0)(_ + _ * 0.5).tail
+    assertSeqApprox(colD(out, "c"), expect.map(Some(_)))
+  }
+
   test("time-offset window is closed-right (ts-offset, ts]") {
     // events at 0s, 30s, 3600s with a 1h window: the third event's frame
     // is (0s, 3600s] — the open left edge excludes the event at exactly
