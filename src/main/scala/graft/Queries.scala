@@ -54,6 +54,7 @@ object Queries {
         r(stddev_samp(col("l_quantity")), 6).as("qty_std"),
         r(var_samp(col("l_quantity")), 6).as("qty_var"),
         r(Reductions.sem(col("l_quantity")), 6).as("qty_sem"),
+        r(Reductions.varDdof(col("l_quantity"), 2), 6).as("qty_var_ddof2"),
         r(Reductions.sampleSkew(col("l_quantity")), 6).as("qty_skew"),
         r(Reductions.sampleKurt(col("l_quantity")), 6).as("qty_kurt"),
         r(sum("l_extendedprice"), 2).as("price_sum"),
@@ -391,6 +392,7 @@ object Queries {
          round(stddev_samp(l_quantity) + 1e-9,6) AS qty_std,
          round(var_samp(l_quantity) + 1e-9,6) AS qty_var,
          round(stddev_samp(l_quantity)/sqrt(count(l_quantity)) + 1e-9,6) AS qty_sem,
+         round(var_pop(l_quantity)*count(l_quantity)/(count(l_quantity)-2) + 1e-9,6) AS qty_var_ddof2,
          round(skewness(l_quantity) + 1e-9,6) AS qty_skew,
          round(kurtosis(l_quantity) + 1e-9,6) AS qty_kurt,
          round(sum(l_extendedprice) + 1e-9,2) AS price_sum,

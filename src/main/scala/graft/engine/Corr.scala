@@ -49,6 +49,26 @@ object Corr {
     df.select(avgRank(col(a)).as("ra"), avgRank(col(b)).as("rb"))
       .agg(corr(col("ra"), col("rb")).as("spearman"))
 
+  /** Full pearson matrix via MLlib for WIDE frames (hundreds of
+    * columns): assembles a vector column and computes the Gramian once,
+    * instead of k^2/2 separate co-moment aggregates. Returns long form
+    * (c1, c2, corr), upper triangle — same shape as [[pearsonLong]]. */
+  def pearsonLongWide(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.linalg.Matrix
+    import org.apache.spark.ml.stat.Correlation
+    val assembled = new VectorAssembler()
+      .setInputCols(cols.toArray).setOutputCol("__v")
+      .setHandleInvalid("skip")
+      .transform(df.select(cols.map(col): _*))
+    val m = Correlation.corr(assembled, "__v", "pearson")
+      .head().getAs[Matrix](0)
+    val rows = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j), m(i, j))
+    df.sparkSession.createDataFrame(rows).toDF("c1", "c2", "corr")
+  }
+
   /** Kendall tau-b over a (bounded) frame: self-join pairwise counting.
     * tau_b = (C - D) / sqrt((n0 - tx)(n0 - ty)). */
   def kendall(df: DataFrame, a: String, b: String): DataFrame = {

@@ -21,6 +21,9 @@ object AccessorDemo {
     li.pp.describe("l_quantity").orderBy("stat").show()
     println("== df.pp.agg(returnflag -> qty sum/mean/std) ==")
     li.pp.agg(Seq("l_returnflag"), Seq("l_quantity" -> Seq("sum", "mean", "std"))).show()
+    println("== wide (MLlib) pearson matrix vs pairwise ==")
+    graft.engine.Corr.pearsonLongWide(li,
+      Seq("l_quantity", "l_extendedprice", "l_discount")).show()
     println("== df.pp.merge(customer, on=custkey, left) ==")
     val o = spark.read.parquet(s"$sfDir/orders.parquet")
       .withColumnRenamed("o_custkey", "custkey")
