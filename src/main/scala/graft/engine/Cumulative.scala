@@ -77,7 +77,12 @@ object Cumulative {
   }
 
   /** pct_change(periods, fill_method='pad'): forward-fill then lag.
-    * `x/lag(x) - 1` over the given ordering. */
+    * `x/lag(x) - 1` over the given ordering.
+    *
+    * Zero denominator -> null via try_divide (Spark's ANSI mode would
+    * otherwise THROW, and it matches the DuckDB oracle's NULL; pandas
+    * yields +/-inf here — documented deviation, the only disagreement
+    * in the family). */
   def pctChange(c: Column, w: WindowSpec, periods: Int = 1,
                 fillMethod: Option[String] = Some("pad")): Column = {
     val filled = fillMethod match {
@@ -86,6 +91,6 @@ object Cumulative {
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
       case _ => c
     }
-    filled / lag(filled, periods).over(w) - 1
+    try_divide(filled, lag(filled, periods).over(w)) - 1
   }
 }
