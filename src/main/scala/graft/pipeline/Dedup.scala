@@ -105,15 +105,30 @@ object Dedup {
       struct(lit(bd).as("band"), concat_ws("|", hs.map(_.cast("string")): _*).as("sig"))
     }
     // materialize once: both self-join sides would otherwise recompute
-    // the whole shingle+hash+aggregate subtree
-    val exploded = mins.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc"), col("bk.band"), col("bk.sig"))
+    // the whole shingle+hash+aggregate subtree. The full signature vector
+    // rides along so cross-band duplicate pairs can be dropped by a
+    // FIRST-colliding-band filter instead of a distinct shuffle.
+    val exploded = mins.select(col("doc"),
+      array((0 until nh).map(i => col(s"h$i")): _*).as("harr"),
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("harr"), col("bk.band"), col("bk.sig"))
       .localCheckpoint()
-    val l = exploded.select(col("doc").as("doc1"), col("band"), col("sig"))
-    val r = exploded.select(col("doc").as("doc2"), col("band"), col("sig"))
+    val l = exploded.select(col("doc").as("doc1"), col("harr").as("ha1"),
+      col("band"), col("sig"))
+    val r = exploded.select(col("doc").as("doc2"), col("harr").as("ha2"),
+      col("band"), col("sig"))
+    val firstCollidingBand = (0 until bands).map { bd =>
+      val earlierDiffer = (0 until bd).map { e =>
+        (0 until rowsPerBand)
+          .map(rr => col("ha1")(e * rowsPerBand + rr) =!= col("ha2")(e * rowsPerBand + rr))
+          .reduce(_ || _)
+      }.foldLeft(lit(true))(_ && _)
+      (col("band") === bd) && earlierDiffer
+    }.reduce(_ || _)
     l.join(r, Seq("band", "sig"))
       .filter(col("doc1") < col("doc2"))
-      .select("doc1", "doc2").distinct()
+      .filter(firstCollidingBand)
+      .select("doc1", "doc2")
   }
 
   /** 32-bit SimHash fingerprint from word tokens (md5-derived token
