@@ -32,6 +32,18 @@ object Apply {
   def mapDict(c: Column, m: Map[String, String]): Column =
     element_at(typedLit(m), c)
 
+  /** isin against a VALUE TABLE (SURVEY §2.4: large value lists don't
+    * belong in a literal) — broadcast left-semi membership turned into a
+    * boolean flag column via the join-or-null pattern. */
+  def isinTable(df: DataFrame, c: String, values: DataFrame,
+                valueCol: String, outCol: String): DataFrame = {
+    val marks = values.select(col(valueCol).as(c)).distinct()
+      .withColumn("__hit", lit(true))
+    df.join(broadcast(marks), Seq(c), "left")
+      .withColumn(outCol, coalesce(col("__hit"), lit(false)))
+      .drop("__hit")
+  }
+
   /** chunk_apply: an arbitrary function over whole chunks (partitions).
     * `splitBy` reproduces `split_by_col`: hash-repartition so all rows
     * with equal keys share a partition; the function then sees complete

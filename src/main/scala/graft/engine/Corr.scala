@@ -37,9 +37,11 @@ object Corr {
   }
 
   /** Average-rank of a column (pandas rank method='average') — the
-    * spearman prestep. */
+    * spearman prestep. Nulls sort LAST so non-null ranks start at 1
+    * (Spark's asc default is nulls-first, which would offset every rank
+    * by the null count). */
   def avgRank(c: Column): Column = {
-    val r = rank().over(Window.orderBy(c))
+    val r = rank().over(Window.orderBy(c.asc_nulls_last))
     val ties = count(c).over(Window.partitionBy(c))
     when(c.isNull, lit(null)).otherwise(r + (ties - 1) / 2.0)
   }

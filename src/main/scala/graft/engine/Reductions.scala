@@ -101,11 +101,12 @@ object Reductions {
       .select(col(c)).orderBy(col(c))
   }
 
-  /** pandas `rank(method='average', na_option='keep')` over one column:
-    * min-rank + (ties-1)/2. Null values get null rank. `pct` divides by
-    * the non-null count. */
-  def rankAvg(c: Column, pct: Boolean = false): Column = {
-    val w = Window.orderBy(c)
+  /** pandas `rank(method='average', na_option='keep', ascending=…)` over
+    * one column: min-rank + (ties-1)/2. Null values get null rank. `pct`
+    * divides by the non-null count. */
+  def rankAvg(c: Column, pct: Boolean = false,
+              ascending: Boolean = true): Column = {
+    val w = Window.orderBy(if (ascending) c.asc_nulls_last else c.desc_nulls_last)
     val ties = count(c).over(Window.partitionBy(c))
     val r = rank().over(w) + (ties - 1) / 2.0
     val out = when(c.isNull, lit(null)).otherwise(r)

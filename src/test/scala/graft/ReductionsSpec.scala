@@ -82,6 +82,22 @@ class ReductionsSpec extends SparkSpec {
       Seq(1.0, 0.3, 0.6, 0.3, 0.8).map(Some(_)))
   }
 
+  test("rank descending and null keeping") {
+    val df = Seq(Some(5.0), Some(1.0), None, Some(4.0)).toDF("v")
+      .withColumn("i", monotonically_increasing_id())
+    val out = df.select(col("i"),
+      Reductions.rankAvg(col("v"), ascending = false).as("r")).orderBy("i")
+    assertSeqApprox(colD(out, "r"), Seq(Some(1.0), Some(3.0), None, Some(2.0)))
+  }
+
+  test("isin against a value table via broadcast semi-join") {
+    val df = Seq("a", "b", "c").toDF("k")
+    val values = Seq("b", "c", "z", "c").toDF("val")
+    val out = graft.engine.Apply.isinTable(df, "k", values, "val", "hit")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getBoolean(1)))
+    assert(out.toSeq == Seq(("a", false), ("b", true), ("c", true)))
+  }
+
   test("describe: 8 stats x columns, exact quartiles") {
     val out = Reductions.describe(s, Seq("v")).orderBy("stat")
     val m = out.collect().map(r => r.getString(0) -> optD(r, 1)).toMap
