@@ -120,13 +120,14 @@ object Queries2 {
     // ---- §2.8 groupby agg: list/dict spec with col_fn naming ----
     "q_agg_spec" -> ((s, d) => {
       val out = GroupOps.agg(T(s, d, "lineitem"), Seq("l_returnflag"),
-        Seq("l_quantity" -> Seq("sum", "mean", "std"),
+        Seq("l_quantity" -> Seq("sum", "mean", "std", "median"),
           "l_extendedprice" -> Seq("min", "max"),
           "l_discount" -> Seq("nunique")))
       out.select(col("l_returnflag"),
         r(col("l_quantity_sum"), 2).as("qty_sum"),
         r(col("l_quantity_mean"), 4).as("qty_mean"),
         r(col("l_quantity_std"), 6).as("qty_std"),
+        r(col("l_quantity_median"), 4).as("qty_median"),
         r(col("l_extendedprice_min"), 2).as("price_min"),
         r(col("l_extendedprice_max"), 2).as("price_max"),
         col("l_discount_nunique").as("disc_nunique"))
@@ -282,6 +283,7 @@ object Queries2 {
          round(sum(l_quantity) + 1e-9, 2) AS qty_sum,
          round(avg(l_quantity) + 1e-9, 4) AS qty_mean,
          round(stddev_samp(l_quantity) + 1e-9, 6) AS qty_std,
+         round(quantile_cont(l_quantity, 0.5) + 1e-9, 4) AS qty_median,
          round(min(l_extendedprice) + 1e-9, 2) AS price_min,
          round(max(l_extendedprice) + 1e-9, 2) AS price_max,
          count(DISTINCT l_discount) AS disc_nunique

@@ -77,6 +77,25 @@ class WindowSpec extends SparkSpec {
       Seq(1.0, 2.8, 5.24, 8.192).map(Some(_)))
   }
 
+  test("ewm with nulls: ignore_na=False decays the clock across gaps") {
+    // pandas: Series([1, nan, 3, 4]).ewm(alpha=0.5, adjust=True):
+    //   mean=[1, 1, 2.6, 3.4615384615384617]
+    //   var =[nan, nan, 2.0, 1.3636363636363635]
+    //   sum =[1, 0.5, 3.25, 5.625]
+    val df = Seq(Some(1.0), None, Some(3.0), Some(4.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("i", "v")
+    val out = df.select(col("i"),
+      Ewm.mean(col("v"), byI, 0.5).as("m"),
+      Ewm.variance(col("v"), byI, 0.5).as("var"),
+      Ewm.sum(col("v"), byI, 0.5).as("s")).orderBy("i")
+    assertSeqApprox(colD(out, "m"),
+      Seq(Some(1.0), Some(1.0), Some(2.6), Some(3.4615384615384617)))
+    assertSeqApprox(colD(out, "var"),
+      Seq(None, None, Some(2.0), Some(1.3636363636363635)), 1e-9)
+    assertSeqApprox(colD(out, "s"),
+      Seq(1.0, 0.5, 3.25, 5.625).map(Some(_)))
+  }
+
   test("cumsum keeps null cells null but skips them in the running sum") {
     val df = Seq(Some(1.0), None, Some(2.0)).zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("i", "v")
