@@ -26,15 +26,24 @@ import org.apache.spark.sql.functions._
   */
 object Ewm {
 
+  /** pandas ewm decay parameterizations — all reduce to alpha. */
+  def alphaFromSpan(span: Double): Double = 2.0 / (span + 1.0)
+  def alphaFromCom(com: Double): Double = 1.0 / (1.0 + com)
+  def alphaFromHalflife(hl: Double): Double = 1.0 - math.exp(-math.log(2.0) / hl)
+
   /** (decayed weight sum, decayed squared-weight sum, decayed x sum,
     * decayed x^2 sum, row count) */
   case class Buf(sw: Double, sw2: Double, swx: Double, swx2: Double, n: Long)
 
-  private def step(b: Buf, x: java.lang.Double, alpha: Double): Buf = {
+  private def step(b: Buf, x: java.lang.Double, alpha: Double,
+                   ignoreNa: Boolean = false): Buf = {
     val d = 1.0 - alpha
-    if (x == null || x.isNaN)
-      Buf(b.sw * d, b.sw2 * d * d, b.swx * d, b.swx2 * d, b.n + 1)
-    else
+    if (x == null || x.isNaN) {
+      // ignore_na=True: nulls advance nothing — n counts VALID obs, so
+      // combine()'s decay-by-right-count stays correct in this mode too
+      if (ignoreNa) b
+      else Buf(b.sw * d, b.sw2 * d * d, b.swx * d, b.swx2 * d, b.n + 1)
+    } else
       Buf(b.sw * d + 1.0, b.sw2 * d * d + 1.0,
           b.swx * d + x, b.swx2 * d + x * x, b.n + 1)
   }
@@ -47,17 +56,18 @@ object Ewm {
         l.swx * d + r.swx, l.swx2 * d + r.swx2, l.n + r.n)
   }
 
-  private abstract class EwmAgg(alpha: Double)
+  private abstract class EwmAgg(alpha: Double, ignoreNa: Boolean = false)
       extends Aggregator[java.lang.Double, Buf, java.lang.Double] {
     def zero: Buf = Buf(0, 0, 0, 0, 0L)
-    def reduce(b: Buf, a: java.lang.Double): Buf = step(b, a, alpha)
+    def reduce(b: Buf, a: java.lang.Double): Buf = step(b, a, alpha, ignoreNa)
     def merge(b1: Buf, b2: Buf): Buf = combine(b1, b2, alpha)
     def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
     def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
   }
 
-  def meanAgg(alpha: Double): Aggregator[java.lang.Double, Buf, java.lang.Double] =
-    new EwmAgg(alpha) {
+  def meanAgg(alpha: Double, ignoreNa: Boolean = false)
+    : Aggregator[java.lang.Double, Buf, java.lang.Double] =
+    new EwmAgg(alpha, ignoreNa) {
       def finish(b: Buf): java.lang.Double =
         if (b.sw <= 0) null else b.swx / b.sw
     }
@@ -85,8 +95,9 @@ object Ewm {
   private def running(w: WindowSpec) =
     w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-  def mean(c: Column, w: WindowSpec, alpha: Double): Column =
-    udaf(meanAgg(alpha)).apply(c).over(running(w))
+  def mean(c: Column, w: WindowSpec, alpha: Double,
+           ignoreNa: Boolean = false): Column =
+    udaf(meanAgg(alpha, ignoreNa)).apply(c).over(running(w))
   def sum(c: Column, w: WindowSpec, alpha: Double): Column =
     udaf(sumAgg(alpha)).apply(c).over(running(w))
   def variance(c: Column, w: WindowSpec, alpha: Double): Column =

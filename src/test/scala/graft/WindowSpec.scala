@@ -96,6 +96,30 @@ class WindowSpec extends SparkSpec {
       Seq(1.0, 0.5, 3.25, 5.625).map(Some(_)))
   }
 
+  test("ewm ignore_na=True weights only valid observations") {
+    // pandas: Series([1, nan, 3, 4]).ewm(alpha=0.5, adjust=True,
+    //   ignore_na=True).mean() = [1, 1, 2.3333..., 3.2857142857142856]
+    val df = Seq(Some(1.0), None, Some(3.0), Some(4.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("i", "v")
+    val out = df.select(col("i"),
+      Ewm.mean(col("v"), byI, 0.5, ignoreNa = true).as("m")).orderBy("i")
+    assertSeqApprox(colD(out, "m"),
+      Seq(Some(1.0), Some(1.0), Some(7.0 / 3), Some(3.2857142857142856)))
+  }
+
+  test("ewm alpha parameterizations: span/com/halflife") {
+    assert(Ewm.alphaFromSpan(3.0) == 0.5)
+    assert(Ewm.alphaFromCom(1.0) == 0.5)
+    assertApprox(Some(Ewm.alphaFromHalflife(1.0)), Some(0.5), 1e-15)
+    // span=5 on [1,2,3] -> pandas mean [1, 1.6, 2.263157894736842]
+    val df = Seq(1.0, 2.0, 3.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("i", "v")
+    val out = df.select(col("i"),
+      Ewm.mean(col("v"), byI, Ewm.alphaFromSpan(5.0)).as("m")).orderBy("i")
+    assertSeqApprox(colD(out, "m"),
+      Seq(1.0, 1.6, 2.263157894736842).map(Some(_)))
+  }
+
   test("cumsum keeps null cells null but skips them in the running sum") {
     val df = Seq(Some(1.0), None, Some(2.0)).zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("i", "v")
