@@ -90,11 +90,13 @@ object Reductions {
     min_by(idx, struct(value, idx))
 
   /** All tied modes of a column, like pandas `mode` (multi-row, sorted).
-    * One hash aggregation + a broadcastable 1-row max. */
+    * One hash aggregation + a broadcastable 1-row max. The (small)
+    * counts table is materialized once — it feeds both the max branch
+    * and the filter branch, which would otherwise each re-scan the
+    * input. */
   def modeAll(df: DataFrame, c: String): DataFrame = {
     val counts = df.filter(col(c).isNotNull).groupBy(col(c)).count()
-    val w = Window.orderBy(col("count").desc)
-    // max over a 1-row agg instead of a global window: no single-partition sort
+      .localCheckpoint()
     val maxCnt = counts.agg(max("count").as("__maxc"))
     counts.crossJoin(broadcast(maxCnt))
       .filter(col("count") === col("__maxc"))
