@@ -53,7 +53,15 @@ for name in sorted(oracle):
         a, b = s2[c], o2[c]
         try:
             import pandas as pd
-            if str(a.dtype).startswith(("float", "Float")) or str(b.dtype).startswith(("float", "Float")):
+            af = str(a.dtype).startswith(("float", "Float"))
+            bf = str(b.dtype).startswith(("float", "Float"))
+            if af != bf:
+                # driver hashes exact values: int 5 vs float 5.0 mismatch.
+                # (DuckDB sum(BIGINT) -> HUGEINT -> float64 is the usual cause;
+                # CAST(... AS BIGINT) in the oracle SQL.)
+                mismatch = f"COL {c}: dtype spark={a.dtype} oracle={b.dtype} (int vs float)"
+                break
+            if af or bf:
                 bad = ~((a.isna() & b.isna()) | ((a - b).abs() < 1e-9))
             else:
                 aa = a.astype(str).where(~a.isna(), "<NA>")

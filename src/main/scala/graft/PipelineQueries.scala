@@ -126,7 +126,8 @@ object PipelineQueries {
                 FROM h, (SELECT unnest(generate_series(0, 31)) AS bt) b
                 GROUP BY 1, 2),
        fp AS (SELECT doc_id,
-                sum(CASE WHEN sgn > 0 THEN 1::BIGINT << bt ELSE 0 END) AS simhash
+                CAST(sum(CASE WHEN sgn > 0 THEN 1::BIGINT << bt ELSE 0 END)
+                     AS BIGINT) AS simhash
               FROM bits GROUP BY 1)"""
 
   val oracle: Map[String, String] = Map(

@@ -663,7 +663,8 @@ object Queries {
                 THEN 1 ELSE 0 END AS is_new, ts
            FROM events)
          SELECT event_id, user_id,
-           sum(is_new) OVER ($evWin ROWS UNBOUNDED PRECEDING) AS session_id
+           CAST(sum(is_new) OVER ($evWin ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS session_id
          FROM g ORDER BY user_id, event_id""",
 
     "q_json_props" ->
