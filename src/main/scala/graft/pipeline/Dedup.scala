@@ -42,23 +42,108 @@ object Dedup {
     * small inputs — see [[shinglesFromWords]] for the hot path. */
   def shingles(c: Column, k: Int): Column = shinglesFromWords(words(c), k)
 
-  /** Compiled DISTINCT k-shingle set (first-occurrence order, matching
-    * array_distinct). The expression form above is CodegenFallback —
-    * interpreted slice/concat per shingle measured ~300µs/shingle; this
-    * JVM loop is ~1000x faster and is what the dedup ops use. */
-  private def shingleSetUdf(k: Int) = udf { ws: Seq[String] =>
-    if (ws == null || ws.isEmpty) Array.empty[String]
-    else if (ws.length < k) Array(ws.mkString(" "))
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Lowercase md5 hex of a string — bit-identical to Spark/DuckDB
+    * `md5()`, computed in-kernel so hashing never leaves the JVM loop. */
+  private def md5hex(md: java.security.MessageDigest, s: String): String = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexDigits((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexDigits(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Visit each DISTINCT k-shingle of a word array exactly once without
+    * materializing the string array. (The expression form above is
+    * CodegenFallback — interpreted slice/concat measured ~300µs/shingle;
+    * this JVM loop is ~1000x faster and is what the dedup ops use.) */
+  private def foreachDistinctShingle(ws: Seq[String], k: Int)(f: String => Unit): Unit = {
+    if (ws.length < k) f(ws.mkString(" "))
     else {
-      val out = new scala.collection.mutable.LinkedHashSet[String]
+      val seen = new java.util.HashSet[String]
       val sb = new java.lang.StringBuilder
       var i = 0
       while (i + k <= ws.length) {
         sb.setLength(0)
         var j = 0
         while (j < k) { if (j > 0) sb.append(' '); sb.append(ws(i + j)); j += 1 }
-        out += sb.toString
+        val s = sb.toString
+        if (seen.add(s)) f(s)
         i += 1
+      }
+    }
+  }
+
+  /** One-pass MinHash signature kernel: distinct shingles -> one md5 each
+    * -> Kirsch-Mitzenmacher `a + i*b` -> running minima. Entirely
+    * map-side: no shingle explode, no doc-keyed hash aggregate — the
+    * signature leaves the scan already computed. null word array (null
+    * text) or empty -> null signature (callers drop, matching the
+    * explode-drop semantics of the aggregate formulation). */
+  private def minhashSigUdf(k: Int, nh: Int) = udf { ws: Seq[String] =>
+    if (ws == null || ws.isEmpty) null
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val mins = Array.fill(nh)(Long.MaxValue)
+      foreachDistinctShingle(ws, k) { s =>
+        val h = md5hex(md, s)
+        val a = java.lang.Long.parseLong(h.substring(0, 15), 16)
+        val b = java.lang.Long.parseLong(h.substring(16, 31), 16)
+        var i = 0
+        while (i < nh) {
+          val v = a + i.toLong * b
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      mins
+    }
+  }
+
+  /** One-pass 32-bit SimHash kernel over distinct whitespace tokens:
+    * md5 -> first 8 hex chars as the token hash -> per-bit +/-1 votes ->
+    * sign fingerprint. Map-side, zero shuffles. */
+  private val simhashFpUdf = udf { ws: Seq[String] =>
+    if (ws == null) null.asInstanceOf[java.lang.Long]
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](32)
+      val seen = new java.util.HashSet[String]
+      ws.foreach { t =>
+        if (seen.add(t)) {
+          val hv = java.lang.Long.parseLong(md5hex(md, t).substring(0, 8), 16)
+          var b = 0
+          while (b < 32) {
+            if (((hv >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+      }
+      var fp = 0L
+      var b = 0
+      while (b < 32) { if (votes(b) > 0) fp |= 1L << b; b += 1 }
+      java.lang.Long.valueOf(fp)
+    }
+  }
+
+  /** Distinct shingle set as 64-bit md5 prefixes. The inverted-index join
+    * never needs the shingle text — an 8-byte key shuffles ~4x narrower
+    * than the ~25-byte string and compares in one instruction. Distinct-
+    * ness is decided on the STRINGS, so set sizes are exact; a 64-bit
+    * collision merging two shingles across a doc pair has probability
+    * ~n²/2^65 — negligible against float-rounding noise. */
+  private def shingleHash64SetUdf(k: Int) = udf { ws: Seq[String] =>
+    if (ws == null || ws.isEmpty) Array.empty[Long]
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = new scala.collection.mutable.ArrayBuffer[Long]
+      foreachDistinctShingle(ws, k) { s =>
+        out += java.lang.Long.parseUnsignedLong(md5hex(md, s).substring(0, 16), 16)
       }
       out.toArray
     }
@@ -79,44 +164,37 @@ object Dedup {
     *
     * Hash family: ONE md5 per distinct shingle, split into two 60-bit
     * halves (a, b); hash i is `a + i*b` (Kirsch-Mitzenmacher double
-    * hashing — i < 8 keeps a + i*b < 2^63, no overflow). Versus md5 per
-    * (seed, shingle) this is an 8x hash-cost reduction, and the min-
-    * signatures come out of a codegen'd hash aggregate instead of
-    * interpreted per-document array lambdas.
+    * hashing — i < 8 keeps a + i*b < 2^63, no overflow). The whole
+    * signature is computed by [[minhashSigUdf]] in one map-side pass over
+    * the scan — no shingle explode, no doc-keyed aggregate shuffle.
     *
-    * Shape at scale: shingle explode is map-side; one shuffle keyed by
-    * doc for the signature aggregate; one shuffle keyed by (band, sig)
-    * for the bucket self-join — candidate buckets only, never all pairs. */
+    * Shape at scale: ONE shuffle total, keyed by (band, key) for the
+    * bucket self-join — candidate buckets only, never all pairs. */
   def minhashLshPairs(df0: DataFrame, id: String, text: String,
                       k: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val df = graft.engine.Core.spread(df0)
     val nh = bands * rowsPerBand
     require(nh <= 8, "a + i*b needs i*b < 2^63: at most 8 hashes from 60-bit halves")
-    val sh = df.select(col(id).as("doc"),
-      explode(shingleSetUdf(k)(words(col(text)))).as("s"))
-    val hashed = sh.select(col("doc"),
-      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("a"),
-      conv(substring(md5(col("s")), 17, 15), 16, 10).cast("long").as("b"))
-    val minAggs = (0 until nh).map(i =>
-      min(col("a") + lit(i.toLong) * col("b")).as(s"h$i"))
-    val mins = hashed.groupBy("doc").agg(minAggs.head, minAggs.tail: _*)
+    val mins = df.select(col(id).as("doc"),
+      minhashSigUdf(k, nh)(words(col(text))).as("sig"))
+      .filter(col("sig").isNotNull)
     val bandCols = (0 until bands).map { bd =>
-      val hs = (0 until rowsPerBand).map(r => col(s"h${bd * rowsPerBand + r}"))
-      struct(lit(bd).as("band"), concat_ws("|", hs.map(_.cast("string")): _*).as("sig"))
+      struct(lit(bd).as("band"),
+        struct((0 until rowsPerBand).map(r =>
+          col("sig")(bd * rowsPerBand + r).as(s"h$r")): _*).as("key"))
     }
     // materialize once: both self-join sides would otherwise recompute
-    // the whole shingle+hash+aggregate subtree. The full signature vector
-    // rides along so cross-band duplicate pairs can be dropped by a
-    // FIRST-colliding-band filter instead of a distinct shuffle.
-    val exploded = mins.select(col("doc"),
-      array((0 until nh).map(i => col(s"h$i")): _*).as("harr"),
+    // the signature kernel. The full signature vector rides along so
+    // cross-band duplicate pairs can be dropped by a FIRST-colliding-band
+    // filter instead of a distinct shuffle.
+    val exploded = mins.select(col("doc"), col("sig").as("harr"),
       explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc"), col("harr"), col("bk.band"), col("bk.sig"))
+      .select(col("doc"), col("harr"), col("bk.band"), col("bk.key"))
       .localCheckpoint()
     val l = exploded.select(col("doc").as("doc1"), col("harr").as("ha1"),
-      col("band"), col("sig"))
+      col("band"), col("key"))
     val r = exploded.select(col("doc").as("doc2"), col("harr").as("ha2"),
-      col("band"), col("sig"))
+      col("band"), col("key"))
     val firstCollidingBand = (0 until bands).map { bd =>
       val earlierDiffer = (0 until bd).map { e =>
         (0 until rowsPerBand)
@@ -125,7 +203,7 @@ object Dedup {
       }.foldLeft(lit(true))(_ && _)
       (col("band") === bd) && earlierDiffer
     }.reduce(_ || _)
-    l.join(r, Seq("band", "sig"))
+    l.join(r, Seq("band", "key"))
       .filter(col("doc1") < col("doc2"))
       .filter(firstCollidingBand)
       .select("doc1", "doc2")
@@ -133,20 +211,13 @@ object Dedup {
 
   /** 32-bit SimHash fingerprint from word tokens (md5-derived token
     * hashes so the oracle can reproduce it; production: xxhash64 + 64
-    * bits). */
+    * bits). Fingerprints come straight off the scan via [[simhashFpUdf]]
+    * — zero shuffles (the explode + 32-column vote aggregate this
+    * replaces shuffled every (doc, token) row by doc). */
   def simhash32(df0: DataFrame, id: String, text: String): DataFrame = {
     val df = graft.engine.Core.spread(df0)
-    val toks = df.select(col(id).as("doc"),
-      explode(array_distinct(split(lower(trim(col(text))), "\\s+"))).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-    val bitSums = (0 until 32).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    val agg = toks.groupBy(col("doc")).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 32).map { b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-    agg.select(col("doc"), fp.as("simhash"))
+    df.select(col(id).as("doc"), simhashFpUdf(words(col(text))).as("simhash"))
+      .filter(col("simhash").isNotNull)
   }
 
   /** SimHash near-dup candidates: byte-band bucketing then hamming
@@ -199,7 +270,7 @@ object Dedup {
                         minJaccard: Double = 0.8,
                         maxShingleDf: Int = 1000): DataFrame = {
     val docs = graft.engine.Core.spread(df)
-      .select(col(id).as("doc"), shingleSetUdf(k)(words(col(text))).as("shl"))
+      .select(col(id).as("doc"), shingleHash64SetUdf(k)(words(col(text))).as("shl"))
     val sh = docs
       .select(col("doc"), size(col("shl")).as("sz"), explode(col("shl")).as("s"))
       .localCheckpoint()
