@@ -1,0 +1,258 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine._
+import graft.engine.Core.r
+import graft.pipeline.Similarity
+
+/** Third tranche: temporal joins (as-of in all three directions, bucketed
+  * range join), rank method variants, extended str/dt accessor surface,
+  * rollup grouping sets, per-group top-k, and IVF ANN.
+  * Same conventions as [[Queries]]. */
+object Queries3 {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Core.normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
+
+  private def nonPurchases(s: SparkSession, d: String): DataFrame =
+    T(s, d, "events").filter(col("event_type") =!= "purchase")
+      .select("event_id", "user_id", "ts")
+
+  private def purchases(s: SparkSession, d: String): DataFrame =
+    T(s, d, "events").filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- as-of join, backward (pandas merge_asof default) ----
+    "q_asof_join" -> ((s, d) => {
+      Joins.asof(nonPurchases(s, d), purchases(s, d).withColumnRenamed("value", "last_purchase"),
+        on = "ts", by = Seq("user_id"))
+        .select("event_id", "user_id", "last_purchase")
+        .orderBy("event_id")
+    }),
+
+    // ---- as-of join, forward + tolerance ----
+    "q_asof_fwd_tol" -> ((s, d) => {
+      Joins.asof(nonPurchases(s, d), purchases(s, d).withColumnRenamed("value", "next_purchase"),
+        on = "ts", by = Seq("user_id"), direction = Joins.Forward,
+        toleranceUs = Some(3600L * 1000000L))
+        .select("event_id", "user_id", "next_purchase")
+        .orderBy("event_id")
+    }),
+
+    // ---- as-of join, nearest (ties -> backward) ----
+    "q_asof_nearest" -> ((s, d) => {
+      Joins.asof(nonPurchases(s, d), purchases(s, d).withColumnRenamed("value", "near_purchase"),
+        on = "ts", by = Seq("user_id"), direction = Joins.Nearest)
+        .select("event_id", "user_id", "near_purchase")
+        .orderBy("event_id")
+    }),
+
+    // ---- bucketed point-in-interval range join ----
+    "q_range_join" -> ((s, d) => {
+      val ev = T(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+      Joins.rangeJoin(p, col("p_ts"), col("p_ts") + expr("INTERVAL 30 MINUTES"),
+        c, col("c_ts"), by = Seq("user_id"), bucketUs = 30L * 60 * 1000000L)
+        .select("purchase_id", "click_id", "user_id")
+        .orderBy("purchase_id", "click_id")
+    }),
+
+    // ---- §2.5 rank method variants: min / dense / first / max / pct ----
+    "q_rank_methods" -> ((s, d) => {
+      val q = col("l_quantity")
+      val w = Window.orderBy(q.asc_nulls_last)
+      val wFirst = Window.orderBy(q.asc_nulls_last, col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+      val ties = count(q).over(Window.partitionBy(q))
+      val n = count(q).over(Window.partitionBy())
+      T(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), q,
+        rank().over(w).as("rk_min"),
+        dense_rank().over(w).as("rk_dense"),
+        row_number().over(wFirst).as("rk_first"),
+        (rank().over(w) + ties - 1).as("rk_max"),
+        r(rank().over(w) / n, 6).as("rk_min_pct"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), q,
+          col("l_extendedprice"), col("rk_first"))
+    }),
+
+    // ---- §2.10 str accessor, tranche 3 ----
+    "q_str_ops3" -> ((s, d) => {
+      T(s, d, "part").select(
+        col("p_partkey"),
+        StrDt.strRepeat(col("p_brand"), 2).as("brand2"),
+        StrDt.strFind(col("p_type"), "STEEL").as("steel_at"),
+        StrDt.strCenter(col("p_brand"), 12, "*").as("brand_c"),
+        StrDt.strGet(col("p_name"), 3).as("ch3"),
+        StrDt.strRemovePrefix(col("p_type"), "ECONOMY ").as("type_np"),
+        StrDt.strRemoveSuffix(col("p_type"), " STEEL").as("type_ns"),
+        StrDt.strPad(col("p_brand"), 12, "right", ".").as("brand_r"))
+        .orderBy("p_partkey")
+    }),
+
+    // ---- §2.10 dt accessor, tranche 3 ----
+    "q_dt_ops3" -> ((s, d) => {
+      val ts = col("o_orderdate")
+      T(s, d, "orders").select(
+        col("o_orderkey"),
+        StrDt.dtDayOfYear(ts).as("doy"),
+        StrDt.dtWeek(ts).as("wk"),
+        StrDt.dtDaysInMonth(ts).as("dim"),
+        StrDt.dtIsMonthStart(ts).as("is_ms"),
+        StrDt.dtIsMonthEnd(ts).as("is_me"),
+        StrDt.dtIsQuarterStart(ts).as("is_qs"),
+        StrDt.dtDate(ts).as("dt"),
+        StrDt.dtNormalize(ts).as("norm"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- rollup grouping sets (beyond-reference: subtotal frames) ----
+    "q_rollup" -> ((s, d) => {
+      T(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(r(sum("l_quantity"), 2).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("int").as("g1"),
+          grouping(col("l_linestatus")).cast("int").as("g2"))
+        .orderBy(col("g1"), col("g2"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---- per-group top-k (WindowGroupLimit pushdown) ----
+    "q_topk_group" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    // ---- IVF ANN (scale path; centroids are engine-collected -> rows-only
+    //      check, same treatment as q_ann_lsh) ----
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+        nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), r(col("cos"), 6).as("cos"),
+          col("rank"))
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  private val LeftCte =
+    """l AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase'),
+       p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')"""
+
+  val oracle: Map[String, String] = Map(
+    "q_asof_join" ->
+      s"""WITH $LeftCte
+         SELECT l.event_id, l.user_id, r.value AS last_purchase
+         FROM l ASOF LEFT JOIN p r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
+
+    "q_asof_fwd_tol" ->
+      s"""WITH $LeftCte
+         SELECT l.event_id, l.user_id,
+           CASE WHEN epoch_us(r.ts) - epoch_us(l.ts) <= 3600000000
+                THEN r.value END AS next_purchase
+         FROM l ASOF LEFT JOIN p r
+           ON l.user_id = r.user_id AND l.ts <= r.ts
+         ORDER BY l.event_id""",
+
+    "q_asof_nearest" ->
+      s"""WITH $LeftCte,
+         b AS (SELECT l.event_id, r.ts AS bts, r.value AS bval
+               FROM l ASOF LEFT JOIN p r
+                 ON l.user_id = r.user_id AND l.ts >= r.ts),
+         f AS (SELECT l.event_id, r.ts AS fts, r.value AS fval
+               FROM l ASOF LEFT JOIN p r
+                 ON l.user_id = r.user_id AND l.ts <= r.ts)
+         SELECT l.event_id, l.user_id,
+           CASE WHEN fts IS NULL OR (bts IS NOT NULL AND
+                  epoch_us(l.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(l.ts))
+                THEN bval ELSE fval END AS near_purchase
+         FROM l JOIN b USING (event_id) JOIN f USING (event_id)
+         ORDER BY l.event_id""",
+
+    "q_range_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 30 MINUTE
+         ORDER BY purchase_id, click_id""",
+
+    "q_rank_methods" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         rank() OVER (ORDER BY l_quantity) AS rk_min,
+         dense_rank() OVER (ORDER BY l_quantity) AS rk_dense,
+         row_number() OVER (ORDER BY l_quantity, l_orderkey, l_linenumber,
+           l_extendedprice, l_discount) AS rk_first,
+         rank() OVER (ORDER BY l_quantity)
+           + count(*) OVER (PARTITION BY l_quantity) - 1 AS rk_max,
+         round(rank() OVER (ORDER BY l_quantity) * 1.0
+           / count(*) OVER () + 1e-9, 6) AS rk_min_pct
+         FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, rk_first""",
+
+    "q_str_ops3" ->
+      """SELECT p_partkey,
+         repeat(p_brand, 2) AS brand2,
+         strpos(p_type, 'STEEL') - 1 AS steel_at,
+         CASE WHEN length(p_brand) >= 12 THEN p_brand
+              ELSE rpad(lpad(p_brand,
+                     CAST(floor((12 + length(p_brand)) / 2) AS INT), '*'),
+                   12, '*') END AS brand_c,
+         CASE WHEN length(p_name) > 3 THEN substring(p_name, 4, 1) END AS ch3,
+         CASE WHEN starts_with(p_type, 'ECONOMY ')
+              THEN substring(p_type, length('ECONOMY ') + 1)
+              ELSE p_type END AS type_np,
+         CASE WHEN p_type LIKE '% STEEL'
+              THEN substring(p_type, 1, length(p_type) - 6)
+              ELSE p_type END AS type_ns,
+         rpad(p_brand, 12, '.') AS brand_r
+         FROM part ORDER BY p_partkey""",
+
+    "q_dt_ops3" ->
+      """SELECT o_orderkey,
+         dayofyear(o_orderdate) AS doy,
+         weekofyear(o_orderdate) AS wk,
+         day(last_day(o_orderdate)) AS dim,
+         day(o_orderdate) = 1 AS is_ms,
+         o_orderdate::DATE = last_day(o_orderdate) AS is_me,
+         day(o_orderdate) = 1 AND (month(o_orderdate) - 1) % 3 = 0 AS is_qs,
+         o_orderdate::DATE AS dt,
+         date_trunc('day', o_orderdate) AS norm
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
+         count(*) AS n,
+         CAST(grouping(l_returnflag) AS INT) AS g1,
+         CAST(grouping(l_linestatus) AS INT) AS g2
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "q_topk_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders
+         QUALIFY rn <= 3
+         ORDER BY o_orderpriority, rn"""
+
+    // q_ann_ivf intentionally omitted: centroid sample is engine-collected
+    // (xxhash64 order), not SQL-reproducible -> rows-only check.
+  )
+}

@@ -40,6 +40,45 @@ object StrDt {
     regexp_extract(c, pat, group)
   def strSplitItem(c: Column, sep: String, i: Int): Column =
     split(c, java.util.regex.Pattern.quote(sep)).getItem(i)
+  /** pandas str.repeat(n). */
+  def strRepeat(c: Column, n: Int): Column = repeat(c, n)
+  /** pandas str.find: 0-based position of first occurrence, -1 absent. */
+  def strFind(c: Column, sub: String): Column = instr(c, sub) - 1
+  /** pandas str.pad(width, side) / ljust / rjust. */
+  def strPad(c: Column, width: Int, side: String, fill: String = " "): Column =
+    side match {
+      case "left"  => lpad(c, width, fill)
+      case "right" => rpad(c, width, fill)
+      case "both"  => strCenter(c, width, fill)
+    }
+  /** pandas str.center: extra fill char goes to the RIGHT (Python
+    * str.center). Strings already >= width pass through (lpad/rpad
+    * truncate, hence the length gate). */
+  def strCenter(c: Column, width: Int, fill: String = " "): Column =
+    when(length(c) >= width, c).otherwise(
+      rpad(lpad(c, floor((lit(width) + length(c)) / 2).cast("int"), lit(fill)),
+        lit(width), lit(fill)))
+  /** pandas str.get(i): character at position (null past the end). */
+  def strGet(c: Column, i: Int): Column =
+    when(length(c) > i, substring(c, i + 1, 1))
+  /** pandas str.removeprefix / removesuffix (3.9+ Python semantics:
+    * remove at most one occurrence, only at the edge). */
+  def strRemovePrefix(c: Column, p: String): Column =
+    when(c.startsWith(p), c.substr(lit(p.length + 1), length(c))).otherwise(c)
+  def strRemoveSuffix(c: Column, sfx: String): Column =
+    when(c.endsWith(sfx), c.substr(lit(1), length(c) - sfx.length)).otherwise(c)
+  /** pandas str.swapcase — no Catalyst builtin; compiled UDF (stays a
+    * JVM tight loop, used off the hot path). */
+  val strSwapcase: Column => Column = {
+    val f = udf { s: String =>
+      if (s == null) null
+      else s.map(ch =>
+        if (Character.isUpperCase(ch)) Character.toLowerCase(ch)
+        else if (Character.isLowerCase(ch)) Character.toUpperCase(ch)
+        else ch)
+    }
+    c => f(c)
+  }
 
   // ---- dt ----
   def dtYear(c: Column): Column = year(c)
@@ -57,6 +96,18 @@ object StrDt {
     val fl = date_trunc(unit, c)
     when(fl === c, c).otherwise(fl + expr(s"INTERVAL 1 $unit"))
   }
+  def dtDayOfYear(c: Column): Column = dayofyear(c)
+  /** ISO week number (pandas dt.isocalendar().week / dt.week). */
+  def dtWeek(c: Column): Column = weekofyear(c)
+  def dtDaysInMonth(c: Column): Column = dayofmonth(last_day(c))
+  def dtIsMonthStart(c: Column): Column = dayofmonth(c) === 1
+  def dtIsMonthEnd(c: Column): Column = to_date(c) === last_day(c)
+  def dtIsQuarterStart(c: Column): Column =
+    dayofmonth(c) === 1 && (month(c) - 1) % 3 === 0
+  /** pandas dt.date: calendar date part. */
+  def dtDate(c: Column): Column = to_date(c)
+  /** pandas dt.normalize(): midnight of the same day, still a timestamp. */
+  def dtNormalize(c: Column): Column = date_trunc("day", c)
 
   /** strftime -> java.time format translation (the tokens pandas tests
     * use; extend as needed). */

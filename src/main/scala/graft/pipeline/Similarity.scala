@@ -106,6 +106,75 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** IVF (inverted-file) ANN top-k: the corpus is partitioned into
+    * `nlist` cells by nearest centroid; each query scores only its
+    * `nprobe` nearest cells. Candidate volume is ~corpus*nprobe/nlist
+    * per query, one shuffle keyed by cell id — the standard billion-
+    * vector layout (FAISS IVFFlat) expressed as a Spark equi-join.
+    *
+    * Centroids are a deterministic hash-ordered corpus sample collected
+    * to the driver and broadcast (production: k-means via MLlib — the
+    * join shape is identical, only centroid quality changes). Cell
+    * assignment and probe lists are compiled UDFs over the broadcast
+    * centroid matrix: O(nlist*d) per vector, map-side, no shuffle.
+    * `nprobe = nlist` degrades to exact search — the spec's oracle. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nlist: Int,
+              nprobe: Int, seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    def l2(v: Array[Double]): Double = {
+      var i = 0; var s = 0.0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    val cents: Array[(Array[Double], Double)] = corpus
+      .select(asDouble(col("embedding")).as("v"))
+      .withColumn("__h", xxhash64(col("v").cast("string"), lit(seed)))
+      .orderBy("__h").limit(nlist)
+      .select("v").as[Array[Double]].collect()
+      .map(v => (v, l2(v)))
+    val bc = spark.sparkContext.broadcast(cents)
+    def cellScores(v: Seq[Double]): Array[Double] = {
+      val cs = bc.value
+      val arr = v.toArray
+      val n = l2(arr)
+      cs.map { case (cv, cn) =>
+        if (n == 0 || cn == 0) -2.0
+        else {
+          var i = 0; var d = 0.0
+          val len = math.min(arr.length, cv.length)
+          while (i < len) { d += arr(i) * cv(i); i += 1 }
+          d / (n * cn)
+        }
+      }
+    }
+    val assignUdf = udf { v: Seq[Double] =>
+      val s = cellScores(v)
+      var best = 0; var i = 1
+      while (i < s.length) { if (s(i) > s(best)) best = i; i += 1 }
+      best
+    }
+    val probeUdf = udf { v: Seq[Double] =>
+      cellScores(v).zipWithIndex.sortBy(-_._1).take(nprobe).map(_._2)
+    }
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("cv"))
+      .withColumn("cell", assignUdf(col("cv")))
+      .withColumn("cn", l2norm(col("cv")))
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv"))
+      .withColumn("cell", explode(probeUdf(col("qv"))))
+      .withColumn("qn", l2norm(col("qv")))
+    val scored = c.join(q, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", pairCos(col("qv"), col("qn"), col("cv"), col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** Exact embedding near-duplicate pairs: all pairs with cosine >=
     * threshold. The corpus (necessarily bounded — exact all-pairs is
     * O(n²); use [[nearDupPairs]] for large n) is broadcast as a plain

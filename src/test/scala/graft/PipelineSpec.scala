@@ -73,6 +73,23 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq((3L, 1), (1L, 2)))
   }
 
+  test("IVF top-k: probing every cell reproduces exact brute force") {
+    val rnd = new scala.util.Random(7)
+    val emb = Seq.tabulate(40)(i =>
+      (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 3)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(key(Similarity.ivfTopK(q, emb, k = 4, nlist = 6, nprobe = 6)) ==
+      key(Similarity.bruteForceTopK(q, emb, k = 4)))
+    // narrow probe still returns a full, ranked top-k per query
+    val narrow = Similarity.ivfTopK(q, emb, k = 4, nlist = 6, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)))
+    assert(narrow.groupBy(_._1).forall { case (_, rs) =>
+      rs.map(_._2).sorted.sameElements(1 to rs.length) })
+  }
+
   test("exact near-dup pairs: symmetric threshold search") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.05f)),

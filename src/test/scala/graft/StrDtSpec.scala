@@ -71,4 +71,52 @@ class StrDtSpec extends SparkSpec {
     val r = df.select(StrDt.dtCeil(col("t"), "hour").cast("string")).collect()(0)
     assert(r.getString(0) == "2024-03-05 10:00:00")
   }
+
+  test("str tranche 3: repeat/find/center/get/removeprefix/removesuffix/pad") {
+    val df = Seq("ab").toDF("s")
+    val r = df.select(
+      StrDt.strRepeat(col("s"), 3),                       // Python 'ab'*3
+      StrDt.strFind(col("s"), "b"), StrDt.strFind(col("s"), "z"),
+      StrDt.strCenter(col("s"), 5, "*"),                  // 'ab'.center(5,'*')
+      StrDt.strGet(col("s"), 1), StrDt.strGet(col("s"), 9),
+      StrDt.strRemovePrefix(col("s"), "a"), StrDt.strRemovePrefix(col("s"), "x"),
+      StrDt.strRemoveSuffix(col("s"), "b"), StrDt.strRemoveSuffix(col("s"), "x"),
+      StrDt.strPad(col("s"), 4, "left", "0"), StrDt.strPad(col("s"), 4, "right", "0"),
+      StrDt.strSwapcase(lit("aB c9"))).collect()(0)
+    assert(r.getString(0) == "ababab")
+    assert(r.getInt(1) == 1 && r.getInt(2) == -1)
+    assert(r.getString(3) == "*ab**") // extra fill on the right, like Python
+    assert(r.getString(4) == "b" && r.isNullAt(5))
+    assert(r.getString(6) == "b" && r.getString(7) == "ab")
+    assert(r.getString(8) == "a" && r.getString(9) == "ab")
+    assert(r.getString(10) == "00ab" && r.getString(11) == "ab00")
+    assert(r.getString(12) == "Ab C9")
+  }
+
+  test("str center passes through strings already at width") {
+    val r = Seq("abcdef").toDF("s")
+      .select(StrDt.strCenter(col("s"), 5, "*")).collect()(0)
+    assert(r.getString(0) == "abcdef")
+  }
+
+  test("dt tranche 3: dayofyear/week/days_in_month/month-edge flags/date") {
+    val df = Seq(
+      Timestamp.valueOf("2024-02-29 10:30:00"),  // leap-month end
+      Timestamp.valueOf("2024-04-01 00:00:00"),  // quarter start
+      Timestamp.valueOf("2024-05-02 23:59:59")).toDF("t")
+    val rows = df.select(
+      StrDt.dtDayOfYear(col("t")), StrDt.dtWeek(col("t")),
+      StrDt.dtDaysInMonth(col("t")),
+      StrDt.dtIsMonthStart(col("t")), StrDt.dtIsMonthEnd(col("t")),
+      StrDt.dtIsQuarterStart(col("t")),
+      StrDt.dtDate(col("t")).cast("string"),
+      StrDt.dtNormalize(col("t")).cast("string")).collect()
+    assert(rows(0).getInt(0) == 60 && rows(0).getInt(2) == 29)
+    assert(!rows(0).getBoolean(3) && rows(0).getBoolean(4))
+    assert(rows(0).getString(6) == "2024-02-29")
+    assert(rows(0).getString(7) == "2024-02-29 00:00:00")
+    assert(rows(1).getBoolean(3) && rows(1).getBoolean(5)) // Apr 1 = Q2 start
+    assert(rows(2).getInt(2) == 31 && !rows(2).getBoolean(4))
+    assert(!rows(2).getBoolean(5))
+  }
 }
