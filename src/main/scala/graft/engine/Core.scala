@@ -69,11 +69,16 @@ object Core {
     * reader only accepts as a raw long via
     * `spark.sql.legacy.parquet.nanosAsLong=true`. Rebuild a proper
     * TimestampType column from the nanos (values are µs-aligned — verified
-    * sub-µs == 0 across all SFs) so downstream code is type-uniform. */
+    * sub-µs == 0 across all SFs) so downstream code is type-uniform.
+    *
+    * Integral `div`, NOT `/`: nanos (~1.8e18) exceed a double's 53-bit
+    * mantissa, so float division is off by ±1µs on ~1/4 of rows — enough
+    * to flip exact gap comparisons (sessionization) against an engine
+    * that converts exactly. */
   def normalizeTs(df: DataFrame): DataFrame =
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) =>
-        df.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast(LongType)))
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case None => df
     }
 

@@ -85,7 +85,7 @@ object Dedup {
     * signature leaves the scan already computed. null word array (null
     * text) or empty -> null signature (callers drop, matching the
     * explode-drop semantics of the aggregate formulation). */
-  private def minhashSigUdf(k: Int, nh: Int) = udf { ws: Seq[String] =>
+  private[graft] def minhashSigUdf(k: Int, nh: Int) = udf { ws: Seq[String] =>
     if (ws == null || ws.isEmpty) null
     else {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -168,10 +168,19 @@ object Dedup {
     * signature is computed by [[minhashSigUdf]] in one map-side pass over
     * the scan — no shingle explode, no doc-keyed aggregate shuffle.
     *
-    * Shape at scale: ONE shuffle total, keyed by (band, key) for the
-    * bucket self-join — candidate buckets only, never all pairs. */
+    * Shape at scale: ONE shuffle total, keyed by (band, band-signature):
+    * the banded rows are grouped per bucket and candidate pairs stream
+    * out of a typed flatMapGroups — no self-join, no materialization of
+    * the banded table. Cross-band duplicates are dropped inside the same
+    * loop by the FIRST-colliding-band rule (all earlier bands of the two
+    * signatures must differ), so no distinct shuffle either. A bucket of
+    * B near-identical docs still yields B²/2 pairs — inherent to LSH
+    * pair enumeration; production dedup at that shape switches to
+    * connected components over a representative per bucket. */
   def minhashLshPairs(df0: DataFrame, id: String, text: String,
                       k: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val spark = df0.sparkSession
+    import spark.implicits._
     val df = graft.engine.Core.spread(df0)
     val nh = bands * rowsPerBand
     require(nh <= 8, "a + i*b needs i*b < 2^63: at most 8 hashes from 60-bit halves")
@@ -180,33 +189,38 @@ object Dedup {
       .filter(col("sig").isNotNull)
     val bandCols = (0 until bands).map { bd =>
       struct(lit(bd).as("band"),
-        struct((0 until rowsPerBand).map(r =>
-          col("sig")(bd * rowsPerBand + r).as(s"h$r")): _*).as("key"))
+        array((0 until rowsPerBand).map(r =>
+          col("sig")(bd * rowsPerBand + r)): _*).as("key"))
     }
-    // materialize once: both self-join sides would otherwise recompute
-    // the signature kernel. The full signature vector rides along so
-    // cross-band duplicate pairs can be dropped by a FIRST-colliding-band
-    // filter instead of a distinct shuffle.
-    val exploded = mins.select(col("doc"), col("sig").as("harr"),
-      explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc"), col("harr"), col("bk.band"), col("bk.key"))
-      .localCheckpoint()
-    val l = exploded.select(col("doc").as("doc1"), col("harr").as("ha1"),
-      col("band"), col("key"))
-    val r = exploded.select(col("doc").as("doc2"), col("harr").as("ha2"),
-      col("band"), col("key"))
-    val firstCollidingBand = (0 until bands).map { bd =>
-      val earlierDiffer = (0 until bd).map { e =>
-        (0 until rowsPerBand)
-          .map(rr => col("ha1")(e * rowsPerBand + rr) =!= col("ha2")(e * rowsPerBand + rr))
-          .reduce(_ || _)
-      }.foldLeft(lit(true))(_ && _)
-      (col("band") === bd) && earlierDiffer
-    }.reduce(_ || _)
-    l.join(r, Seq("band", "key"))
-      .filter(col("doc1") < col("doc2"))
-      .filter(firstCollidingBand)
-      .select("doc1", "doc2")
+    val rpb = rowsPerBand
+    mins.select(col("doc"), col("sig"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("bk.band"), col("bk.key"), col("doc"), col("sig"))
+      .as[(Int, Seq[Long], Long, Seq[Long])]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (Int, Seq[Long]), it: Iterator[(Int, Seq[Long], Long, Seq[Long])]) =>
+        val band = key._1
+        val members = it.map(t => (t._3, t._4)).toArray
+        def earlierBandsDiffer(s1: Seq[Long], s2: Seq[Long]): Boolean = {
+          var e = 0
+          while (e < band) {
+            var same = true
+            var r = 0
+            while (r < rpb && same) { same = s1(e * rpb + r) == s2(e * rpb + r); r += 1 }
+            if (same) return false
+            e += 1
+          }
+          true
+        }
+        for {
+          i <- members.indices.iterator
+          j <- (i + 1 until members.length).iterator
+          if earlierBandsDiffer(members(i)._2, members(j)._2)
+        } yield {
+          val (d1, d2) = (members(i)._1, members(j)._1)
+          if (d1 < d2) (d1, d2) else (d2, d1)
+        }
+      }
+      .toDF("doc1", "doc2")
   }
 
   /** 32-bit SimHash fingerprint from word tokens (md5-derived token
@@ -220,60 +234,49 @@ object Dedup {
       .filter(col("simhash").isNotNull)
   }
 
-  /** SimHash near-dup candidates: byte-band bucketing then hamming
-    * distance <= maxHamming via bit_count(xor).
+  /** SimHash near-dup candidates: byte-band bucketing, then hamming
+    * distance inside each bucket. By pigeonhole, 4 byte-bands make the
+    * candidate set complete for maxHamming <= 3.
     *
-    * Dedup across bands WITHOUT a distinct(): a pair is emitted only
-    * from its FIRST colliding band (all earlier bands must differ, which
-    * is checkable from the two fingerprints carried through the join).
-    * On templated corpora where near-dup pairs are plentiful, this
-    * replaces a multi-million-row distinct shuffle with a codegen'd
-    * filter. */
+    * Same single-shuffle flatMapGroups shape as [[minhashLshPairs]]:
+    * pairs stream out of each (band, byte) bucket with the
+    * FIRST-colliding-band rule and the hamming gate applied in the same
+    * JVM loop — no self-join, no checkpoint, no distinct. */
   def simhashPairs(df: DataFrame, id: String, text: String,
                    maxHamming: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val fps = simhash32(df, id, text)
-    val banded = fps.select(col("doc"), col("simhash"),
+    fps.select(col("doc"), col("simhash"),
       explode(array((0 until 4).map { byte =>
         struct(lit(byte).as("band"),
           shiftright(col("simhash"), byte * 8).bitwiseAND(0xff).as("key"))
       }: _*)).as("bk"))
-      .select(col("doc"), col("simhash"), col("bk.band"), col("bk.key"))
-      .localCheckpoint() // reused by both self-join sides
-    val l = banded.select(col("doc").as("doc1"), col("simhash").as("f1"), col("band"), col("key"))
-    val r = banded.select(col("doc").as("doc2"), col("simhash").as("f2"), col("band"), col("key"))
-    def bandByte(c: Column, b: Int) = shiftright(c, b * 8).bitwiseAND(0xff)
-    val firstCollidingBand = (0 until 4).map { b =>
-      val earlierDiffer = (0 until b)
-        .map(e => bandByte(col("f1"), e) =!= bandByte(col("f2"), e))
-        .foldLeft(lit(true))(_ && _)
-      (col("band") === b) && earlierDiffer
-    }.reduce(_ || _)
-    l.join(r, Seq("band", "key")).filter(col("doc1") < col("doc2"))
-      .filter(firstCollidingBand)
-      .select(col("doc1"), col("doc2"),
-        bit_count(col("f1").bitwiseXOR(col("f2"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-  }
-
-  /** Postings entry of the shingle inverted index. */
-  case class DocSz(doc: Long, sz: Int)
-
-  /** collect_list with BOUNDED per-key state: stops buffering once the
-    * group exceeds `cap` elements but keeps counting, so a pathological
-    * hot key costs cap+1 buffered rows instead of an OOM-sized buffer.
-    * Callers filter groups with n > cap — for those the (truncated) list
-    * is never read, which is what makes the truncation sound. */
-  class BoundedCollect(cap: Int)
-    extends org.apache.spark.sql.expressions.Aggregator[
-      DocSz, (Long, List[DocSz]), (Long, Seq[DocSz])] {
-    def zero: (Long, List[DocSz]) = (0L, Nil)
-    def reduce(b: (Long, List[DocSz]), a: DocSz): (Long, List[DocSz]) =
-      (b._1 + 1, if (b._1 <= cap) a :: b._2 else b._2)
-    def merge(x: (Long, List[DocSz]), y: (Long, List[DocSz])): (Long, List[DocSz]) =
-      (x._1 + y._1, (x._2 reverse_::: y._2).take(cap + 2))
-    def finish(b: (Long, List[DocSz])): (Long, Seq[DocSz]) = (b._1, b._2)
-    def bufferEncoder = org.apache.spark.sql.Encoders.product[(Long, List[DocSz])]
-    def outputEncoder = org.apache.spark.sql.Encoders.product[(Long, Seq[DocSz])]
+      .select(col("bk.band"), col("bk.key"), col("doc"), col("simhash"))
+      .as[(Int, Long, Long, Long)]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (key: (Int, Long), it: Iterator[(Int, Long, Long, Long)]) =>
+        val band = key._1
+        val members = it.map(t => (t._3, t._4)).toArray
+        def firstBand(f1: Long, f2: Long): Boolean = {
+          var e = 0
+          while (e < band) {
+            if (((f1 >> (e * 8)) & 0xff) == ((f2 >> (e * 8)) & 0xff)) return false
+            e += 1
+          }
+          true
+        }
+        for {
+          i <- members.indices.iterator
+          j <- (i + 1 until members.length).iterator
+          h = java.lang.Long.bitCount(members(i)._2 ^ members(j)._2)
+          if h <= maxHamming && firstBand(members(i)._2, members(j)._2)
+        } yield {
+          val (d1, d2) = (members(i)._1, members(j)._1)
+          if (d1 < d2) (d1, d2, h) else (d2, d1, h)
+        }
+      }
+      .toDF("doc1", "doc2", "hamming")
   }
 
   /** Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
@@ -281,17 +284,13 @@ object Dedup {
     * LSH-free candidate cap).
     *
     * Plan shape — TWO shuffles total:
-    *   1. groupBy(shingle) collecting each posting list with
-    *      [[BoundedCollect]] (bounded state, so a hot shingle cannot OOM
-    *      an executor); groups over the df cap are dropped here, which
-    *      subsumes the separate document-frequency pass + anti-join of
-    *      the join formulation;
-    *   2. pair combinations stream out of each posting list via a typed
-    *      flatMap (never materialized per group), counted by one
-    *      (doc1, doc2) hash aggregate. Set sizes ride with the postings,
-    *      so no join-back.
-    * The join formulation of the same query ran 4 shuffle stages plus a
-    * localCheckpoint; this halves the stage count and beat it ~2x. */
+    *   1. groupByKey(shingle): each posting list streams through a typed
+    *      flatMapGroups that buffers at most cap+1 entries (a hot shingle
+    *      cannot OOM an executor — past the cap it only counts, then
+    *      emits nothing). This one stage subsumes the document-frequency
+    *      pass, the anti-join, AND the self-join of the join formulation.
+    *   2. one (doc1, doc2) hash aggregate counting shared shingles. Set
+    *      sizes ride with the postings, so no join-back. */
   def ngramJaccardPairs(df: DataFrame, id: String, text: String, k: Int = 3,
                         minJaccard: Double = 0.8,
                         maxShingleDf: Int = 1000): DataFrame = {
@@ -301,21 +300,27 @@ object Dedup {
       .select(col(id).as("doc"), shingleHash64SetUdf(k)(words(col(text))).as("shl"))
     val sh = docs
       .select(col("doc"), size(col("shl")).as("sz"), explode(col("shl")).as("s"))
-    val bounded = udaf(new BoundedCollect(maxShingleDf))
-    val postings = sh.groupBy("s")
-      .agg(bounded(col("doc"), col("sz")).as("g"))
-      .select(col("g._1").as("n"), col("g._2").as("members"))
-      .as[(Long, Seq[DocSz])]
-    val pairs = postings.flatMap { case (n, ms) =>
-      if (n > maxShingleDf) Iterator.empty
-      else for {
-        i <- ms.indices.iterator
-        j <- (i + 1 until ms.length).iterator
-      } yield {
-        val (a, b) = if (ms(i).doc < ms(j).doc) (ms(i), ms(j)) else (ms(j), ms(i))
-        (a.doc, b.doc, a.sz, b.sz)
-      }
-    }.toDF("doc1", "doc2", "sz1", "sz2")
+      .select(col("s"), col("doc"), col("sz"))
+      .as[(Long, Long, Int)]
+    val pairs = sh
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Long, it: Iterator[(Long, Long, Int)]) =>
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Int)](8)
+        var n = 0
+        while (it.hasNext) {
+          val t = it.next()
+          n += 1
+          if (n <= maxShingleDf + 1) buf += ((t._2, t._3))
+        }
+        if (n > maxShingleDf) Iterator.empty
+        else for {
+          i <- buf.indices.iterator
+          j <- (i + 1 until buf.length).iterator
+        } yield {
+          val (a, b) = if (buf(i)._1 < buf(j)._1) (buf(i), buf(j)) else (buf(j), buf(i))
+          (a._1, b._1, a._2, b._2)
+        }
+      }.toDF("doc1", "doc2", "sz1", "sz2")
     pairs
       .groupBy("doc1", "doc2", "sz1", "sz2").agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",

@@ -40,9 +40,18 @@ object Similarity {
     s
   }
 
-  /** L2 norm, computed once per VECTOR (map-side), not once per pair. */
-  private def l2norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
+  /** L2 norm, computed once per VECTOR (map-side), not once per pair.
+    * Compiled UDF for the same reason as [[dotUdf]]: the HOF form is
+    * CodegenFallback and measured ~0.5ms/vector at d=64 — it made norm
+    * computation as expensive as the scoring it feeds. */
+  private val l2norm: Column => Column = {
+    val f = udf { v: Seq[Double] =>
+      var i = 0; var s = 0.0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+    c => f(c)
+  }
 
   /** Pairwise cosine from precomputed norms: same formula and summation
     * order as [[cosine]], but O(d) work per pair instead of O(3d). */
@@ -76,13 +85,26 @@ object Similarity {
     Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit LSH bucket id of a vector column under the given planes. */
-  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(zip_with(vec, typedLit(p), (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << i)).otherwise(0L)
-    }.reduce(_ + _)
+  /** Sign-bit LSH bucket id of a vector column under the given planes.
+    * One compiled kernel over the whole plane matrix (the per-plane HOF
+    * form ran `planes` interpreted array reductions per vector). */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val m = planes.map(_.toArray).toArray
+    val f = udf { v: Seq[Double] =>
+      var b = 0L
+      var p = 0
+      while (p < m.length) {
+        val pl = m(p)
+        var i = 0; var d = 0.0
+        val n = math.min(v.length, pl.length)
+        while (i < n) { d += v(i) * pl(i); i += 1 }
+        if (d >= 0) b |= 1L << p
+        p += 1
+      }
+      b
+    }
+    f(vec)
+  }
 
   /** ANN top-k: score only same-bucket candidates. One shuffle keyed by
     * the bucket id; per-bucket volume is corpus/2^planes on average. */

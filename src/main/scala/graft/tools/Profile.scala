@@ -22,39 +22,43 @@ object Profile {
       a
     }
 
-    val docs0 = graft.engine.Core.normalizeTs(
-      spark.read.parquet(s"$sfDir/documents.parquet"))
-    println(s"[profile] docs: ${docs0.count()}")
+    // warmup: one trivial job so codegen/classloading isn't charged below
+    time("warmup") {
+      spark.read.parquet(s"$sfDir/nation.parquet").count()
+    }
 
-    // ngram_jaccard intermediates
-    val k = 3
-    val docs = graft.engine.Core.spread(docs0)
-      .select(col("doc_id").as("doc"),
-        graft.pipeline.Dedup.shingles(col("text"), k).as("shl"))
-    val sh = docs
-      .select(col("doc"), size(col("shl")).as("sz"), explode(col("shl")).as("s"))
-      .localCheckpoint()
-    println(s"[profile] shingle rows: ${sh.count()}")
-    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    println(s"[profile] distinct shingles: ${dfreq.count()}")
-    dfreq.select(max("df").as("max_df"), expr("percentile(df, 0.999)").as("p999"),
-      sum(col("df") * col("df")).as("sum_df2")).show()
-    val hot = dfreq.filter(col("df") > 1000).select("s")
-    println(s"[profile] hot shingles: ${hot.count()}")
-    val filtered = sh.join(broadcast(hot), Seq("s"), "left_anti")
-    val pairs = time("pair explosion count") {
-      filtered.select(col("doc").as("doc1"), col("s"))
-        .join(filtered.select(col("doc").as("doc2"), col("s")), Seq("s"))
-        .filter(col("doc1") < col("doc2")).count()
+    val emb = graft.engine.Core.normalizeTs(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"))
+    println(s"[profile] embeddings: ${emb.count()}")
+
+    time("ann: corpus norm only") {
+      val c = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("cv"))
+      c.withColumn("cn", sqrt(aggregate(transform(col("cv"), x => x * x),
+        lit(0.0), (acc, x) => acc + x))).agg(sum("cn")).collect()
     }
-    println(s"[profile] intermediate pairs: $pairs")
-    val grouped = time("pair groupBy count") {
-      filtered.select(col("doc").as("doc1"), col("s"))
-        .join(filtered.select(col("doc").as("doc2"), col("s")), Seq("s"))
-        .filter(col("doc1") < col("doc2"))
-        .groupBy("doc1", "doc2").agg(count(lit(1))).count()
+    time("ann: full bruteForceTopK") {
+      graft.pipeline.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb, k = 5).count()
     }
-    println(s"[profile] distinct pairs: $grouped")
+    time("ann: full bruteForceTopK 2nd run") {
+      graft.pipeline.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb, k = 5).count()
+    }
+
+    val docs = graft.engine.Core.normalizeTs(
+      spark.read.parquet(s"$sfDir/documents.parquet"))
+    time("minhash: signatures only") {
+      graft.engine.Core.spread(docs).select(col("doc_id"),
+        graft.pipeline.Dedup.minhashSigUdf(3, 8)(
+          graft.pipeline.Dedup.words(col("text")))).agg(count(lit(1))).collect()
+    }
+    time("minhash: full pairs") {
+      graft.pipeline.Dedup.minhashLshPairs(docs, "doc_id", "text").count()
+    }
+    time("ngram: full pairs") {
+      graft.pipeline.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, minJaccard = 0.2).count()
+    }
     spark.stop()
   }
 }
