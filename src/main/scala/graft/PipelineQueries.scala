@@ -62,6 +62,14 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // ---- order-sensitive rolling-hash fingerprint (native codegen
+    //      expression graft.functions.RollingHash) ----
+    "q_fingerprint_roll" -> ((s, d) =>
+      T(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.rollingFingerprint(col("text")).as("rh"))
+        .orderBy("doc_id")),
+
     // ---- brute-force cosine top-k (exact ANN baseline) ----
     "q_ann_cosine" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
@@ -222,6 +230,17 @@ object PipelineQueries {
          md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fingerprint
          FROM documents ORDER BY doc_id"""
     },
+
+    // mirrors RollingHash: h = (h*1000003 + md5prefix32(tok)) % (2^31-1)
+    // over the in-order (non-distinct) token stream
+    "q_fingerprint_roll" ->
+      """SELECT doc_id,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(string_split_regex(lower(trim(text)), '\s+'),
+               tok -> ('0x' || substr(md5(tok), 1, 8))::BIGINT)),
+           (acc, x) -> (acc * 1000003 + x) % 2147483647) AS rh
+         FROM documents ORDER BY doc_id""",
 
     "q_ann_cosine" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expressions for the embedding hot path.
+  *
+  * These replace the Scala-UDF vector kernels: a UDF call converts each
+  * `array<double>` argument to a boxed `Seq[Double]` (one allocation +
+  * copy per argument per row), while a native expression reads the
+  * `UnsafeArrayData` in place and participates in whole-stage codegen —
+  * the scoring loop inlines into the generated join/projection code with
+  * zero per-row allocation.
+  *
+  * Null ELEMENTS inside the arrays are not expected (embeddings are
+  * dense); `getDouble` reads them as 0.0, which matches what the
+  * previous UDF form did after its null-stripping copy.
+  *
+  * Summation order is ascending-index, matching both the previous UDF
+  * kernels and a sequential oracle engine — keeps float parity.
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    var s = 0.0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** sqrt(sum(x_i^2)) of an array<double>, read in place (see [[DotProduct]]). */
+case class L2Norm(child: Expression)
+  extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_l2norm"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var i = 0
+    var s = 0.0
+    while (i < n) { val v = x.getDouble(i); s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      s"""
+         |final int $n = $a.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $v = $a.getDouble($i);
+         |  $s += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-level entry points + SQL registration for the native vector
+  * kernels. Library code calls [[dot]]/[[l2norm]] directly (no session
+  * registration needed); SQL users get `graft_dot`/`graft_l2norm` via
+  * [[GraftExtensions]] (`spark.sql.extensions=graft.functions.GraftExtensions`)
+  * or [[VectorFunctions.register]]. */
+object VectorFunctions {
+  import org.apache.spark.sql.GraftSqlShim
+
+  def dot(a: Column, b: Column): Column =
+    GraftSqlShim.column(DotProduct(GraftSqlShim.expression(a),
+      GraftSqlShim.expression(b)))
+
+  def l2norm(v: Column): Column =
+    GraftSqlShim.column(L2Norm(GraftSqlShim.expression(v)))
+
+  private[functions] val registry = Seq(
+    ("graft_dot",
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1)): Expression),
+    ("graft_l2norm",
+      new ExpressionInfo(classOf[L2Norm].getName, "graft_l2norm"),
+      (es: Seq[Expression]) => L2Norm(es.head): Expression),
+    ("graft_rolling_hash",
+      new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
+      (es: Seq[Expression]) => RollingHash(es.head): Expression))
+
+  /** Imperative registration for sessions built without extensions. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    registry.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+      val _ = info
+    }
+}
+
+/** `spark.sql.extensions` entry point injecting the graft SQL functions. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    VectorFunctions.registry.foreach { case (name, info, builder) =>
+      ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        info, builder))
+    }
+}

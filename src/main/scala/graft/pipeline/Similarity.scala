@@ -29,34 +29,25 @@ object Similarity {
     when(na > 0 && nb > 0, dot / (na * nb))
   }
 
-  /** Compiled dot product for the pairwise hot path. The higher-order-
-    * function form above is CodegenFallback (interpreted lambda per
-    * element — ~40µs/pair at d=64); this JVM while-loop is ~100x faster
-    * and accumulates left-to-right exactly like the sequential oracle. */
-  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-    val n = math.min(a.length, b.length)
-    var i = 0; var s = 0.0
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
-  }
+  /** Native codegen dot product for the pairwise hot path
+    * ([[graft.functions.DotProduct]]). History: the higher-order-function
+    * form above is CodegenFallback (interpreted lambda per element —
+    * ~40µs/pair at d=64); a compiled Scala UDF was ~100x faster but still
+    * copied each array into a boxed Seq per call; the native expression
+    * reads the UnsafeArrayData in place inside whole-stage codegen.
+    * Ascending-index accumulation, exactly like the sequential oracle. */
+  private def dotNative(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dot(a, b)
 
   /** L2 norm, computed once per VECTOR (map-side), not once per pair.
-    * Compiled UDF for the same reason as [[dotUdf]]: the HOF form is
-    * CodegenFallback and measured ~0.5ms/vector at d=64 — it made norm
-    * computation as expensive as the scoring it feeds. */
-  private val l2norm: Column => Column = {
-    val f = udf { v: Seq[Double] =>
-      var i = 0; var s = 0.0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      math.sqrt(s)
-    }
-    c => f(c)
-  }
+    * Native expression for the same reason as [[dotNative]]. */
+  private val l2norm: Column => Column =
+    graft.functions.VectorFunctions.l2norm
 
   /** Pairwise cosine from precomputed norms: same formula and summation
     * order as [[cosine]], but O(d) work per pair instead of O(3d). */
   private def pairCos(v1: Column, n1: Column, v2: Column, n2: Column): Column =
-    when(n1 > 0 && n2 > 0, dotUdf(v1, v2) / (n1 * n2))
+    when(n1 > 0 && n2 > 0, dotNative(v1, v2) / (n1 * n2))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 

@@ -80,4 +80,12 @@ object TextAnalysis {
     * cheaper production hashing. */
   def fingerprint(c: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(c)))))
+
+  /** Order-sensitive rolling-hash fingerprint (Rabin-Karp-style
+    * polynomial fold over the token stream) — distinguishes documents
+    * that are permutations of the same token bag, which [[fingerprint]]
+    * by design does not. Native codegen expression
+    * ([[graft.functions.RollingHash]]); map-side, zero shuffle. */
+  def rollingFingerprint(c: Column): Column =
+    graft.functions.RollingHash(tokens(c))
 }

@@ -84,6 +84,57 @@ object Streams {
         })
   }
 
+  case class StreamDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+  case class DedupDecision(doc_id: Long, fp: String, is_first: Boolean)
+
+  /** Streaming exact dedup, watermark-bounded: the streaming form of
+    * [[graft.pipeline.Dedup.exact]]. Keys state by the content md5 (never
+    * the document body — state stays 32 bytes/doc) and drops re-arrivals
+    * while the fingerprint is in state; the event-time watermark bounds
+    * state ([[org.apache.spark.sql.Dataset.dropDuplicatesWithinWatermark]]
+    * semantics, which this wraps). At 100 TB-stream scale the state store
+    * is hash-partitioned by fingerprint, so dedup is shuffle-once and
+    * embarrassingly parallel. */
+  def streamingDedupExact(docs: Dataset[StreamDoc],
+                          watermark: String = "10 minutes"): DataFrame =
+    docs.toDF()
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Streaming dedup with an explicit audit trail: emits EVERY document
+    * tagged `is_first`, instead of silently dropping duplicates —
+    * flatMapGroupsWithState keyed by fingerprint, with event-time TTL
+    * eviction (state removed once the watermark passes the last
+    * occurrence + `ttlMs`). Downstream writers filter `is_first` for the
+    * deduped stream and aggregate the rest for dup-rate monitoring. */
+  def streamingDedupAudit(docs: Dataset[StreamDoc], ttlMs: Long,
+                          watermark: String = "10 minutes"): Dataset[DedupDecision] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, String, String)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (fp: String, it: Iterator[(Long, java.sql.Timestamp, String, String)],
+         state: GroupState[Long]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val docs = it.toSeq.sortBy(t => (t._2.getTime, t._1))
+            val seen = state.getOption.isDefined
+            val out = docs.zipWithIndex.map { case (d, i) =>
+              DedupDecision(d._1, fp, is_first = !seen && i == 0)
+            }
+            val lastTs = docs.map(_._2.getTime).max
+            state.update(lastTs)
+            state.setTimeoutTimestamp(lastTs + ttlMs)
+            out.iterator
+          }
+        })
+  }
+
   /** Running per-key mean via mapGroupsWithState — the streaming form of
     * `groupby(key).transform('mean')` kept incrementally up to date. */
   case class KeyMean(key: Long, n: Long, mean: Double)

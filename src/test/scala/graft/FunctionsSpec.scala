@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Native vector expressions ([[graft.functions.DotProduct]] /
+  * [[graft.functions.L2Norm]]): value parity against the interpreted
+  * higher-order-function formulation, null handling, codegen
+  * participation, and SQL registration via extensions. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+    (2L, Array(0.0, 0.0), Array(0.0, 1.0)),
+    (3L, Array(1.5, -2.5, 0.25, 8.0), Array(-1.0, 0.5, 2.0, 0.125))
+  ).toDF("id", "a", "b")
+
+  test("dot matches the HOF formulation and hand values") {
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val rows = vecs.select(VectorFunctions.dot(col("a"), col("b")).as("d"), hof.as("h"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(rows(0).getDouble(0) == 32.0)
+    assert(rows(1).getDouble(0) == 0.0)
+  }
+
+  test("dot truncates to the shorter array like the UDF kernel did") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(10.0, 10.0))).toDF("a", "b")
+    assert(df.select(VectorFunctions.dot(col("a"), col("b"))).collect()(0)
+      .getDouble(0) == 30.0)
+  }
+
+  test("l2norm matches hand values; null input -> null") {
+    val got = vecs.select(VectorFunctions.l2norm(col("a")).as("n")).collect()
+      .map(_.getDouble(0))
+    assert(got(0) == math.sqrt(14.0))
+    assert(got(1) == 0.0)
+    val withNull = Seq((1L, Some(Array(3.0, 4.0))), (2L, None))
+      .toDF("id", "v")
+    val r = withNull.select(VectorFunctions.l2norm(col("v"))).orderBy(col("id")).collect()
+    assert(r(0).getDouble(0) == 5.0)
+    assert(r(1).isNullAt(0))
+  }
+
+  test("native expressions stay inside whole-stage codegen") {
+    // non-foldable input (range), so the projection can't constant-fold away
+    val df = spark.range(100)
+      .select(col("id"), array(col("id").cast("double"),
+        (col("id") * 2).cast("double")).as("a"))
+      .select(VectorFunctions.dot(col("a"), col("a")).as("d"),
+        VectorFunctions.l2norm(col("a")).as("n"))
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // formatted mode marks codegen'd operators with `[codegen id : N]`;
+    // the projection carrying graft_dot/graft_l2norm must be inside one
+    val projLine = formatted.linesIterator
+      .find(l => l.contains("Project") && l.contains("codegen id"))
+    assert(projLine.isDefined, formatted)
+    assert(!formatted.contains("CodegenFallback"), formatted)
+    assert(df.agg(sum("d")).collect()(0).getDouble(0) > 0)
+  }
+
+  test("rolling hash: order-sensitive, matches a hand-rolled mirror") {
+    def md5p32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+    def mirror(toks: Seq[String]): Long =
+      toks.foldLeft(0L)((h, t) => (h * 1000003L + md5p32(t)) % 2147483647L)
+    val df = Seq((1L, "hello world hello again"), (2L, "again hello world hello"))
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+      graft.pipeline.TextAnalysis.rollingFingerprint(col("text")).as("rh"))
+      .orderBy("id").collect()
+    assert(got(0).getLong(1) == mirror(Seq("hello", "world", "hello", "again")))
+    assert(got(1).getLong(1) == mirror(Seq("again", "hello", "world", "hello")))
+    assert(got(0).getLong(1) != got(1).getLong(1)) // order matters
+  }
+
+  test("SQL surface: graft_dot/graft_l2norm usable after register()") {
+    VectorFunctions.register(spark)
+    vecs.createOrReplaceTempView("fs_vecs")
+    val r = spark.sql(
+      "SELECT graft_dot(a, b) AS d, graft_l2norm(b) AS n FROM fs_vecs WHERE id = 1")
+      .collect()(0)
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getDouble(1) == math.sqrt(77.0))
+  }
+}

@@ -63,6 +63,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup keeps first occurrence within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.StreamDoc]
+    val q = Streams.streamingDedupExact(in.toDS(), watermark = "5 minutes")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Streams.StreamDoc(1L, ts(0), "alpha beta"),
+        Streams.StreamDoc(2L, ts(10), "alpha beta"), // dup of 1
+        Streams.StreamDoc(3L, ts(20), "gamma"))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids.size == 2 && ids.contains(3L))
+      assert(ids.intersect(Set(1L, 2L)).size == 1)
+    } finally q.stop()
+  }
+
+  test("streaming dedup audit tags first vs duplicate across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.StreamDoc]
+    val q = Streams.streamingDedupAudit(in.toDS(), ttlMs = 600_000,
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("sdedup_audit")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Streams.StreamDoc(1L, ts(0), "alpha beta"),
+        Streams.StreamDoc(2L, ts(10), "alpha beta"))
+      q.processAllAvailable()
+      in.addData(Streams.StreamDoc(3L, ts(30), "alpha beta")) // later batch dup
+      q.processAllAvailable()
+      val rows = spark.table("sdedup_audit")
+        .select("doc_id", "is_first").collect()
+        .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      assert(rows == Map(1L -> true, 2L -> false, 3L -> false))
+    } finally q.stop()
+  }
+
   test("running per-key mean stays incrementally correct across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
