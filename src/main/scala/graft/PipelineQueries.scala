@@ -28,6 +28,13 @@ object PipelineQueries {
         k = 3, bands = 4, rowsPerBand = 2)
         .orderBy("doc1", "doc2")),
 
+    // ---- dedup clusters: connected components over minhash pairs ----
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.clusters(
+        Dedup.minhashLshPairs(T(s, d, "documents"), "doc_id", "text",
+          k = 3, bands = 4, rowsPerBand = 2))
+        .orderBy("doc")),
+
     // ---- SimHash fingerprints ----
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhash32(T(s, d, "documents"), "doc_id", "text")
@@ -161,6 +168,33 @@ object PipelineQueries {
            ON a.band = c.band AND a.h0 = c.h0 AND a.h1 = c.h1
           AND a.doc_id < c.doc_id
          ORDER BY doc1, doc2""",
+
+    // transitive closure of the minhash candidate graph; min reachable id
+    // per doc mirrors Dedup.clusters' min-label propagation fixpoint
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         hh AS (SELECT doc_id,
+                  ('0x' || substr(md5(s), 1, 15))::BIGINT AS a,
+                  ('0x' || substr(md5(s), 17, 15))::BIGINT AS b
+                FROM sh),
+         mh AS (SELECT doc_id, bb.band,
+                  min(a + (bb.band*2) * b) AS h0,
+                  min(a + (bb.band*2+1) * b) AS h1
+                FROM hh, (SELECT unnest(generate_series(0, 3)) AS band) bb
+                GROUP BY 1, 2),
+         prs AS (SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+                 FROM mh a JOIN mh c
+                   ON a.band = c.band AND a.h0 = c.h0 AND a.h1 = c.h1
+                  AND a.doc_id < c.doc_id),
+         edges AS (SELECT doc1 AS a, doc2 AS b FROM prs
+                   UNION ALL SELECT doc2, doc1 FROM prs),
+         reach(doc, r) AS (
+           SELECT a, a FROM edges
+           UNION
+           SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.doc
+         )
+         SELECT doc, min(r) AS cluster_rep FROM reach GROUP BY doc
+         ORDER BY doc""",
 
     "q_dedup_simhash" ->
       s"""WITH $SimhashCte

@@ -279,6 +279,48 @@ object Dedup {
       .toDF("doc1", "doc2", "hamming")
   }
 
+  /** Connected components over a candidate-pair graph: assigns every
+    * document that appears in `pairs` the MINIMUM doc id reachable from
+    * it (the canonical dedup-cluster representative — keep that doc,
+    * drop the rest).
+    *
+    * Iterative min-label propagation: labels start as own id; each round
+    * every vertex takes the min of its own and its neighbors' labels
+    * (one shuffle per round: edge-join + min-aggregate). Rounds needed =
+    * graph diameter — near-dup clusters are dense and shallow, so this
+    * converges in a handful of rounds; `localCheckpoint` truncates the
+    * growing lineage each round so the plan stays flat. At 1000-executor
+    * scale the round count is the concern, not the round cost; the
+    * large-star/small-star variant (alternating grafting) drops rounds
+    * to O(log log n) with the same join shape.
+    *
+    * Convergence is detected by an exact changed-label count per round
+    * (one cheap action on the already-checkpointed frame). */
+  def clusters(pairs: DataFrame, doc1: String = "doc1", doc2: String = "doc2",
+               maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(doc1).as("a"), col(doc2).as("b"))
+      .union(pairs.select(col(doc2).as("a"), col(doc1).as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("doc")).distinct()
+      .withColumn("lbl", col("doc")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val next = edges.join(labels.withColumnRenamed("doc", "b")
+          .withColumnRenamed("lbl", "nlbl"), Seq("b"))
+        .groupBy(col("a").as("doc")).agg(min("nlbl").as("minNbr"))
+        .join(labels, Seq("doc"))
+        .select(col("doc"), least(col("lbl"), col("minNbr")).as("lbl"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("doc"))
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("doc"), col("lbl").as("cluster_rep"))
+  }
+
   /** Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
     * `maxShingleDf` drops ubiquitous shingles (skew guard; also an
     * LSH-free candidate cap).

@@ -34,6 +34,19 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("clusters: min-label propagation finds connected components") {
+    // chain 1-2, 2-3 plus isolated pair 10-11: two components
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc1", "doc2")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // longer chain exercises multiple propagation rounds
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val got2 = Dedup.clusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 9L).forall(got2(_) == 1L))
+  }
+
   test("simhash: identical texts get identical fingerprints") {
     val fps = Dedup.simhash32(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
