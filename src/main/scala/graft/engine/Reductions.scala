@@ -198,4 +198,66 @@ object Reductions {
     spark.createDataFrame(
       spark.sparkContext.parallelize(data.toIndexedSeq, 1), schema)
   }
+
+  /** 100 TB mode of [[describe]]: ONE aggregation job, no per-column
+    * sort jobs — quartiles come from `approx_percentile` (t-digest-style
+    * sketch with map-side partials, `accuracy` trades error for sketch
+    * size) and everything else is the same exact single-pass aggregate.
+    * Use when columns are wide or a full sort per column is off-budget;
+    * the exact form stays the parity/oracle surface. */
+  def describeApprox(df: DataFrame, cols: Seq[String],
+                     accuracy: Int = 10000): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).cast("double").as(s"count__$c"),
+        avg(col(c)).as(s"mean__$c"),
+        stddev_samp(col(c)).as(s"std__$c"),
+        min(col(c)).cast("double").as(s"min__$c"),
+        max(col(c)).cast("double").as(s"max__$c"),
+        percentile_approx(col(c), array(lit(0.25), lit(0.5), lit(0.75)),
+          lit(accuracy)).as(s"q__$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def cell(name: String, c: String): Double = {
+      val i = one.fieldIndex(s"${name}__$c")
+      if (one.isNullAt(i)) Double.NaN else one.getDouble(i)
+    }
+    def quart(c: String, qi: Int): Double = {
+      val i = one.fieldIndex(s"q__$c")
+      if (one.isNullAt(i)) Double.NaN
+      else {
+        val s = one.getSeq[Any](i)
+        if (s == null || s(qi) == null) Double.NaN
+        else s(qi).asInstanceOf[Number].doubleValue()
+      }
+    }
+    val rows: Seq[(String, Seq[Double])] = Seq(
+      "count" -> cols.map(cell("count", _)),
+      "mean" -> cols.map(cell("mean", _)),
+      "std" -> cols.map(cell("std", _)),
+      "min" -> cols.map(cell("min", _)),
+      "25%" -> cols.map(quart(_, 0)),
+      "50%" -> cols.map(quart(_, 1)),
+      "75%" -> cols.map(quart(_, 2)),
+      "max" -> cols.map(cell("max", _)))
+    val spark = df.sparkSession
+    val data = rows.map { case (s, vs) =>
+      org.apache.spark.sql.Row.fromSeq(s +: vs.map(v => if (v.isNaN) null else v))
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("stat",
+        org.apache.spark.sql.types.StringType) +:
+        cols.map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.DoubleType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data.toIndexedSeq, 1), schema)
+  }
+
+  /** 100 TB mode of nunique: HyperLogLog++ sketch (`approx_count_distinct`,
+    * `rsd` = relative standard deviation) — one pass, mergeable partials,
+    * constant memory; the exact `count_distinct` stays the parity surface. */
+  def nuniqueApprox(df: DataFrame, cols: Seq[String],
+                    rsd: Double = 0.01): DataFrame =
+    df.agg(approx_count_distinct(col(cols.head), rsd).as(cols.head),
+      cols.tail.map(c => approx_count_distinct(col(c), rsd).as(c)): _*)
 }

@@ -110,5 +110,26 @@ object Syntax {
     // ---- §2.6 correlation ----
     def corrMatrix(cols: String*): DataFrame =
       Corr.pearsonLong(df, numeric(cols))
+
+    // ---- 100 TB sketch modes (approximate, one-pass) ----
+    def describeApprox(cols: String*): DataFrame =
+      Reductions.describeApprox(df, numeric(cols))
+    def nuniqueApprox(cols: String*): DataFrame =
+      Reductions.nuniqueApprox(df, if (cols.isEmpty) df.columns.toSeq else cols)
+
+    // ---- temporal joins ----
+    def asofJoin(right: DataFrame, on: String, by: Seq[String],
+                 direction: Joins.AsofDirection = Joins.Backward,
+                 toleranceUs: Option[Long] = None): DataFrame =
+      Joins.asof(df, right, on, by, direction, toleranceUs)
+
+    // ---- dedup pipeline ----
+    def dedupExact(id: String, text: String): DataFrame =
+      graft.pipeline.Dedup.exact(df, id, text)
+    def dedupClusters(id: String, text: String,
+                      maxBucket: Int = 10000): DataFrame =
+      graft.pipeline.Dedup.clusters(
+        graft.pipeline.Dedup.minhashLshPairs(df, id, text,
+          maxBucket = maxBucket))
   }
 }

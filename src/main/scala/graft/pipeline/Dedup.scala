@@ -173,12 +173,21 @@ object Dedup {
     * out of a typed flatMapGroups — no self-join, no materialization of
     * the banded table. Cross-band duplicates are dropped inside the same
     * loop by the FIRST-colliding-band rule (all earlier bands of the two
-    * signatures must differ), so no distinct shuffle either. A bucket of
-    * B near-identical docs still yields B²/2 pairs — inherent to LSH
-    * pair enumeration; production dedup at that shape switches to
-    * connected components over a representative per bucket. */
+    * signatures must differ), so no distinct shuffle either.
+    *
+    * Skew guard: a bucket of B near-identical docs yields B²/2 pairs —
+    * quadratic in the hottest bucket. With `maxBucket > 0`, any bucket
+    * larger than that emits a STAR instead (every member paired with the
+    * bucket minimum): linear output that preserves exactly the
+    * connectivity [[clusters]] needs, at the cost of losing the
+    * non-representative pair list for those buckets (the caller was
+    * going to collapse them into one cluster anyway; a star pair can
+    * repeat across bands — [[clusters]] is insensitive, pair-list
+    * consumers should distinct). maxBucket=0 keeps full enumeration —
+    * the oracle-checked default at test scale. */
   def minhashLshPairs(df0: DataFrame, id: String, text: String,
-                      k: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+                      k: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+                      maxBucket: Int = 0): DataFrame = {
     val spark = df0.sparkSession
     import spark.implicits._
     val df = graft.engine.Core.spread(df0)
@@ -211,13 +220,24 @@ object Dedup {
           }
           true
         }
-        for {
-          i <- members.indices.iterator
-          j <- (i + 1 until members.length).iterator
-          if earlierBandsDiffer(members(i)._2, members(j)._2)
-        } yield {
-          val (d1, d2) = (members(i)._1, members(j)._1)
-          if (d1 < d2) (d1, d2) else (d2, d1)
+        if (maxBucket > 0 && members.length > maxBucket) {
+          // star fallback: min-member hub keeps the component connected
+          var hub = members(0)._1
+          var m = 1
+          while (m < members.length) {
+            if (members(m)._1 < hub) hub = members(m)._1; m += 1
+          }
+          val h = hub
+          members.iterator.filter(_._1 != h).map(t => (h, t._1))
+        } else {
+          for {
+            i <- members.indices.iterator
+            j <- (i + 1 until members.length).iterator
+            if earlierBandsDiffer(members(i)._2, members(j)._2)
+          } yield {
+            val (d1, d2) = (members(i)._1, members(j)._1)
+            if (d1 < d2) (d1, d2) else (d2, d1)
+          }
         }
       }
       .toDF("doc1", "doc2")

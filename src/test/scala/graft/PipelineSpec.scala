@@ -34,6 +34,21 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("minhash star fallback caps hot buckets but keeps connectivity") {
+    // 6 identical docs: every band-bucket holds all 6 -> full enumeration
+    // would emit 15 pairs; the star emits 5 (hub = min id), possibly
+    // repeated across bands
+    val dup = (1L to 6L).map(i => (i, "same text body for every document here"))
+      .toDF("doc_id", "text")
+    val star = Dedup.minhashLshPairs(dup, "doc_id", "text", maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(star == (2L to 6L).map(i => (1L, i)).toSet)
+    val comps = Dedup.clusters(
+      Dedup.minhashLshPairs(dup, "doc_id", "text", maxBucket = 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 6L).forall(comps(_) == 1L))
+  }
+
   test("clusters: min-label propagation finds connected components") {
     // chain 1-2, 2-3 plus isolated pair 10-11: two components
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc1", "doc2")

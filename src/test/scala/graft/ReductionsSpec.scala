@@ -109,4 +109,29 @@ class ReductionsSpec extends SparkSpec {
     assertApprox(m("75%"), Some(5.0))
     assertApprox(m("max"), Some(8.0))
   }
+
+  test("describeApprox: one-job sketch form tracks the exact stats") {
+    import spark.implicits._
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val exact = Reductions.describe(df, Seq("v")).collect()
+      .map(r => r.getString(0) -> optD(r, 1)).toMap
+    val approx = Reductions.describeApprox(df, Seq("v")).collect()
+      .map(r => r.getString(0) -> optD(r, 1)).toMap
+    // moments are exact in both; quartiles within sketch error (<=1 rank
+    // at accuracy=10000 over 1000 rows)
+    Seq("count", "mean", "std", "min", "max").foreach(k =>
+      assertApprox(approx(k), exact(k)))
+    Seq("25%", "50%", "75%").foreach { k =>
+      assert(math.abs(approx(k).get - exact(k).get) <= 1.0,
+        s"$k: ${approx(k)} vs ${exact(k)}")
+    }
+  }
+
+  test("nuniqueApprox: HLL within rsd of exact") {
+    import spark.implicits._
+    val df = (1 to 10000).map(i => i % 997).toDF("v")
+    val got = Reductions.nuniqueApprox(df, Seq("v"), rsd = 0.01)
+      .collect()(0).getLong(0)
+    assert(math.abs(got - 997L) <= 997 * 0.05, s"got $got")
+  }
 }
