@@ -304,41 +304,113 @@ object Dedup {
     * it (the canonical dedup-cluster representative — keep that doc,
     * drop the rest).
     *
-    * Iterative min-label propagation: labels start as own id; each round
-    * every vertex takes the min of its own and its neighbors' labels
-    * (one shuffle per round: edge-join + min-aggregate). Rounds needed =
-    * graph diameter — near-dup clusters are dense and shallow, so this
-    * converges in a handful of rounds; `localCheckpoint` truncates the
-    * growing lineage each round so the plan stays flat. At 1000-executor
-    * scale the round count is the concern, not the round cost; the
-    * large-star/small-star variant (alternating grafting) drops rounds
-    * to O(log log n) with the same join shape.
+    * Contraction + bounded driver finish — the practical distributed CC:
     *
-    * Convergence is detected by an exact changed-label count per round
-    * (one cheap action on the already-checkpointed frame). */
+    *   1. While the edge set exceeds `driverEdgeLimit`: run a hash-map
+    *      union-find over each PARTITION's edges (`mapPartitions`, memory
+    *      bounded by partition size), take the min root per node across
+    *      partitions, rewrite every edge through that mapping, and drop
+    *      self-edges + duplicates. Any mapping that sends a node to a
+    *      same-component node preserves the quotient graph's components,
+    *      and each pass collapses all intra-partition structure, so the
+    *      edge count shrinks geometrically (a chain spanning P partitions
+    *      contracts to ~P edges in one pass).
+    *   2. The surviving contracted edge set — bounded by the limit — is
+    *      union-found exactly on the driver and broadcast back; the
+    *      full-resolution doc→label mapping composed during contraction
+    *      resolves through it.
+    *
+    * Union is min-rooted everywhere, so the final representative is the
+    * component's minimum doc id at every scale.
+    *
+    * Why not iterative label propagation: min-label hooking needs
+    * diameter rounds (a ~450-hop chain of template near-dups at sf0.1
+    * needed 30+), each round is a full shuffle + action, and
+    * `localCheckpoint` CARRIES the origin plan's estimated sizeInBytes
+    * into the LogicalRDD, so the join-product estimate SQUARES per round
+    * until the planner is multiplying million-digit BigInts. The
+    * contraction form does a constant number of distributed passes
+    * (usually zero at bench scale) regardless of diameter. */
   def clusters(pairs: DataFrame, doc1: String = "doc1", doc2: String = "doc2",
-               maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(doc1).as("a"), col(doc2).as("b"))
-      .union(pairs.select(col(doc2).as("a"), col(doc1).as("b")))
-      .localCheckpoint()
-    var labels = edges.select(col("a").as("doc")).distinct()
-      .withColumn("lbl", col("doc")).localCheckpoint()
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      val next = edges.join(labels.withColumnRenamed("doc", "b")
-          .withColumnRenamed("lbl", "nlbl"), Seq("b"))
-        .groupBy(col("a").as("doc")).agg(min("nlbl").as("minNbr"))
-        .join(labels, Seq("doc"))
-        .select(col("doc"), least(col("lbl"), col("minNbr")).as("lbl"))
-        .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("doc"))
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
-      iter += 1
+               driverEdgeLimit: Long = 2000000L, maxContract: Int = 6): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    def truncate(df: DataFrame): DataFrame = {
+      val ck = df.localCheckpoint()
+      spark.createDataFrame(ck.rdd, ck.schema)
     }
-    labels.select(col("doc"), col("lbl").as("cluster_rep"))
+    // no distinct here: the driver union-find tolerates duplicate edges,
+    // and the contraction loop dedups whenever it actually runs
+    var edges = truncate(pairs
+      .select(least(col(doc1), col(doc2)).cast("long").as("a"),
+        greatest(col(doc1), col(doc2)).cast("long").as("b")))
+    // full-resolution doc -> contracted-label mapping (starts identity;
+    // left as a plain plan — it is only materialized once at the end
+    // unless a contraction pass composes through it)
+    var mapping =
+      edges.select(explode(array(col("a"), col("b"))).as("doc")).distinct()
+        .withColumn("lbl", col("doc"))
+    var n = edges.count()
+    var pass = 0
+    while (n > driverEdgeLimit && pass < maxContract) {
+      val local = edges.as[(Long, Long)].mapPartitions { it =>
+        val uf = new UnionFind
+        it.foreach { case (a, b) => uf.union(a, b) }
+        uf.entries
+      }.toDF("node", "root")
+        .groupBy("node").agg(min("root").as("root"))
+      val m = truncate(local)
+      mapping = truncate(mapping
+        .join(m.withColumnRenamed("node", "lbl"), Seq("lbl"), "left")
+        .select(col("doc"), coalesce(col("root"), col("lbl")).as("lbl")))
+      edges = truncate(edges
+        .join(m.withColumnRenamed("node", "a").withColumnRenamed("root", "ra"),
+          Seq("a"), "left")
+        .join(m.withColumnRenamed("node", "b").withColumnRenamed("root", "rb"),
+          Seq("b"), "left")
+        .select(least(coalesce(col("ra"), col("a")),
+            coalesce(col("rb"), col("b"))).as("a"),
+          greatest(coalesce(col("ra"), col("a")),
+            coalesce(col("rb"), col("b"))).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct())
+      n = edges.count()
+      pass += 1
+    }
+    // bounded exact finish: contracted edges fit on the driver
+    val uf = new UnionFind
+    edges.as[(Long, Long)].collect().foreach { case (a, b) => uf.union(a, b) }
+    val roots = uf.entries.toMap
+    val bc = spark.sparkContext.broadcast(roots)
+    val resolve = udf { l: Long => bc.value.getOrElse(l, l) }
+    mapping.select(col("doc"), resolve(col("lbl")).as("cluster_rep"))
+  }
+
+  /** Min-rooted union-find with path compression (smaller id wins, so
+    * every root is its component's minimum member). */
+  private[pipeline] final class UnionFind {
+    private val parent = new java.util.HashMap[Long, Long]()
+    private def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x
+      while (parent.getOrDefault(c, c) != c) {
+        val nxt = parent.get(c); parent.put(c, r); c = nxt
+      }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    def entries: Iterator[(Long, Long)] = {
+      val keys = parent.keySet().toArray(new Array[java.lang.Long](0))
+      keys.iterator.map(k => (k.longValue(), find(k)))
+    }
   }
 
   /** Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.

@@ -64,6 +64,50 @@ object Multimodal {
     }.toDF("id", "frame", "frame_checksum")
   }
 
+  /** STUB resize — a real implementation decodes, scales with a codec,
+    * and re-encodes; the fake deterministically truncates/pads the
+    * payload to the target "pixel" budget so downstream size accounting
+    * is exercised for real. Per-partition map, zero shuffle. */
+  def resizeImages(ds: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    import ds.sparkSession.implicits._
+    val budget = targetW * targetH * 3
+    ds.mapPartitions { it =>
+      it.map { row =>
+        // ??? real scaler goes here; fake: clamp payload to the budget
+        val out = if (row.data.length >= budget) row.data.take(budget)
+                  else java.util.Arrays.copyOf(row.data, budget)
+        MediaRow(row.id, row.modality, out)
+      }
+    }
+  }
+
+  /** STUB feature extraction: binary payload -> dense float embedding
+    * (a real implementation runs a vision/audio encoder per batch; one
+    * model init per PARTITION is the whole point of the mapPartitions
+    * shape). The fake projects byte histograms deterministically, L2-
+    * normalized, so the output is directly consumable by
+    * [[Similarity]]'s ANN/near-dup operators. */
+  def extractFeatures(ds: Dataset[MediaRow], dim: Int = 64): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition model init happens once here
+      it.map { row =>
+        val v = new Array[Double](dim)
+        var i = 0
+        while (i < row.data.length) {
+          v((row.data(i) & 0xff) % dim) += 1.0
+          i += 1
+        }
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += v(j) * v(j); j += 1 }
+        val n = math.sqrt(s)
+        if (n > 0) { j = 0; while (j < dim) { v(j) /= n; j += 1 } }
+        (row.id, v)
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
   /** Wrap a text table as fake media rows (test harness for the
     * plumbing; payload = utf-8 bytes). */
   def fromText(df: DataFrame, id: String, text: String,

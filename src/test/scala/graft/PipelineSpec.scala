@@ -165,4 +165,21 @@ class PipelineSpec extends SparkSpec {
     val frames = Multimodal.frameSample(media, 3)
     assert(frames.count() == 4 * 3)
   }
+
+  test("multimodal: resize clamps payload, features feed ANN directly") {
+    val media = Multimodal.fromText(docs, "doc_id", "text")
+    val resized = Multimodal.resizeImages(media, 4, 4).collect()
+    assert(resized.forall(_.data.length == 4 * 4 * 3))
+    val feats = Multimodal.extractFeatures(media, dim = 16)
+    val rows = feats.collect()
+    assert(rows.length == 4)
+    val v = rows.head.getSeq[Double](1)
+    assert(v.length == 16)
+    assertApprox(Some(v.map(x => x * x).sum), Some(1.0), 1e-9) // L2-normalized
+    // identical texts -> identical embeddings -> top-1 neighbor is the dup
+    val topk = Similarity.bruteForceTopK(
+      feats.filter(col("vec_id") === 1L), feats, k = 1).collect()
+    assert(topk.head.getLong(1) == 2L)
+    assertApprox(Some(topk.head.getDouble(2)), Some(1.0), 1e-9)
+  }
 }
