@@ -103,19 +103,36 @@ object Reductions {
       .select(col(c)).orderBy(col(c))
   }
 
-  /** pandas `rank(method='average', na_option='keep', ascending=…)` over
-    * one column: min-rank + (ties-1)/2. Null values get null rank. `pct`
-    * divides by the non-null count. */
+  /** pandas `rank(method='average', na_option=…, ascending=…)` over one
+    * column: min-rank + (ties-1)/2.
+    *
+    * na_option: 'keep' (default) leaves null ranks null and `pct`
+    * divides by the non-null count; 'top'/'bottom' rank the null block
+    * first/last as ONE tie group (nulls compare equal in the ordering,
+    * so the same average-of-ties formula covers them) and `pct` divides
+    * by the total row count — all matching pandas. */
   def rankAvg(c: Column, pct: Boolean = false,
-              ascending: Boolean = true): Column = {
-    val w = Window.orderBy(if (ascending) c.asc_nulls_last else c.desc_nulls_last)
-    val ties = count(c).over(Window.partitionBy(c))
+              ascending: Boolean = true,
+              naOption: String = "keep"): Column = {
+    val ord = (ascending, naOption) match {
+      case (true, "top")  => c.asc_nulls_first
+      case (false, "top") => c.desc_nulls_first
+      case (true, _)      => c.asc_nulls_last
+      case (false, _)     => c.desc_nulls_last
+    }
+    val w = Window.orderBy(ord)
+    val ties = count(lit(1)).over(Window.partitionBy(c))
     val r = rank().over(w) + (ties - 1) / 2.0
-    val out = when(c.isNull, lit(null)).otherwise(r)
-    if (pct) {
-      val n = count(c).over(Window.partitionBy())
-      when(c.isNull, lit(null)).otherwise(r / n)
-    } else out
+    naOption match {
+      case "keep" =>
+        val out = when(c.isNull, lit(null)).otherwise(r)
+        if (pct) {
+          val n = count(c).over(Window.partitionBy())
+          when(c.isNull, lit(null)).otherwise(r / n)
+        } else out
+      case _ =>
+        if (pct) r / count(lit(1)).over(Window.partitionBy()) else r
+    }
   }
 
   /** Exact quantiles (pandas linear interpolation) via DISTRIBUTED SORT

@@ -38,6 +38,12 @@ object StrDt {
   def strZfill(c: Column, n: Int): Column = lpad(c, n, "0")
   def strExtract(c: Column, pat: String, group: Int): Column =
     regexp_extract(c, pat, group)
+  /** pandas str.extract with several groups -> one column per group
+    * (null on no match, where regexp_extract alone would yield ""). */
+  def strExtractGroups(c: Column, pat: String, names: Seq[String]): Seq[Column] =
+    names.zipWithIndex.map { case (n, i) =>
+      when(c.rlike(pat), regexp_extract(c, pat, i + 1)).as(n)
+    }
   def strSplitItem(c: Column, sep: String, i: Int): Column =
     split(c, java.util.regex.Pattern.quote(sep)).getItem(i)
   /** pandas str.repeat(n). */

@@ -90,6 +90,21 @@ class ReductionsSpec extends SparkSpec {
     assertSeqApprox(colD(out, "r"), Seq(Some(1.0), Some(3.0), None, Some(2.0)))
   }
 
+  test("rank na_option top and bottom tie the null block like pandas") {
+    // pandas: [5, 1, NaN, 4, NaN].rank(na_option='top')
+    //   -> [5.0, 3.0, 1.5, 4.0, 1.5]; 'bottom' -> [3.0, 1.0, 4.5, 2.0, 4.5]
+    val df = Seq(Some(5.0), Some(1.0), None, Some(4.0), None).toDF("v")
+      .withColumn("i", monotonically_increasing_id())
+    val out = df.select(col("i"),
+      Reductions.rankAvg(col("v"), naOption = "top").as("t"),
+      Reductions.rankAvg(col("v"), naOption = "bottom").as("b"),
+      Reductions.rankAvg(col("v"), pct = true, naOption = "top").as("tp"))
+      .orderBy("i")
+    assertSeqApprox(colD(out, "t"), Seq(5.0, 3.0, 1.5, 4.0, 1.5).map(Some(_)))
+    assertSeqApprox(colD(out, "b"), Seq(3.0, 1.0, 4.5, 2.0, 4.5).map(Some(_)))
+    assertSeqApprox(colD(out, "tp"), Seq(1.0, 0.6, 0.3, 0.8, 0.3).map(Some(_)))
+  }
+
   test("isin against a value table via broadcast semi-join") {
     val df = Seq("a", "b", "c").toDF("k")
     val values = Seq("b", "c", "z", "c").toDF("val")

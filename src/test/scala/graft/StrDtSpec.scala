@@ -119,4 +119,16 @@ class StrDtSpec extends SparkSpec {
     assert(rows(2).getInt(2) == 31 && !rows(2).getBoolean(4))
     assert(!rows(2).getBoolean(5))
   }
+
+  test("str.extract with several groups: one column each, null on no match") {
+    import spark.implicits._
+    val df = Seq("ab-12", "xy-99", "nope").toDF("s")
+    val cols = StrDt.strExtractGroups(col("s"), "([a-z]+)-([0-9]+)",
+      Seq("word", "num"))
+    val rows = df.select(col("s") +: cols: _*).orderBy("s").collect()
+    // sorted: ab-12, nope, xy-99
+    assert(rows(0).getString(1) == "ab" && rows(0).getString(2) == "12")
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
+    assert(rows(2).getString(1) == "xy" && rows(2).getString(2) == "99")
+  }
 }
