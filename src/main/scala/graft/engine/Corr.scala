@@ -90,4 +90,23 @@ object Corr {
       (col("cd") / sqrt((col("n0") - col("tx")) * (col("n0") - col("ty"))))
         .as("kendall"))
   }
+
+  /** 100 TB mode of [[kendall]]: exact tau-b over a deterministic hash
+    * sample of `maxRows` rows. The pairwise form is O(n²) in the row
+    * count by construction (same as the reference's kernel); at scale
+    * the standard move is to bound n. Sampling is by `xxhash64(x, y,
+    * seed)` order — deterministic, reproducible, and independent of the
+    * input partitioning, unlike `limit` (first-partitions bias) or
+    * `sample` (rng per partition). Error is O(1/sqrt(maxRows)) for the
+    * tau estimate; maxRows=10k ⇒ ~1% — and 10k² = 100M sign pairs, a
+    * few seconds of distributed work regardless of input size. */
+  def kendallApprox(df: DataFrame, a: String, b: String,
+                    maxRows: Int = 10000, seed: Long = 42L): DataFrame = {
+    val sampled = df
+      .filter(col(a).isNotNull && col(b).isNotNull)
+      .withColumn("__h", xxhash64(col(a), col(b), lit(seed)))
+      .orderBy("__h").limit(maxRows)
+      .drop("__h")
+    kendall(sampled, a, b)
+  }
 }

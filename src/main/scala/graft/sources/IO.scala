@@ -1,0 +1,71 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink layer. The reference operates purely on in-memory frames
+  * (SURVEY.md §2.1 — no file formats anywhere), so this layer is the
+  * Spark-native superset a user needs when the same data lives on disk:
+  * schema-checked reads, layout-aware writes, and an indexed-ingest
+  * helper replacing the pandas RangeIndex.
+  *
+  * Scale notes: parquet + explicit schema skips footer-merging/inference
+  * jobs; `writePartitioned` lays data out for partition pruning
+  * (predicates on the partition key never touch other directories);
+  * `writeBucketed` pre-shuffles by join key so later joins between
+  * co-bucketed tables skip their shuffles entirely. */
+object IO {
+
+  /** Parquet read; explicit schema avoids schema-merge jobs at ingest. */
+  def readParquet(spark: SparkSession, path: String,
+                  schema: Option[StructType] = None): DataFrame =
+    schema.fold(spark.read.parquet(path))(s => spark.read.schema(s).parquet(path))
+
+  /** CSV with header; pass a schema in production — inference scans the
+    * whole input once before the real read. */
+  def readCsv(spark: SparkSession, path: String,
+              schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
+  /** Line-delimited JSON (the only JSON shape that splits across
+    * workers; a single JSON array is one unsplittable record). */
+  def readJsonLines(spark: SparkSession, path: String,
+                    schema: Option[StructType] = None): DataFrame =
+    schema.fold(spark.read.json(path))(s => spark.read.schema(s).json(path))
+
+  /** Stable row ids at ingest (pandas-index analogue):
+    * `monotonically_increasing_id` is partition-local-ordered and unique
+    * but NOT dense; zipWithIndex-style density costs an extra pass, so
+    * dense=false is the default for 100 TB ingest. */
+  def withRowId(df: DataFrame, col0: String = "row_id",
+                dense: Boolean = false): DataFrame =
+    if (!dense) df.withColumn(col0, monotonically_increasing_id())
+    else {
+      val spark = df.sparkSession
+      val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }
+      spark.createDataFrame(rdd,
+        df.schema.add(col0, org.apache.spark.sql.types.LongType))
+    }
+
+  /** Hive-style partitioned parquet: one directory per distinct key
+    * combination -> partition pruning on read. Keep the key cardinality
+    * bounded (thousands, not millions) or the file count explodes. */
+  def writePartitioned(df: DataFrame, path: String, keys: Seq[String],
+                       mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(keys: _*).parquet(path)
+
+  /** Bucketed managed table: pre-shuffled on `key` into `buckets` files
+    * per partition. Two tables bucketed the same way join WITHOUT a
+    * shuffle on either side — the biggest single lever for repeated
+    * large-fact joins. (Bucketing requires saveAsTable: the bucket
+    * metadata lives in the catalog, not the files.) */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+                    mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+}

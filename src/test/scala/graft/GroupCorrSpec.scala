@@ -96,4 +96,15 @@ class GroupCorrSpec extends SparkSpec {
   test("kendall tau-b with ties") {
     assertApprox(d1(Corr.kendall(xy, "x", "y")), Some(-0.5477225575051661), 1e-9)
   }
+
+  test("kendallApprox: exact when the sample covers the input; close on a sample") {
+    import spark.implicits._
+    // maxRows >= n -> identical to exact
+    assertApprox(d1(Corr.kendallApprox(xy, "x", "y", maxRows = 1000)),
+      Some(-0.5477225575051661), 1e-9)
+    // monotone relation: exact tau=1; any sample preserves it exactly
+    val mono = (1 to 500).map(i => (i.toDouble, i * 2.0)).toDF("x", "y")
+    assertApprox(d1(Corr.kendallApprox(mono, "x", "y", maxRows = 100)),
+      Some(1.0), 1e-9)
+  }
 }
