@@ -137,6 +137,8 @@ object Dedup {
     * ness is decided on the STRINGS, so set sizes are exact; a 64-bit
     * collision merging two shingles across a doc pair has probability
     * ~n²/2^65 — negligible against float-rounding noise. */
+  private[graft] def shingleSetForProfile(k: Int) = shingleHash64SetUdf(k)
+
   private def shingleHash64SetUdf(k: Int) = udf { ws: Seq[String] =>
     if (ws == null || ws.isEmpty) Array.empty[Long]
     else {

@@ -15,27 +15,37 @@ object Scratch2 {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
     val df = spark.read.parquet(s"$sfDir/documents.parquet")
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"[t] $name ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
     }
     t("warm")(df.count())
-    val dfs = graft.engine.Core.spread(df)
-    val docs = dfs.withColumn("__w", Dedup.words(col("text")))
+    // kernel only: hash-set shingles per doc
+    val docs = graft.engine.Core.spread(df)
       .select(col("doc_id").as("doc"),
-        array_distinct(Dedup.shinglesFromWords(col("__w"), 3)).as("shl"))
-    t("docs_arrays")(println(docs.select(sum(size(col("shl")))).collect().mkString))
-    docs.explain(true)
-    val sh = docs.select(col("doc"), size(col("shl")).as("sz"), explode(col("shl")).as("s"))
-    t("sh_explode")(sh.count())
-    val shc = t("sh_checkpoint")(sh.localCheckpoint())
-    val selfJoin = shc.select(col("doc").as("doc1"), col("s"))
-      .join(shc.select(col("doc").as("doc2"), col("s")), Seq("s"))
-      .filter(col("doc1") < col("doc2"))
-      .groupBy("doc1", "doc2").agg(count(lit(1)).as("inter"))
-    t("self_join")(selfJoin.count())
-    t("self_join2")(selfJoin.count())
+        Dedup.shingleSetForProfile(3)(Dedup.words(col("text"))).as("shl"))
+    t("kernel_only")(docs.select(sum(size(col("shl")))).collect())
+    t("kernel_only2")(docs.select(sum(size(col("shl")))).collect())
+    // exploded shuffle rows
+    val sh = docs.select(col("doc"), size(col("shl")).as("sz"),
+      explode(col("shl")).as("s"))
+    t("explode_count")(println(sh.count()))
+    // stage 1: groupByKey + flatMapGroups pair stream (no final agg)
+    val pairs = sh.select(col("s"), col("doc"), col("sz")).as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Long, it: Iterator[(Long, Long, Int)]) =>
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Int)](8)
+        var n = 0
+        while (it.hasNext) { val x = it.next(); n += 1; if (n <= 1001) buf += ((x._2, x._3)) }
+        if (n > 1000) Iterator.empty
+        else for {
+          i <- buf.indices.iterator
+          j <- (i + 1 until buf.length).iterator
+        } yield (buf(i)._1, buf(j)._1)
+      }
+    t("pair_stream_count")(println(pairs.rdd.count()))
     (1 to 3).foreach { i =>
       t(s"full_query$i")(graft.SparkEntry.queries("q_ngram_jaccard")(spark, sfDir).count())
     }
