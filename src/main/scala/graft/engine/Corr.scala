@@ -36,6 +36,27 @@ object Corr {
     one.select(expr(stacked))
   }
 
+  /** Pairwise covariance matrix (pandas `DataFrame.cov(ddof=1,
+    * min_periods)`) in long form (c1, c2, cov), upper triangle plus the
+    * diagonal (pandas' cov matrix carries per-column variance there).
+    * `covar_samp` masks pairwise-incomplete rows like pandas; the
+    * min_periods gate nulls under-observed cells. One aggregate pass —
+    * all k(k+1)/2 co-moments are map-side combinable. */
+  def covLong(df: DataFrame, cols: Seq[String], minPeriods: Int = 1): DataFrame = {
+    val pairs = for {
+      i <- cols.indices; j <- i until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.flatMap { case (a, b) =>
+      Seq(covar_samp(col(a), col(b)).as(s"${a}__$b"),
+        count(when(col(a).isNotNull && col(b).isNotNull, 1)).as(s"${a}__${b}__n"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) =>
+      s"'$a', '$b', CASE WHEN `${a}__${b}__n` >= $minPeriods THEN `${a}__$b` END"
+    }.mkString(s"stack(${pairs.size}, ", ", ", ") as (c1, c2, cov)")
+    one.select(expr(stacked))
+  }
+
   /** Average-rank of a column (pandas rank method='average') — the
     * spearman prestep. Nulls sort LAST so non-null ranks start at 1
     * (Spark's asc default is nulls-first, which would offset every rank

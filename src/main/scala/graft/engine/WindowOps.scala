@@ -102,8 +102,47 @@ object WindowOps {
   def weightedMean(c: Column, w: WindowSpec, weights: Seq[Double]): Column =
     weightedSum(c, w, weights) / lit(weights.sum)
 
+  /** pandas `Rolling.cov(other, ddof=1)` between two columns. Spark's
+    * `covar_samp` drops pairs where either side is null — exactly pandas'
+    * pairwise masking; the gate counts complete pairs. */
+  def rCov(a: Column, b: Column, w: WindowSpec, mp: Int): Column = {
+    val pairs = count(when(a.isNotNull && b.isNotNull, 1)).over(w)
+    when(pairs >= mp, covar_samp(a, b).over(w))
+  }
+
+  /** pandas `Rolling.corr(other)` between two columns (pearson). */
+  def rCorr(a: Column, b: Column, w: WindowSpec, mp: Int): Column = {
+    val pairs = count(when(a.isNotNull && b.isNotNull, 1)).over(w)
+    when(pairs >= mp, corr(a, b).over(w))
+  }
+
+  /** pandas `Rolling.agg(['mean','std',...])` / `.aggregate(spec)`: the
+    * string-spec dispatch table over one frame, yielding `col_fn`-named
+    * columns (reference: `parallel_window.py:194-197`, dict-spec pruning
+    * `:106-118`). All exprs share the WindowSpec, so WindowExec evaluates
+    * them in ONE pass over each frame — no per-op re-sort. */
+  def rAggSpec(spec: Seq[(Column, String, Seq[String])], w: WindowSpec,
+               mp: Int): Seq[Column] =
+    for ((c, name, fns) <- spec; fn <- fns) yield {
+      val e = fn match {
+        case "mean" => rMean(c, w, mp)
+        case "sum" => rSum(c, w, mp)
+        case "min" => rMin(c, w, mp)
+        case "max" => rMax(c, w, mp)
+        case "std" => rStd(c, w, mp)
+        case "var" => rVar(c, w, mp)
+        case "median" => rMedian(c, w, mp)
+        case "sem" => rSem(c, w, mp)
+        case "skew" => rSkew(c, w, mp)
+        case "kurt" => rKurt(c, w, mp)
+        case "count" => rCount(c, w)
+        case other => throw new IllegalArgumentException(s"unknown agg '$other'")
+      }
+      e.as(s"${name}_$fn")
+    }
+
   /** Standard window weight generators (scipy.signal equivalents used by
-    * pandas win_type). */
+    * pandas win_type; symmetric, matching scipy's `sym=True` default). */
   def triangWeights(n: Int): Seq[Double] =
     (1 to n).map { i =>
       if (n % 2 == 1) 1.0 - math.abs(i - (n + 1) / 2.0) * 2.0 / (n + 1)
@@ -113,5 +152,22 @@ object WindowOps {
     (0 until n).map { i =>
       val x = i - (n - 1) / 2.0
       math.exp(-0.5 * (x / std) * (x / std))
+    }
+  /** General cosine-sum family: hamming = (0.54, 0.46), hann = (0.5, 0.5),
+    * blackman adds the second harmonic. */
+  private def cosineSum(n: Int, a: Seq[Double]): Seq[Double] =
+    (0 until n).map { i =>
+      val t = 2.0 * math.Pi * i / (n - 1)
+      a.zipWithIndex.map { case (ak, k) =>
+        (if (k % 2 == 0) 1 else -1) * ak * math.cos(k * t)
+      }.sum
+    }
+  def hammingWeights(n: Int): Seq[Double] = cosineSum(n, Seq(0.54, 0.46))
+  def hannWeights(n: Int): Seq[Double] = cosineSum(n, Seq(0.5, 0.5))
+  def blackmanWeights(n: Int): Seq[Double] = cosineSum(n, Seq(0.42, 0.5, 0.08))
+  def bartlettWeights(n: Int): Seq[Double] =
+    (0 until n).map { i =>
+      val half = (n - 1) / 2.0
+      1.0 - math.abs(i - half) / half
     }
 }
