@@ -46,6 +46,23 @@ object Queries2 {
         .orderBy("l_orderkey", "l_linenumber", "row_sum")
     }),
 
+    // ---- §2.2 axis=1 row-wise quantile/median/std — the reference's #1
+    //      published benchmark shape (p_quantile(q=[.25,.5,.95], axis=1),
+    //      README.md:23-40): one sorted valid-array per row, zero shuffle ----
+    "q_rowwise2" -> ((s, d) => {
+      val cols = Seq(col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      T(s, d, "lineitem")
+        .withColumn("__arr", Reductions.rowSortedValid(cols))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          r(Reductions.rowQuantileSorted(col("__arr"), 0.25), 4).as("row_q25"),
+          r(Reductions.rowQuantileSorted(col("__arr"), 0.5), 4).as("row_med"),
+          r(Reductions.rowQuantileSorted(col("__arr"), 0.95), 4).as("row_q95"),
+          r(Reductions.rowStd(col("__arr")), 6).as("row_std"))
+        .orderBy("l_orderkey", "l_linenumber", "row_med", "row_std")
+    }),
+
     // ---- §2.4 applymap: scalar fn over every cell ----
     "q_applymap" -> ((s, d) => {
       val base = T(s, d, "lineitem").select(
@@ -235,6 +252,29 @@ object Queries2 {
          round(least(l_quantity, l_extendedprice, l_discount, l_tax) + 1e-9, 4) AS row_min,
          round(greatest(l_quantity, l_extendedprice, l_discount, l_tax) + 1e-9, 4) AS row_max
          FROM lineitem ORDER BY l_orderkey, l_linenumber, row_sum""",
+
+    "q_rowwise2" -> {
+      // mirrors rowQuantileSorted: pos=(n-1)q, linear interp between the
+      // bracketing order statistics, high index clamped at n
+      def rq(q: String): String = {
+        val pos = s"(n-1)*$q"
+        val lo = s"CAST(floor($pos) AS INT)"
+        s"""(arr[$lo+1] + ($pos - floor($pos)) * (arr[least($lo+2, n)] - arr[$lo+1]))"""
+      }
+      s"""WITH b AS (SELECT l_orderkey, l_linenumber,
+           list_sort(list_filter([l_quantity, l_extendedprice, l_discount, l_tax],
+                                 x -> x IS NOT NULL)) AS arr
+           FROM lineitem),
+         c AS (SELECT l_orderkey, l_linenumber, arr, len(arr) AS n FROM b)
+         SELECT l_orderkey, l_linenumber,
+           round(${rq("0.25")} + 1e-9, 4) AS row_q25,
+           round(${rq("0.5")} + 1e-9, 4) AS row_med,
+           round(${rq("0.95")} + 1e-9, 4) AS row_q95,
+           round(CASE WHEN n > 1 THEN
+             sqrt((list_sum(list_transform(arr, x -> x*x))
+                   - list_sum(arr)*list_sum(arr)/n) / (n-1)) END + 1e-9, 6) AS row_std
+         FROM c ORDER BY l_orderkey, l_linenumber, row_med, row_std"""
+    },
 
     "q_applymap" ->
       """SELECT l_orderkey, l_linenumber,

@@ -270,6 +270,53 @@ object Reductions {
       spark.sparkContext.parallelize(data.toIndexedSeq, 1), schema)
   }
 
+  /** Valid (non-null, non-NaN) row values as a sorted double array — the
+    * shared prestep for the axis=1 quantile family. One `sort_array` over
+    * a width-k array per row: O(k log k) work inside whole-stage codegen,
+    * zero shuffle — the exact shape the reference's #1 benchmark
+    * (`p_quantile(q, axis=1)`, `/root/reference/README.md:23-40`,
+    * dispatch `parallel_dataframe.py:608`) needs at 100 TB: embarrassingly
+    * parallel over rows. */
+  def rowSortedValid(cols: Seq[Column]): Column =
+    sort_array(filter(array(cols.map(_.cast("double")): _*),
+      x => x.isNotNull && !isnan(x)))
+
+  /** Row-wise quantile (pandas linear interpolation) over a PRE-SORTED
+    * valid-value array ([[rowSortedValid]] — materialize it once via
+    * `withColumn` when taking several quantiles). Interpolates between
+    * the two bracketing order statistics; the high index is clamped so
+    * frac=0 never reads past the end (ANSI mode throws on out-of-bounds
+    * `element_at`). Empty row -> null (pandas NaN). */
+  def rowQuantileSorted(arr: Column, q: Double): Column = {
+    val n = size(arr)
+    val pos = (n - 1).cast("double") * lit(q)
+    val lo = floor(pos).cast("int")
+    val frac = pos - floor(pos)
+    val loV = element_at(arr, lo + 1)
+    val hiV = element_at(arr, least(lo + 2, n))
+    when(n > 0, loV + frac * (hiV - loV))
+  }
+
+  /** Row-wise (axis=1) quantile over a set of columns. */
+  def rowQuantile(cols: Seq[Column], q: Double): Column =
+    rowQuantileSorted(rowSortedValid(cols), q)
+
+  /** Row-wise median = quantile(0.5). */
+  def rowMedian(cols: Seq[Column]): Column = rowQuantile(cols, 0.5)
+
+  /** Row-wise sample variance over the valid values (pandas
+    * `var(axis=1, ddof)`): (sum(x^2) - sum(x)^2/n) / (n - ddof), null
+    * when n <= ddof. Pure array HOFs — stays in codegen. */
+  def rowVar(arr: Column, ddof: Int = 1): Column = {
+    val n = size(arr).cast("double")
+    val s = aggregate(arr, lit(0.0), (a, x) => a + x)
+    val s2 = aggregate(arr, lit(0.0), (a, x) => a + x * x)
+    when(n > ddof, (s2 - s * s / n) / (n - ddof))
+  }
+
+  /** Row-wise sample std (pandas `std(axis=1)`). */
+  def rowStd(arr: Column, ddof: Int = 1): Column = sqrt(rowVar(arr, ddof))
+
   /** 100 TB mode of nunique: HyperLogLog++ sketch (`approx_count_distinct`,
     * `rsd` = relative standard deviation) — one pass, mergeable partials,
     * constant memory; the exact `count_distinct` stays the parity surface. */

@@ -105,6 +105,41 @@ class ReductionsSpec extends SparkSpec {
     assertSeqApprox(colD(out, "tp"), Seq(1.0, 0.6, 0.3, 0.8, 0.3).map(Some(_)))
   }
 
+  test("row-wise quantile/median/std match pandas axis=1") {
+    // pd.DataFrame([[1,2,4,8],[3,None,5,1]]) .quantile/.std(axis=1):
+    //   q25 -> [1.75, 2.0], median -> [3.0, 3.0], q95 -> [7.4, 4.8],
+    //   std(ddof=1) -> [3.095695936834452, 2.0]
+    val df = Seq((1L, Some(1.0), Some(2.0), Some(4.0), Some(8.0)),
+                 (2L, Some(3.0), None, Some(5.0), Some(1.0)))
+      .toDF("i", "a", "b", "c", "d")
+    val cols = Seq(col("a"), col("b"), col("c"), col("d"))
+    val out = df.withColumn("arr", Reductions.rowSortedValid(cols))
+      .select(col("i"),
+        Reductions.rowQuantileSorted(col("arr"), 0.25).as("q25"),
+        Reductions.rowQuantileSorted(col("arr"), 0.5).as("med"),
+        Reductions.rowQuantileSorted(col("arr"), 0.95).as("q95"),
+        Reductions.rowStd(col("arr")).as("sd"))
+      .orderBy("i")
+    assertSeqApprox(colD(out, "q25"), Seq(1.75, 2.0).map(Some(_)))
+    assertSeqApprox(colD(out, "med"), Seq(3.0, 3.0).map(Some(_)))
+    assertSeqApprox(colD(out, "q95"), Seq(7.4, 4.8).map(Some(_)))
+    assertSeqApprox(colD(out, "sd"),
+      Seq(3.095695936834452, 2.0).map(Some(_)), 1e-9)
+  }
+
+  test("row-wise quantile: empty and single-value rows") {
+    val df = Seq[(Long, Option[Double], Option[Double])](
+      (1L, None, None), (2L, Some(7.0), None)).toDF("i", "a", "b")
+    val out = df.withColumn("arr",
+        Reductions.rowSortedValid(Seq(col("a"), col("b"))))
+      .select(col("i"),
+        Reductions.rowQuantileSorted(col("arr"), 0.5).as("med"),
+        Reductions.rowStd(col("arr")).as("sd"))
+      .orderBy("i")
+    assertSeqApprox(colD(out, "med"), Seq(None, Some(7.0)))
+    assertSeqApprox(colD(out, "sd"), Seq(None, None))
+  }
+
   test("isin against a value table via broadcast semi-join") {
     val df = Seq("a", "b", "c").toDF("k")
     val values = Seq("b", "c", "z", "c").toDF("val")
