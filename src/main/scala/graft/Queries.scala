@@ -109,12 +109,14 @@ object Queries {
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
     }),
 
-    // ---- §2.5 rank(method='average', pct) ----
+    // ---- §2.5 rank(method='average', pct) — distributed stats-join
+    //      form, no partition-less window ----
     "q_rank" -> ((s, d) => {
-      T(s, d, "lineitem").select(
-        col("l_orderkey"), col("l_linenumber"),
-        r(Reductions.rankAvg(col("l_quantity")), 1).as("qty_rank"),
-        r(Reductions.rankAvg(col("l_quantity"), pct = true), 6).as("qty_rank_pct"))
+      Reductions.withRankAvg(T(s, d, "lineitem"), "l_quantity",
+        Seq("__r" -> false, "__rp" -> true))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r(col("__r"), 1).as("qty_rank"),
+          r(col("__rp"), 6).as("qty_rank_pct"))
         .orderBy("l_orderkey", "l_linenumber")
     }),
 

@@ -64,21 +64,24 @@ object Queries3 {
         .orderBy("purchase_id", "click_id")
     }),
 
-    // ---- §2.5 rank method variants: min / dense / first / max / pct ----
+    // ---- §2.5 rank method variants: min / dense / first / max / pct —
+    //      all derived from the distributed per-value rank stats; the
+    //      only window is partitioned BY VALUE (within-tie row_number
+    //      for method='first'), so nothing serializes globally ----
     "q_rank_methods" -> ((s, d) => {
       val q = col("l_quantity")
-      val w = Window.orderBy(q.asc_nulls_last)
-      val wFirst = Window.orderBy(q.asc_nulls_last, col("l_orderkey"),
+      val li = T(s, d, "lineitem")
+      val st = Reductions.withRankStats(li, "l_quantity")
+        .crossJoin(broadcast(li.agg(count(q).cast("double").as("__n"))))
+      val wTie = Window.partitionBy(q).orderBy(col("l_orderkey"),
         col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
-      val ties = count(q).over(Window.partitionBy(q))
-      val n = count(q).over(Window.partitionBy())
-      T(s, d, "lineitem").select(
+      st.select(
         col("l_orderkey"), col("l_linenumber"), q,
-        rank().over(w).as("rk_min"),
-        dense_rank().over(w).as("rk_dense"),
-        row_number().over(wFirst).as("rk_first"),
-        (rank().over(w) + ties - 1).as("rk_max"),
-        r(rank().over(w) / n, 6).as("rk_min_pct"))
+        (col("__rk_before") + 1).cast("long").as("rk_min"),
+        col("__rk_dense").cast("long").as("rk_dense"),
+        (col("__rk_before") + row_number().over(wTie)).cast("long").as("rk_first"),
+        (col("__rk_before") + col("__rk_cnt")).cast("long").as("rk_max"),
+        r((col("__rk_before") + 1) / col("__n"), 6).as("rk_min_pct"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), q,
           col("l_extendedprice"), col("rk_first"))
     }),

@@ -57,20 +57,23 @@ object Corr {
     one.select(expr(stacked))
   }
 
-  /** Average-rank of a column (pandas rank method='average') — the
-    * spearman prestep. Nulls sort LAST so non-null ranks start at 1
-    * (Spark's asc default is nulls-first, which would offset every rank
-    * by the null count). */
-  def avgRank(c: Column): Column = {
-    val r = rank().over(Window.orderBy(c.asc_nulls_last))
-    val ties = count(c).over(Window.partitionBy(c))
-    when(c.isNull, lit(null)).otherwise(r + (ties - 1) / 2.0)
-  }
-
-  /** Spearman rho for one pair: pearson over average ranks. */
-  def spearman(df: DataFrame, a: String, b: String): DataFrame =
-    df.select(avgRank(col(a)).as("ra"), avgRank(col(b)).as("rb"))
+  /** Spearman rho for one pair: pearson over average ranks. The rank
+    * prestep is the DISTRIBUTED [[Reductions.withRankStats]] join (one
+    * value-counts aggregate + prefix sum + join-back per column) — no
+    * partition-less window anywhere, so the prestep scales with
+    * executors instead of serializing the frame into one sort task. */
+  def spearman(df: DataFrame, a: String, b: String): DataFrame = {
+    val base = df.select(col(a).as("__a"), col(b).as("__b"))
+    val ranked = Reductions.withRankStats(
+      Reductions.withRankStats(base, "__a", prefix = "__ra"),
+      "__b", prefix = "__rb")
+    def avg(v: Column, p: String): Column =
+      when(v.isNull, lit(null))
+        .otherwise(col(s"${p}_before") + (col(s"${p}_cnt") + 1) / 2.0)
+    ranked.select(avg(col("__a"), "__ra").as("ra"),
+        avg(col("__b"), "__rb").as("rb"))
       .agg(corr(col("ra"), col("rb")).as("spearman"))
+  }
 
   /** Full pearson matrix via MLlib for WIDE frames (hundreds of
     * columns): assembles a vector column and computes the Gramian once,

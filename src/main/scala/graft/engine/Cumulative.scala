@@ -56,24 +56,39 @@ object Cumulative {
     * result — same requirement as any running sum. */
   def globalCumsum(df: org.apache.spark.sql.DataFrame, order: Seq[Column],
                    value: Column, out: String,
-                   partitions: Int = 0): org.apache.spark.sql.DataFrame = {
+                   partitions: Int = 0): org.apache.spark.sql.DataFrame =
+    globalCumsumMulti(df, order, Seq(value -> out), partitions)
+
+  /** [[globalCumsum]] over SEVERAL value columns in one pass: one range
+    * shuffle, one partials job (all sums together), one broadcast of the
+    * per-partition offsets. Used by the distributed rank, which needs
+    * both a count prefix sum and a dense index in the same ordering. */
+  def globalCumsumMulti(df: org.apache.spark.sql.DataFrame, order: Seq[Column],
+                        values: Seq[(Column, String)],
+                        partitions: Int = 0): org.apache.spark.sql.DataFrame = {
     val n = if (partitions > 0) partitions
             else df.sparkSession.sparkContext.defaultParallelism
     val ranged = df.repartitionByRange(n, order: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
-    val partials = ranged.groupBy("__pid")
-      .agg(coalesce(sum(value), lit(0.0)).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val sumAggs = values.zipWithIndex.map { case ((v, _), i) =>
+      coalesce(sum(v), lit(0.0)).as(s"s$i")
+    }
+    val partials: Map[Int, Seq[Double]] = ranged.groupBy("__pid")
+      .agg(sumAggs.head, sumAggs.tail: _*)
+      .collect().map(r => r.getInt(0) ->
+        values.indices.map(i => r.getDouble(i + 1))).toMap
     val pids = partials.keys.toSeq.sorted
-    val offsets: Map[Int, Double] = pids.zip(
-      pids.scanLeft(0.0)((acc, p) => acc + partials(p)).dropRight(1)).toMap
+    val offsets: Seq[Map[Int, Double]] = values.indices.map { i =>
+      pids.zip(pids.scanLeft(0.0)((acc, p) => acc + partials(p)(i))
+        .dropRight(1)).toMap
+    }
     val w = Window.partitionBy("__pid").orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
-      .withColumn(out, sum(value).over(w) +
-        coalesce(element_at(typedLit(offsets), col("__pid")), lit(0.0)))
-      .drop("__pid")
+    values.zipWithIndex.foldLeft(ranged) { case (acc, ((v, out), i)) =>
+      acc.withColumn(out, sum(v).over(w) +
+        coalesce(element_at(typedLit(offsets(i)), col("__pid")), lit(0.0)))
+    }.drop("__pid")
   }
 
   /** pct_change(periods, fill_method='pad'): forward-fill then lag.

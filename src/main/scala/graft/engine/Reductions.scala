@@ -106,6 +106,10 @@ object Reductions {
   /** pandas `rank(method='average', na_option=…, ascending=…)` over one
     * column: min-rank + (ties-1)/2.
     *
+    * SMALL-FRAME form: the partition-less window serializes into one
+    * task. For whole-frame rank at scale use [[withRankAvg]] /
+    * [[withRankStats]] (distributed stats-join, same semantics).
+    *
     * na_option: 'keep' (default) leaves null ranks null and `pct`
     * divides by the non-null count; 'top'/'bottom' rank the null block
     * first/last as ONE tie group (nulls compare equal in the ordering,
@@ -133,6 +137,71 @@ object Reductions {
       case _ =>
         if (pct) r / count(lit(1)).over(Window.partitionBy()) else r
     }
+  }
+
+  /** DISTRIBUTED global rank statistics — the 100 TB path for ungrouped
+    * rank, replacing the `Window.orderBy()`-without-partitionBy form
+    * (which serializes the whole frame into one task).
+    *
+    * Joins each row to per-VALUE rank statistics computed from the
+    * value-counts table:
+    *   - `<p>_cnt`    tie-group size of the row's value
+    *   - `<p>_before` count of values strictly before it (in `ascending`
+    *                  order) — min rank = before+1, max = before+cnt,
+    *                  average = before+(cnt+1)/2
+    *   - `<p>_dense`  1-based dense rank of the value
+    *
+    * Shape: one hash-aggregate on the value (map-side combinable), a
+    * [[Cumulative.globalCumsumMulti]] two-pass prefix sum over the
+    * counts table (distinct values only — tiny relative to the frame),
+    * and one equi-join back on the value. Every stage partitions; ties
+    * never straddle partitions because the prefix sum runs per-value.
+    * Null values left-join to null stats; callers apply na_option. */
+  def withRankStats(df: DataFrame, c: String, ascending: Boolean = true,
+                    prefix: String = "__rk"): DataFrame = {
+    val cnts = df.filter(col(c).isNotNull)
+      .groupBy(col(c).as("__rkv"))
+      .agg(count(lit(1)).cast("double").as(s"${prefix}_cnt"))
+      .withColumn("__one", lit(1.0))
+    val ord = if (ascending) col("__rkv").asc else col("__rkv").desc
+    val cum = Cumulative.globalCumsumMulti(cnts, Seq(ord),
+      Seq(col(s"${prefix}_cnt") -> s"${prefix}_cum",
+          col("__one") -> s"${prefix}_dense"))
+      .withColumn(s"${prefix}_before",
+        col(s"${prefix}_cum") - col(s"${prefix}_cnt"))
+      .drop("__one", s"${prefix}_cum")
+    df.join(cum, df(c) === col("__rkv"), "left").drop("__rkv")
+  }
+
+  /** pandas `rank(method='average', pct, na_option)` over the WHOLE
+    * frame, scale-safe: adds the requested rank columns via
+    * [[withRankStats]] + a broadcast 1-row total. `outs` is
+    * (outputColumn, pct?) so average rank and its pct form share one
+    * stats join. Semantics identical to [[rankAvg]]. */
+  def withRankAvg(df: DataFrame, c: String, outs: Seq[(String, Boolean)],
+                  ascending: Boolean = true,
+                  naOption: String = "keep"): DataFrame = {
+    val tot = df.agg(count(lit(1)).cast("double").as("__n_all"),
+      count(col(c)).cast("double").as("__n_val"))
+    val st = withRankStats(df, c, ascending).crossJoin(broadcast(tot))
+    val nNull = col("__n_all") - col("__n_val")
+    val base = col("__rk_before") + (col("__rk_cnt") + 1) / 2.0
+    val v = col(c)
+    def rankExpr(pct: Boolean): Column = naOption match {
+      case "keep" =>
+        val r = when(v.isNull, lit(null)).otherwise(base)
+        if (pct) r / col("__n_val") else r
+      case "top" =>
+        val r = when(v.isNull, (nNull + 1) / 2.0).otherwise(nNull + base)
+        if (pct) r / col("__n_all") else r
+      case "bottom" =>
+        val r = when(v.isNull, col("__n_val") + (nNull + 1) / 2.0).otherwise(base)
+        if (pct) r / col("__n_all") else r
+      case other => throw new IllegalArgumentException(s"na_option: $other")
+    }
+    outs.foldLeft(st) { case (acc, (out, pct)) =>
+      acc.withColumn(out, rankExpr(pct))
+    }.drop("__rk_cnt", "__rk_before", "__rk_dense", "__n_all", "__n_val")
   }
 
   /** Exact quantiles (pandas linear interpolation) via DISTRIBUTED SORT
