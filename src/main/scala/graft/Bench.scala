@@ -19,7 +19,13 @@ object Bench {
     // Deterministic order; a GC between queries lets the ContextCleaner
     // reap the previous query's broadcast/checkpoint blocks so later
     // queries aren't timed under accumulated memory pressure.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated filter for targeted local iteration
+    // (driver leaves it unset -> full set).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -67,12 +67,23 @@ object Queries3 {
     // ---- §2.5 rank method variants: min / dense / first / max / pct —
     //      all derived from the distributed per-value rank stats; the
     //      only window is partitioned BY VALUE (within-tie row_number
-    //      for method='first'), so nothing serializes globally ----
+    //      for method='first'), so nothing serializes globally.
+    //      Caveats (documented, by design):
+    //      - l_quantity is LOW-cardinality (~50 values), so the
+    //        by-value window/join concentrates each tie group into one
+    //        task (~N/50 rows at scale). For a skew-proof method='first'
+    //        on such keys, salt the within-tie row_number and add a
+    //        second prefix sum over the salted tie counts.
+    //      - null values left-join to null stats -> null ranks
+    //        (pandas na_option='keep'), unlike a nulls-last window
+    //        which would assign them trailing ranks. ----
     "q_rank_methods" -> ((s, d) => {
       val q = col("l_quantity")
       val li = T(s, d, "lineitem")
-      val st = Reductions.withRankStats(li, "l_quantity")
-        .crossJoin(broadcast(li.agg(count(q).cast("double").as("__n"))))
+      val stats = Reductions.rankStatsTable(li, "l_quantity")
+      val tot = stats.agg(coalesce(sum(col("__rk_cnt")), lit(0.0)).as("__n"))
+      val st = li.join(stats, q === col("__rkv"), "left").drop("__rkv")
+        .crossJoin(broadcast(tot))
       val wTie = Window.partitionBy(q).orderBy(col("l_orderkey"),
         col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
       st.select(

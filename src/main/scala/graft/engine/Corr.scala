@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   * k*(k-1)/2 `corr` expressions (map-side combinable — fine for the
   * reference's <=100-column frames; for very wide frames use
   * `ml.stat.Correlation` on an assembled vector, which computes the
-  * Gramian once). Spearman's rank step is a per-column sort — here a
-  * global window at test scale; the 100 TB path ranks via
-  * `ml.stat.Correlation("spearman")`. Kendall is inherently O(n^2)
+  * Gramian once). Spearman's rank prestep is the distributed
+  * [[Reductions.rankStatsTable]] join — value-counts aggregate + prefix
+  * sum over the counts table, one join-back per column, no global
+  * window at any scale. Kendall is inherently O(n^2)
   * pairwise (the reference's numba kernel too, `_numba.py:106-146`) —
   * exposed over a bounded slice, with sampling as the scale strategy.
   */
@@ -57,23 +58,54 @@ object Corr {
     one.select(expr(stacked))
   }
 
-  /** Spearman rho for one pair: pearson over average ranks. The rank
-    * prestep is the DISTRIBUTED [[Reductions.withRankStats]] join (one
-    * value-counts aggregate + prefix sum + join-back per column) — no
-    * partition-less window anywhere, so the prestep scales with
-    * executors instead of serializing the frame into one sort task. */
+  /** Spearman rho for one pair: pearson over average ranks. Each
+    * column's midrank comes from [[Reductions.withMidrank]] — the
+    * deterministic-bucket distributed rank (cuts job + bucketed
+    * windows; cuts/offsets always derive from the slim BASE frame via
+    * `statsSource`, so the second ranking never re-runs the first's
+    * plan). One lazy job does both bucket shuffles and the final corr;
+    * no checkpoint, no frame-sized broadcast, no single-task sort at
+    * any cardinality.
+    *
+    * Rows where either side is null are excluded up front (pandas
+    * pairwise-complete masking — ranks are computed on the common
+    * subset). */
   def spearman(df: DataFrame, a: String, b: String): DataFrame = {
-    val base = df.select(col(a).as("__a"), col(b).as("__b"))
-    val ranked = Reductions.withRankStats(
-      Reductions.withRankStats(base, "__a", prefix = "__ra"),
-      "__b", prefix = "__rb")
-    def avg(v: Column, p: String): Column =
-      when(v.isNull, lit(null))
-        .otherwise(col(s"${p}_before") + (col(s"${p}_cnt") + 1) / 2.0)
-    ranked.select(avg(col("__a"), "__ra").as("ra"),
-        avg(col("__b"), "__rb").as("rb"))
-      .agg(corr(col("ra"), col("rb")).as("spearman"))
+    val base = df.filter(col(a).isNotNull && col(b).isNotNull)
+      .select(col(a).as("__a"), col(b).as("__b"))
+    // ONE stats job fetches, for both columns at once, an ndv sketch
+    // (path choice) and bucket cut points (balance only — neither
+    // affects rank values).
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    val qs = (1 until n).map(i => lit(i.toDouble / n))
+    val st = base.agg(
+      approx_count_distinct(col("__a")).as("na"),
+      approx_count_distinct(col("__b")).as("nb"),
+      percentile_approx(col("__a").cast("double"), array(qs: _*), lit(100)).as("qa"),
+      percentile_approx(col("__b").cast("double"), array(qs: _*), lit(100)).as("qb"))
+      .collect()(0)
+    def cutsOf(i: Int): Array[Double] =
+      if (st.isNullAt(i)) Array.empty
+      else st.getSeq[Any](i).filter(_ != null)
+        .map(_.asInstanceOf[Number].doubleValue()).toArray
+    // Low-cardinality side: per-value stats table, broadcast join — no
+    // shuffle of the frame. Continuous side: deterministic-bucket
+    // windows. Both exact; the 1.2 fudge covers HLL error.
+    def rankCol(in: DataFrame, c: String, out: String, ndv: Long,
+                cuts: Array[Double], pfx: String): DataFrame =
+      if (ndv <= 65536 * 1.2) {
+        val stt = Reductions.rankStatsTable(base, c, prefix = pfx)
+        in.join(stt, in(c) === col(s"${pfx}v"), "left")
+          .withColumn(out, col(s"${pfx}_before") + (col(s"${pfx}_cnt") + 1) / 2.0)
+          .drop(s"${pfx}v", s"${pfx}_cnt", s"${pfx}_before", s"${pfx}_dense")
+      } else Reductions.withMidrank(in, c, out,
+        statsSource = Some(base), knownCuts = Some(cuts))
+    val ranked = rankCol(
+      rankCol(base, "__a", "ra", st.getLong(0), cutsOf(2), "__ra"),
+      "__b", "rb", st.getLong(1), cutsOf(3), "__rb")
+    ranked.agg(corr(col("ra"), col("rb")).as("spearman"))
   }
+
 
   /** Full pearson matrix via MLlib for WIDE frames (hundreds of
     * columns): assembles a vector column and computes the Gramian once,

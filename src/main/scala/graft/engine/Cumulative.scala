@@ -62,7 +62,11 @@ object Cumulative {
   /** [[globalCumsum]] over SEVERAL value columns in one pass: one range
     * shuffle, one partials job (all sums together), one broadcast of the
     * per-partition offsets. Used by the distributed rank, which needs
-    * both a count prefix sum and a dense index in the same ordering. */
+    * both a count prefix sum and a dense index in the same ordering.
+    *
+    * Precision: partials and offsets are carried as Double — prefix
+    * sums are exact only up to 2^53. Fine for counts/measures; do NOT
+    * feed 64-bit id-like columns through this expecting exact sums. */
   def globalCumsumMulti(df: org.apache.spark.sql.DataFrame, order: Seq[Column],
                         values: Seq[(Column, String)],
                         partitions: Int = 0): org.apache.spark.sql.DataFrame = {

@@ -139,38 +139,87 @@ object Reductions {
     }
   }
 
-  /** DISTRIBUTED global rank statistics — the 100 TB path for ungrouped
-    * rank, replacing the `Window.orderBy()`-without-partitionBy form
-    * (which serializes the whole frame into one task).
-    *
-    * Joins each row to per-VALUE rank statistics computed from the
-    * value-counts table:
-    *   - `<p>_cnt`    tie-group size of the row's value
+  /** Per-VALUE rank statistics table for column `c` — the shared prestep
+    * of the distributed ungrouped rank family. Output columns (keyed by
+    * `<p>v`, the distinct value):
+    *   - `<p>_cnt`    tie-group size of the value
     *   - `<p>_before` count of values strictly before it (in `ascending`
     *                  order) — min rank = before+1, max = before+cnt,
     *                  average = before+(cnt+1)/2
     *   - `<p>_dense`  1-based dense rank of the value
     *
-    * Shape: one hash-aggregate on the value (map-side combinable), a
-    * [[Cumulative.globalCumsumMulti]] two-pass prefix sum over the
-    * counts table (distinct values only — tiny relative to the frame),
-    * and one equi-join back on the value. Every stage partitions; ties
-    * never straddle partitions because the prefix sum runs per-value.
-    * Null values left-join to null stats; callers apply na_option. */
+    * Shape: ONE probe job — the value-counts aggregate (map-side
+    * combinable), sorted, with `limit(threshold+1)` bounding what can
+    * reach the driver. Then:
+    *   - counts ≤ `smallThreshold` (the common case: categorical /
+    *     low-cardinality keys): prefix sums run on the driver over the
+    *     bounded sorted counts and ship back as a broadcast
+    *     LocalRelation for the join-back. Scale-safe — the frame itself
+    *     never serializes, only its (bounded) distinct values do.
+    *   - counts above threshold (near-unique doubles at 100 TB): the
+    *     two-pass [[Cumulative.globalCumsumMulti]] range-partitioned
+    *     prefix sum over the re-aggregated counts — every stage
+    *     partitions, nothing driver-sized.
+    * Ties never straddle partitions because the prefix sum runs
+    * per-value. */
+  def rankStatsTable(df: DataFrame, c: String, ascending: Boolean = true,
+                     prefix: String = "__rk",
+                     smallThreshold: Int = 1000000,
+                     weight: Option[Column] = None): DataFrame = {
+    val spark = df.sparkSession
+    val key = s"${prefix}v"
+    // `weight` lets pre-aggregated (value, multiplicity) inputs reuse
+    // this path: the tie-group size is then sum(weight), not count(*).
+    val cntAgg = weight.map(sum).getOrElse(count(lit(1)))
+    val cnts = df.filter(col(c).isNotNull)
+      .groupBy(col(c).as(key))
+      .agg(cntAgg.cast("double").as(s"${prefix}_cnt"))
+    val ord = if (ascending) col(key).asc else col(key).desc
+    val sorted = cnts.orderBy(ord).limit(smallThreshold + 1).collect()
+    if (sorted.length <= smallThreshold) {
+      var before = 0.0
+      val rows = new Array[org.apache.spark.sql.Row](sorted.length)
+      var i = 0
+      while (i < sorted.length) {
+        val r = sorted(i)
+        val cnt = r.getDouble(1)
+        rows(i) = org.apache.spark.sql.Row(r.get(0), cnt, before, (i + 1).toDouble)
+        before += cnt
+        i += 1
+      }
+      import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+      val schema = StructType(Seq(
+        cnts.schema.head, // key field keeps the original value type
+        StructField(s"${prefix}_cnt", DoubleType),
+        StructField(s"${prefix}_before", DoubleType),
+        StructField(s"${prefix}_dense", DoubleType)))
+      broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema))
+    } else {
+      // Large path re-runs the counts aggregate (one extra map-side-
+      // combinable pass) into the distributed prefix sum; checkpoint so
+      // the two passes inside globalCumsumMulti share one evaluation.
+      val ck = cnts.localCheckpoint()
+      Cumulative.globalCumsumMulti(ck.withColumn("__one", lit(1.0)),
+          Seq(ord),
+          Seq(col(s"${prefix}_cnt") -> s"${prefix}_cum",
+              col("__one") -> s"${prefix}_dense"))
+        .drop("__one")
+        .withColumn(s"${prefix}_before",
+          col(s"${prefix}_cum") - col(s"${prefix}_cnt"))
+        .drop(s"${prefix}_cum")
+    }
+  }
+
+  /** DISTRIBUTED global rank statistics — the 100 TB path for ungrouped
+    * rank, replacing the `Window.orderBy()`-without-partitionBy form
+    * (which serializes the whole frame into one task). Joins each row to
+    * the [[rankStatsTable]] of its column on the value; null values
+    * left-join to null stats; callers apply na_option. */
   def withRankStats(df: DataFrame, c: String, ascending: Boolean = true,
                     prefix: String = "__rk"): DataFrame = {
-    val cnts = df.filter(col(c).isNotNull)
-      .groupBy(col(c).as("__rkv"))
-      .agg(count(lit(1)).cast("double").as(s"${prefix}_cnt"))
-      .withColumn("__one", lit(1.0))
-    val ord = if (ascending) col("__rkv").asc else col("__rkv").desc
-    val cum = Cumulative.globalCumsumMulti(cnts, Seq(ord),
-      Seq(col(s"${prefix}_cnt") -> s"${prefix}_cum",
-          col("__one") -> s"${prefix}_dense"))
-      .withColumn(s"${prefix}_before",
-        col(s"${prefix}_cum") - col(s"${prefix}_cnt"))
-      .drop("__one", s"${prefix}_cum")
-    df.join(cum, df(c) === col("__rkv"), "left").drop("__rkv")
+    val st = rankStatsTable(df, c, ascending, prefix)
+    df.join(st, df(c) === col(s"${prefix}v"), "left").drop(s"${prefix}v")
   }
 
   /** pandas `rank(method='average', pct, na_option)` over the WHOLE
@@ -181,9 +230,14 @@ object Reductions {
   def withRankAvg(df: DataFrame, c: String, outs: Seq[(String, Boolean)],
                   ascending: Boolean = true,
                   naOption: String = "keep"): DataFrame = {
-    val tot = df.agg(count(lit(1)).cast("double").as("__n_all"),
-      count(col(c)).cast("double").as("__n_val"))
-    val st = withRankStats(df, c, ascending).crossJoin(broadcast(tot))
+    val st0 = rankStatsTable(df, c, ascending)
+    // the non-null count is the sum of the (tiny) per-value counts — no
+    // second scan of the frame; only top/bottom need the all-rows count
+    val nVal = st0.agg(coalesce(sum(col("__rk_cnt")), lit(0.0)).as("__n_val"))
+    val tot = if (naOption == "keep") nVal
+      else df.agg(count(lit(1)).cast("double").as("__n_all")).crossJoin(nVal)
+    val st = df.join(st0, df(c) === col("__rkv"), "left").drop("__rkv")
+      .crossJoin(broadcast(tot))
     val nNull = col("__n_all") - col("__n_val")
     val base = col("__rk_before") + (col("__rk_cnt") + 1) / 2.0
     val v = col(c)
@@ -202,6 +256,71 @@ object Reductions {
     outs.foldLeft(st) { case (acc, (out, pct)) =>
       acc.withColumn(out, rankExpr(pct))
     }.drop("__rk_cnt", "__rk_before", "__rk_dense", "__n_all", "__n_val")
+  }
+
+  /** Exact global midrank (pandas `rank(method='average')`) of a NUMERIC
+    * column, attached per row — the scale path for CONTINUOUS /
+    * near-unique columns where a per-value stats table would be
+    * frame-sized.
+    *
+    * Design: one light job fetches ~`buckets` approximate quantile cut
+    * points; the bucket id is then a PURE FUNCTION OF THE VALUE
+    * (indicator-sum over the cuts), so every plan branch that computes
+    * it agrees by construction — no checkpoint, no sampled range
+    * partitioning to keep aligned (a sampled `repartitionByRange`
+    * evaluated in two branches picks different bounds and silently
+    * mis-offsets ranks). The main job then:
+    *   - per-bucket counts from a slim re-scan (map-side combinable) →
+    *     running offsets via a window over the ~`buckets`-row table,
+    *     broadcast back;
+    *   - within-bucket cumulative + tie counts via windows partitioned
+    *     by bucket (the default ordered-window RANGE frame spans the
+    *     whole tie group; equal values share a bucket by construction);
+    *   - midrank = offset + cum − tie + (tie+1)/2; null values → null.
+    *
+    * `statsSource`: when `df` is itself an expensive plan, pass the
+    * underlying slim frame the cuts/offsets should be computed from (it
+    * must contain the same `c` distribution). Ties all land in one
+    * bucket, so a single dominant value skews its bucket — inherent to
+    * exact tie-aware ranking; bucket counts otherwise balance to ~n/buckets. */
+  def withMidrank(df: DataFrame, c: String, out: String, buckets: Int = 0,
+                  statsSource: Option[DataFrame] = None,
+                  knownCuts: Option[Array[Double]] = None): DataFrame = {
+    val src = statsSource.getOrElse(df).select(col(c))
+    val n = if (buckets > 0) buckets
+            else df.sparkSession.sparkContext.defaultParallelism
+    // `knownCuts` lets callers batch several columns' cut points into
+    // one aggregation job; cut quality only affects balance, not
+    // correctness.
+    val cuts = knownCuts.getOrElse(src.stat.approxQuantile(
+      c, (1 until n).map(_.toDouble / n).toArray, 0.01)).distinct.sorted
+    def bucketOf(v: Column): Column =
+      cuts.foldLeft(lit(0)) { (acc, cut) =>
+        acc + when(v > lit(cut), 1).otherwise(0)
+      }
+    val offs = {
+      val partials = src.filter(col(c).isNotNull)
+        .groupBy(bucketOf(col(c)).as("__bkt"))
+        .agg(count(lit(1)).cast("double").as("__pn"))
+      val wOff = Window.orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      partials
+        .withColumn("__off", coalesce(sum(col("__pn")).over(wOff), lit(0.0)))
+        .select(col("__bkt"), col("__off"))
+    }
+    // Both frames share ONE window (same partitioning + ordering -> one
+    // shuffle, one sort, one WindowExec): the default RANGE frame spans
+    // up to and INCLUDING the current tie group; RANGE(0,0) is exactly
+    // the tie group.
+    val wCum = Window.partitionBy("__bkt").orderBy(col(c))
+    val wTie = wCum.rangeBetween(Window.currentRow, Window.currentRow)
+    df.withColumn("__bkt", bucketOf(col(c)))
+      .join(broadcast(offs), Seq("__bkt"), "left")
+      .withColumn(out, when(col(c).isNotNull,
+        col("__off") + count(col(c)).over(wCum).cast("double")
+          - count(col(c)).over(wTie)
+          + (count(col(c)).over(wTie) + 1) / 2.0))
+      .drop("__bkt", "__off")
   }
 
   /** Exact quantiles (pandas linear interpolation) via DISTRIBUTED SORT
