@@ -185,13 +185,12 @@ object Queries2 {
     "q_cumsum_global" -> ((s, d) => {
       val order = Seq(col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"), col("l_extendedprice"), col("l_discount"))
-      // project before the prefix-sum: globalCumsum localCheckpoints its
-      // input, so carrying the 11 unused lineitem columns through the
-      // range shuffle + materialization triples the bytes for nothing
-      Cumulative.globalCumsum(
+      // project before the prefix-sum so the bucket shuffle carries only
+      // the 5 needed columns, not all 16
+      Cumulative.globalCumsumBucketed(
         T(s, d, "lineitem").select("l_orderkey", "l_linenumber",
           "l_quantity", "l_extendedprice", "l_discount"),
-        order, col("l_quantity"), "cum_qty")
+        order, "l_orderkey", Seq(col("l_quantity") -> "cum_qty"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           r(col("cum_qty"), 2).as("cum_qty"))
         .orderBy(order: _*)

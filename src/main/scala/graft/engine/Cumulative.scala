@@ -95,6 +95,53 @@ object Cumulative {
     }.drop("__pid")
   }
 
+  /** GLOBAL running sum via VALUE-DETERMINISTIC buckets — the lazy,
+    * checkpoint-free alternative to [[globalCumsumMulti]] when the
+    * leading order column is numeric.
+    *
+    * One light job fetches ~`buckets` approximate quantile cut points
+    * of `lead`; the bucket id is then a pure function of the value, so
+    * the per-bucket partial-sums branch and the main branch agree by
+    * construction (a sampled `repartitionByRange` evaluated twice picks
+    * different bounds — the reason the Multi variant must checkpoint).
+    * Running offsets come from a window over the ~`buckets`-row partials
+    * table, broadcast back; within-bucket running sums are ordinary
+    * partitioned windows. Ties in `lead` share a bucket, so any total
+    * `order` extending `lead` is consistent across buckets.
+    *
+    * Same 2^53 Double-exactness bound as the Multi variant. */
+  def globalCumsumBucketed(df: org.apache.spark.sql.DataFrame,
+                           order: Seq[Column], lead: String,
+                           values: Seq[(Column, String)],
+                           buckets: Int = 0): org.apache.spark.sql.DataFrame = {
+    val n = if (buckets > 0) buckets
+            else df.sparkSession.sparkContext.defaultParallelism
+    val cuts = df.stat.approxQuantile(
+      lead, (1 until n).map(_.toDouble / n).toArray, 0.01).distinct.sorted
+    def bucketOf(v: Column): Column =
+      cuts.foldLeft(lit(0)) { (acc, cut) =>
+        acc + when(v > lit(cut), 1).otherwise(0)
+      }
+    val sums = values.zipWithIndex.map { case ((v, _), i) =>
+      coalesce(sum(v), lit(0.0)).as(s"__s$i")
+    }
+    val wOff = Window.orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = df.groupBy(bucketOf(col(lead)).as("__bkt"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("__bkt") +: values.indices.map(i =>
+        coalesce(sum(col(s"__s$i")).over(wOff), lit(0.0)).as(s"__off$i")): _*)
+    val w = Window.partitionBy("__bkt").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    values.zipWithIndex.foldLeft(
+        df.withColumn("__bkt", bucketOf(col(lead)))
+          .join(broadcast(offs), Seq("__bkt"), "left")) {
+        case (acc, ((v, out), i)) =>
+          acc.withColumn(out, sum(v).over(w) + col(s"__off$i"))
+      }
+      .drop("__bkt" +: values.indices.map(i => s"__off$i"): _*)
+  }
+
   /** pct_change(periods, fill_method='pad'): forward-fill then lag.
     * `x/lag(x) - 1` over the given ordering.
     *
