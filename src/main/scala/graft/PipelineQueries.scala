@@ -86,8 +86,10 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- LSH-bucketed ANN (scale path; no SQL oracle — hyperplanes are
-    //      engine-seeded; driver records rows-only check) ----
+    // ---- LSH-bucketed ANN (scale path). The seeded hyperplanes are
+    //      deterministic constants, INLINED as literals into the oracle
+    //      SQL, so DuckDB reproduces the buckets bit-for-bit -> full
+    //      rows/schema/hash check ----
     "q_ann_lsh" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
       Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
@@ -95,6 +97,17 @@ object PipelineQueries {
         .select(col("query_id"), col("neighbor_id"), r(col("cos"), 6).as("cos"),
           col("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- recall@5 of the LSH scale path vs the exact baseline — the
+    //      quality gate for the bucketed ANN ----
+    "q_ann_lsh_recall" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.lshTopK(q, emb, k = 5, planes = 4, dim = 64),
+        Similarity.bruteForceTopK(q, emb, k = 5), k = 5)
+        .orderBy("query_id")
     }),
 
     // ---- embedding near-dup pairs (exact threshold search) ----
@@ -302,8 +315,52 @@ object PipelineQueries {
          64 + (octet_length(CAST(text AS BLOB)) % 512) AS width,
          64 + (ascii(text) * 4) % 512 AS height,
          3 AS channels
-         FROM documents ORDER BY doc_id"""
-    // q_ann_lsh intentionally omitted: hyperplanes are engine-seeded
-    // (java.util.Random), not SQL-reproducible -> rows-only check.
+         FROM documents ORDER BY doc_id""",
+
+    "q_ann_lsh" ->
+      s"""WITH $LshCte
+         SELECT qid AS query_id, nid AS neighbor_id,
+           round(cos + 1e-9, 6) AS cos, rank
+         FROM lshranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_ann_lsh_recall" ->
+      s"""WITH $LshCte,
+         ann AS (SELECT qid, nid FROM lshranked WHERE rank <= 5),
+         bf AS (SELECT qid, nid FROM (
+                  SELECT q.qid, c.vec_id AS nid,
+                    row_number() OVER (PARTITION BY q.qid ORDER BY
+                      list_cosine_similarity(qv, CAST(c.embedding AS DOUBLE[])) DESC,
+                      c.vec_id) AS rank
+                  FROM lshq q, embeddings c WHERE c.vec_id <> q.qid)
+                WHERE rank <= 5),
+         hits AS (SELECT a.qid, count(*) AS h
+                  FROM ann a JOIN bf b ON a.qid = b.qid AND a.nid = b.nid
+                  GROUP BY 1)
+         SELECT b.qid AS query_id, coalesce(h, 0) / 5.0 AS recall
+         FROM (SELECT DISTINCT qid FROM bf) b
+         LEFT JOIN hits USING (qid) ORDER BY query_id"""
   )
+
+  /** The 4 seeded LSH hyperplanes as SQL literals — SAME generator as
+    * Similarity.lshTopK's (hyperplanes(4, 64, seed=42)); Double.toString
+    * round-trips exactly, so DuckDB reproduces the bucket bits. */
+  private lazy val LshCte: String = {
+    val planes = Similarity.hyperplanes(4, 64, 42L)
+    def bucketSql(v: String): String = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($v, ${p.mkString("[", ", ", "]")}) >= 0 " +
+        s"THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""lshq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id < 10),
+       qb AS (SELECT qid, qv, ${bucketSql("qv")} AS bkt FROM lshq),
+       cb AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv,
+                ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bkt
+              FROM embeddings),
+       lshscored AS (SELECT qid, nid, list_cosine_similarity(qv, cv) AS cos
+                     FROM qb JOIN cb USING (bkt) WHERE nid <> qid),
+       lshranked AS (SELECT qid, nid, cos,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY cos DESC, nid) AS rank
+                     FROM lshscored)"""
+  }
 }

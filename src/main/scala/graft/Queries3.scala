@@ -150,15 +150,27 @@ object Queries3 {
         .orderBy("o_orderpriority", "rn")
     }),
 
-    // ---- IVF ANN (scale path; centroids are engine-collected -> rows-only
-    //      check, same treatment as q_ann_lsh) ----
+    // ---- IVF ANN (scale path). Deterministic centroid table (the 16
+    //      lowest vec_ids) makes cell assignment + probes fully
+    //      SQL-reproducible -> full rows/schema/hash check ----
     "q_ann_ivf" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
-      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
-        nlist = 16, nprobe = 4)
+      Similarity.ivfTopKWith(emb.filter(col("vec_id") < 10), emb,
+        centroids = emb.filter(col("vec_id") < 16), k = 5, nprobe = 4)
         .select(col("query_id"), col("neighbor_id"), r(col("cos"), 6).as("cos"),
           col("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- recall@5 of the IVF scale path vs the exact baseline ----
+    "q_ann_ivf_recall" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+        Similarity.ivfTopKWith(q, emb, centroids = emb.filter(col("vec_id") < 16),
+          k = 5, nprobe = 4),
+        Similarity.bruteForceTopK(q, emb, k = 5), k = 5)
+        .orderBy("query_id")
     })
   )
 
@@ -264,9 +276,65 @@ object Queries3 {
            ORDER BY o_totalprice DESC, o_orderkey) AS rn
          FROM orders
          QUALIFY rn <= 3
-         ORDER BY o_orderpriority, rn"""
+         ORDER BY o_orderpriority, rn""",
 
-    // q_ann_ivf intentionally omitted: centroid sample is engine-collected
-    // (xxhash64 order), not SQL-reproducible -> rows-only check.
+    "q_ann_ivf" ->
+      s"""WITH $IvfCte
+         SELECT qid AS query_id, nid AS neighbor_id,
+           round(cos + 1e-9, 6) AS cos, rank
+         FROM ivfranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_ann_ivf_recall" ->
+      s"""WITH $IvfCte,
+         ann AS (SELECT qid, nid FROM ivfranked WHERE rank <= 5),
+         bf AS (SELECT qid, nid FROM (
+                  SELECT q.qid, c.vec_id AS nid,
+                    row_number() OVER (PARTITION BY q.qid ORDER BY
+                      list_cosine_similarity(qv, CAST(c.embedding AS DOUBLE[])) DESC,
+                      c.vec_id) AS rank
+                  FROM ivfq q, embeddings c WHERE c.vec_id <> q.qid)
+                WHERE rank <= 5),
+         hits AS (SELECT a.qid, count(*) AS h
+                  FROM ann a JOIN bf b ON a.qid = b.qid AND a.nid = b.nid
+                  GROUP BY 1)
+         SELECT b.qid AS query_id, coalesce(h, 0) / 5.0 AS recall
+         FROM (SELECT DISTINCT qid FROM bf) b
+         LEFT JOIN hits USING (qid) ORDER BY query_id"""
   )
+
+  /** IVF cell assignment + probe lists in SQL, mirroring
+    * Similarity.ivfTopKWith with centroids = vec_id < 16, nprobe = 4:
+    * argmax-cosine cell per corpus vector (first-max tie-break = lowest
+    * centroid id, same as the engine's ascending scan), top-4 cells per
+    * query. */
+  private lazy val IvfCte: String =
+    """cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                 FROM embeddings WHERE vec_id < 16),
+       corp AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nv
+                FROM embeddings),
+       cs AS (SELECT nid, cid, list_cosine_similarity(nv, cv) AS s
+              FROM corp, cents),
+       csr AS (SELECT nid, cid,
+                 row_number() OVER (PARTITION BY nid ORDER BY s DESC, cid) AS rn
+               FROM cs),
+       assign AS (SELECT nid, cid AS cell FROM csr WHERE rn = 1),
+       ivfq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 10),
+       qs AS (SELECT qid, cid, list_cosine_similarity(qv, cv) AS s
+              FROM ivfq, cents),
+       qsr AS (SELECT qid, cid,
+                 row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) AS rn
+               FROM qs),
+       probe AS (SELECT qid, cid AS cell FROM qsr WHERE rn <= 4),
+       cand AS (SELECT q.qid, c.nid,
+                  list_cosine_similarity(q.qv, c.nv) AS cos
+                FROM ivfq q
+                JOIN probe p ON p.qid = q.qid
+                JOIN assign a ON a.cell = p.cell
+                JOIN corp c ON c.nid = a.nid
+                WHERE c.nid <> q.qid),
+       ivfranked AS (SELECT qid, nid, cos,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY cos DESC, nid) AS rank
+                     FROM cand)"""
 }

@@ -132,7 +132,20 @@ object Similarity {
     * centroid matrix: O(nlist*d) per vector, map-side, no shuffle.
     * `nprobe = nlist` degrades to exact search — the spec's oracle. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nlist: Int,
-              nprobe: Int, seed: Long = 42L): DataFrame = {
+              nprobe: Int, seed: Long = 42L): DataFrame =
+    ivfTopKWith(queries, corpus,
+      corpus.select(col("vec_id"), col("embedding"))
+        .withColumn("__h", xxhash64(asDouble(col("embedding")).cast("string"),
+          lit(seed)))
+        .orderBy("__h").limit(nlist).drop("__h"),
+      k, nprobe)
+
+  /** [[ivfTopK]] with an EXPLICIT centroid table (vec_id, embedding) —
+    * lets callers pick deterministic, externally-reproducible centroids
+    * (fixed ids, k-means output, …); the default overload hash-samples
+    * `nlist` corpus rows. */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
+                  centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     def l2(v: Array[Double]): Double = {
@@ -140,11 +153,11 @@ object Similarity {
       while (i < v.length) { s += v(i) * v(i); i += 1 }
       math.sqrt(s)
     }
-    val cents: Array[(Array[Double], Double)] = corpus
-      .select(asDouble(col("embedding")).as("v"))
-      .withColumn("__h", xxhash64(col("v").cast("string"), lit(seed)))
-      .orderBy("__h").limit(nlist)
-      .select("v").as[Array[Double]].collect()
+    // ordered by centroid id so cell indexes (and first-max tie-breaks)
+    // are deterministic and SQL-reproducible
+    val cents: Array[(Array[Double], Double)] = centroids
+      .orderBy(col("vec_id"))
+      .select(asDouble(col("embedding")).as("v")).as[Array[Double]].collect()
       .map(v => (v, l2(v)))
     val bc = spark.sparkContext.broadcast(cents)
     def cellScores(v: Seq[Double]): Array[Double] = {
@@ -186,6 +199,22 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** recall@k of an ANN result against the exact baseline: per query,
+    * |ANN neighbors ∩ exact top-k| / k. Queries the ANN missed entirely
+    * surface with recall 0 (left join from the exact side, which by
+    * construction has every query). Inputs are (query_id, neighbor_id,
+    * …) frames as produced by the *TopK methods. */
+  def recallAtK(ann: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hits = ann.select(col("query_id"), col("neighbor_id"))
+      .join(exact.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("__hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("__hits"), lit(0L)) / k.toDouble).as("recall"))
   }
 
   /** Exact embedding near-duplicate pairs: all pairs with cosine >=
