@@ -24,6 +24,7 @@ object Queries2 {
   /** Gaussian win_type weights shared by query and oracle (inlined as
     * literals so both engines use identical constants). */
   private val gaussW: Seq[Double] = WindowOps.gaussianWeights(5, 1.0)
+  private val hammW: Seq[Double] = WindowOps.hammingWeights(5)
   private def lit17(d: Double): String =
     "%.17g".formatLocal(java.util.Locale.ROOT, d)
 
@@ -240,6 +241,44 @@ object Queries2 {
         col("event_id"), col("user_id"),
         r(WindowOps.weightedMean(col("value"), byUser, gaussW), 4).as("gmean"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // ---- §2.8 groupby transform with an ARBITRARY UDF (join-back
+    //      path): per-user demeaning; exercises the flatMapGroups +
+    //      row-id join shape ----
+    "q_groupby_transform_udf" -> ((s, d) => {
+      GroupOps.transformApply(T(s, d, "events"),
+        keys = Seq("user_id"), ordCol = "event_id",
+        valueCol = "value", out = "demean") { xs =>
+        val m = xs.sum / xs.size
+        xs.map(_ - m)
+      }
+        .select(col("event_id"), col("user_id"), r(col("demean"), 4).as("demean"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- §2.9 ewm ignore_na=True through mean/sum/std (null clock does
+    //      not advance the decay; nulls synthesized from event_type) ----
+    "q_ewm_ignorena" -> ((s, d) => {
+      val v = when(col("event_type") === "click", col("value"))
+      T(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        r(Ewm.mean(v, byUser, 0.2, ignoreNa = true), 4).as("im_mean"),
+        r(Ewm.sum(v, byUser, 0.2, ignoreNa = true), 4).as("im_sum"),
+        // scale 2: closed-form pow-sum oracle carries ~1e-8 relative
+        // error (same reason as q_ewm's ewm_var)
+        r(Ewm.std(v, byUser, 0.2, ignoreNa = true), 2).as("im_std"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- §2.9 weighted window std/var (WIN_OPS parity: mean/sum/std/var;
+    //      win_type='hamming') ----
+    "q_weighted_std" -> ((s, d) => {
+      T(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        r(WindowOps.weightedVar(col("value"), byUser, hammW), 4).as("wvar"),
+        r(WindowOps.weightedStd(col("value"), byUser, hammW), 4).as("wstd"))
+        .orderBy("user_id", "event_id")
     })
   )
 
@@ -408,6 +447,61 @@ object Queries2 {
       }.mkString(" + ")
       s"""SELECT event_id, user_id,
          round(($terms) / ${lit17(gaussW.sum)} + 1e-9, 4) AS gmean
+         FROM events WINDOW w AS ($evWin) ORDER BY user_id, event_id"""
+    },
+
+    "q_groupby_transform_udf" ->
+      """SELECT event_id, user_id,
+         round(value - avg(value) OVER (PARTITION BY user_id) + 1e-9, 4) AS demean
+         FROM events ORDER BY user_id, event_id""",
+
+    // ignore_na=True: weights are (1-a)^(distance among VALID obs); the
+    // valid-observation index cv makes the same closed-form geometric
+    // sums as q_ewm work (valid positions are consecutive integers)
+    "q_ewm_ignorena" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+           CASE WHEN event_type = 'click' THEN value END AS v FROM events),
+         o AS (SELECT event_id, user_id, ts, v,
+           count(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS cv
+           FROM e),
+         c AS (SELECT event_id, user_id, cv,
+           sum(CASE WHEN v IS NOT NULL THEN v * pow(0.8, -cv) END) OVER w AS su,
+           sum(CASE WHEN v IS NOT NULL THEN pow(0.8, -cv) END) OVER w AS sw,
+           sum(CASE WHEN v IS NOT NULL THEN v * v * pow(0.8, -cv) END) OVER w AS sxx,
+           (1 - pow(0.8, cv)) / 0.2 AS swc,
+           (1 - pow(0.64, cv)) / 0.36 AS sw2c
+           FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING))
+         SELECT event_id, user_id,
+           round(su/sw + 1e-9, 4) AS im_mean,
+           round(su * pow(0.8, cv) + 1e-9, 4) AS im_sum,
+           round(sqrt(CASE WHEN cv >= 2 THEN
+             (sxx/sw - (su/sw)*(su/sw)) * (swc*swc/(swc*swc - sw2c)) END) + 1e-9, 2)
+             AS im_std
+         FROM c ORDER BY user_id, event_id""",
+
+    "q_weighted_std" -> {
+      // same expanded pandas roll_weighted_var formula as
+      // WindowOps.weightedVar, clamped at 0 on both engines
+      def lagT(i: Int): String = {
+        val lagN = hammW.size - 1 - i
+        if (lagN == 0) "value" else s"lag(value,$lagN) OVER w"
+      }
+      val s1 = hammW.zipWithIndex.map { case (wt, i) =>
+        s"${lit17(wt)}*${lagT(i)}"
+      }.mkString(" + ")
+      val s2 = hammW.zipWithIndex.map { case (wt, i) =>
+        s"${lit17(wt)}*${lagT(i)}*${lagT(i)}"
+      }.mkString(" + ")
+      val n = hammW.size
+      // DuckDB's greatest also ignores NULLs -> same explicit guard
+      val varExpr = s"CASE WHEN ($s1) IS NOT NULL THEN " +
+        s"greatest((($s2) - ($s1)*($s1)/${lit17(hammW.sum)}) " +
+        s"* $n / ${lit17((n - 1) * hammW.sum)}, 0) END"
+      s"""SELECT event_id, user_id,
+         round($varExpr + 1e-9, 4) AS wvar,
+         round(sqrt($varExpr) + 1e-9, 4) AS wstd
          FROM events WINDOW w AS ($evWin) ORDER BY user_id, event_id"""
     }
   )

@@ -73,14 +73,16 @@ object Ewm {
     }
 
   /** pandas ewm.sum = decayed sum (adjust=True). */
-  def sumAgg(alpha: Double): Aggregator[java.lang.Double, Buf, java.lang.Double] =
-    new EwmAgg(alpha) {
+  def sumAgg(alpha: Double, ignoreNa: Boolean = false)
+    : Aggregator[java.lang.Double, Buf, java.lang.Double] =
+    new EwmAgg(alpha, ignoreNa) {
       def finish(b: Buf): java.lang.Double = if (b.n == 0) null else b.swx
     }
 
   /** bias=False (pandas default): debias by sw^2 / (sw^2 - sw2). */
-  def varAgg(alpha: Double): Aggregator[java.lang.Double, Buf, java.lang.Double] =
-    new EwmAgg(alpha) {
+  def varAgg(alpha: Double, ignoreNa: Boolean = false)
+    : Aggregator[java.lang.Double, Buf, java.lang.Double] =
+    new EwmAgg(alpha, ignoreNa) {
       def finish(b: Buf): java.lang.Double = {
         val denom = b.sw * b.sw - b.sw2
         if (b.sw <= 0 || denom <= 0) null
@@ -98,10 +100,13 @@ object Ewm {
   def mean(c: Column, w: WindowSpec, alpha: Double,
            ignoreNa: Boolean = false): Column =
     udaf(meanAgg(alpha, ignoreNa)).apply(c).over(running(w))
-  def sum(c: Column, w: WindowSpec, alpha: Double): Column =
-    udaf(sumAgg(alpha)).apply(c).over(running(w))
-  def variance(c: Column, w: WindowSpec, alpha: Double): Column =
-    udaf(varAgg(alpha)).apply(c).over(running(w))
-  def std(c: Column, w: WindowSpec, alpha: Double): Column =
-    sqrt(variance(c, w, alpha))
+  def sum(c: Column, w: WindowSpec, alpha: Double,
+          ignoreNa: Boolean = false): Column =
+    udaf(sumAgg(alpha, ignoreNa)).apply(c).over(running(w))
+  def variance(c: Column, w: WindowSpec, alpha: Double,
+               ignoreNa: Boolean = false): Column =
+    udaf(varAgg(alpha, ignoreNa)).apply(c).over(running(w))
+  def std(c: Column, w: WindowSpec, alpha: Double,
+          ignoreNa: Boolean = false): Column =
+    sqrt(variance(c, w, alpha, ignoreNa))
 }

@@ -67,6 +67,46 @@ object GroupOps {
     when(anyNull, lit(null)).otherwise(aggFn(fn)(c).over(w))
   }
 
+  /** pandas `GroupBy.transform(func)` with an ARBITRARY series->series
+    * function — the join-back path for callables the window fast path
+    * ([[transform]]) can't express (reference accepts any callable,
+    * `parallel_groupby.py:96-184`).
+    *
+    * Shape: a slim (group-key, row-id, order, value) projection goes
+    * through ONE `flatMapGroups` pass that sorts each group by `ordCol`,
+    * applies `f` to the group's value series (nulls arrive as NaN, like
+    * pandas), and emits (row-id, result); an equi-join on the row id
+    * puts results back on the full rows. Null-key rows never enter a
+    * group and stay null (pandas parity). Two shuffles (groups + join),
+    * both on compact keys; group contents must fit one executor — the
+    * same contract as pandas' per-group callable. */
+  def transformApply(df: DataFrame, keys: Seq[String], ordCol: String,
+                     valueCol: String, out: String)
+                    (f: IndexedSeq[Double] => IndexedSeq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withId = df.withColumn("__rid", monotonically_increasing_id())
+    val slim = withId
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        concat_ws("\u0001", keys.map(col(_).cast("string")): _*).as("__k"),
+        col("__rid"),
+        col(ordCol).cast("double").as("__o"),
+        coalesce(col(valueCol).cast("double"), lit(Double.NaN)).as("__v"))
+      .as[(String, Long, Double, Double)]
+    val mapped = slim.groupByKey(_._1)
+      .flatMapGroups { (_: String, it: Iterator[(String, Long, Double, Double)]) =>
+        val rows = it.toIndexedSeq.sortBy(_._3)
+        val outs = f(rows.map(_._4))
+        require(outs.size == rows.size,
+          s"transform fn returned ${outs.size} values for a ${rows.size}-row group")
+        rows.iterator.zip(outs.iterator).map { case (rw, v) => (rw._2, v) }
+      }
+      .toDF("__rid2", out)
+    withId.join(mapped, col("__rid") === col("__rid2"), "left")
+      .drop("__rid", "__rid2")
+  }
+
   /** pivot_table: groupBy(index).pivot(column, values).agg. Providing the
     * pivot values explicitly skips Spark's extra distinct-collect job and
     * makes output columns deterministic. */

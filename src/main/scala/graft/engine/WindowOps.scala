@@ -102,6 +102,35 @@ object WindowOps {
   def weightedMean(c: Column, w: WindowSpec, weights: Seq[Double]): Column =
     weightedSum(c, w, weights) / lit(weights.sum)
 
+  /** pandas weighted rolling variance (`win_type=` + `.var(ddof)`;
+    * `roll_weighted_var`): with W = Σw, n = window size,
+    *   var = Σw·(x-μ_w)² · n / ((n-ddof)·W)
+    *       = (Σw·x² − (Σw·x)²/W) · n / ((n-ddof)·W).
+    * Clamped at 0: the expanded form can dip to -ε where the
+    * deviation-sum form is exactly 0. Null until the window is full,
+    * like [[weightedSum]]. */
+  def weightedVar(c: Column, w: WindowSpec, weights: Seq[Double],
+                  ddof: Int = 1): Column = {
+    val n = weights.size
+    val sumW = weights.sum
+    def lagged(i: Int): Column = lag(c, n - 1 - i).over(w)
+    val s1 = weights.zipWithIndex.map { case (wt, i) => lagged(i) * lit(wt) }
+      .reduce(_ + _)
+    val s2 = weights.zipWithIndex.map { case (wt, i) =>
+      val x = lagged(i); x * x * lit(wt)
+    }.reduce(_ + _)
+    // greatest() IGNORES nulls, so guard explicitly to keep the
+    // null-until-full-window semantics
+    when(s1.isNotNull,
+      greatest((s2 - s1 * s1 / lit(sumW)) * n / lit((n - ddof) * sumW),
+        lit(0.0)))
+  }
+
+  /** pandas weighted rolling std = sqrt of [[weightedVar]]. */
+  def weightedStd(c: Column, w: WindowSpec, weights: Seq[Double],
+                  ddof: Int = 1): Column =
+    sqrt(weightedVar(c, w, weights, ddof))
+
   /** pandas `Rolling.cov(other, ddof=1)` between two columns. Spark's
     * `covar_samp` drops pairs where either side is null — exactly pandas'
     * pairwise masking; the gate counts complete pairs. */
@@ -122,7 +151,9 @@ object WindowOps {
     * `:106-118`). All exprs share the WindowSpec, so WindowExec evaluates
     * them in ONE pass over each frame — no per-op re-sort. */
   def rAggSpec(spec: Seq[(Column, String, Seq[String])], w: WindowSpec,
-               mp: Int): Seq[Column] =
+               mp: Int,
+               custom: Map[String, (Column, WindowSpec, Int) => Column] =
+                 Map.empty): Seq[Column] =
     for ((c, name, fns) <- spec; fn <- fns) yield {
       val e = fn match {
         case "mean" => rMean(c, w, mp)
@@ -136,7 +167,13 @@ object WindowOps {
         case "skew" => rSkew(c, w, mp)
         case "kurt" => rKurt(c, w, mp)
         case "count" => rCount(c, w)
-        case other => throw new IllegalArgumentException(s"unknown agg '$other'")
+        // ROLL_AND_EXP_OPS completeness (main.py:44-45): quantile with
+        // pandas' default q, rank with defaults; callables ('apply' and
+        // parameterized quantile/rank) come in via `custom`
+        case "quantile" => rQuantile(c, w, mp, 0.5)
+        case "rank" => rRank(c, w, mp)
+        case other => custom.get(other).map(_(c, w, mp)).getOrElse(
+          throw new IllegalArgumentException(s"unknown agg '$other'"))
       }
       e.as(s"${name}_$fn")
     }
@@ -156,7 +193,8 @@ object WindowOps {
   /** General cosine-sum family: hamming = (0.54, 0.46), hann = (0.5, 0.5),
     * blackman adds the second harmonic. */
   private def cosineSum(n: Int, a: Seq[Double]): Seq[Double] =
-    (0 until n).map { i =>
+    if (n == 1) Seq(1.0) // scipy convention; avoids 0/0 at n=1
+    else (0 until n).map { i =>
       val t = 2.0 * math.Pi * i / (n - 1)
       a.zipWithIndex.map { case (ak, k) =>
         (if (k % 2 == 0) 1 else -1) * ak * math.cos(k * t)
@@ -166,7 +204,8 @@ object WindowOps {
   def hannWeights(n: Int): Seq[Double] = cosineSum(n, Seq(0.5, 0.5))
   def blackmanWeights(n: Int): Seq[Double] = cosineSum(n, Seq(0.42, 0.5, 0.08))
   def bartlettWeights(n: Int): Seq[Double] =
-    (0 until n).map { i =>
+    if (n == 1) Seq(1.0) // avoids 0/0 at n=1
+    else (0 until n).map { i =>
       val half = (n - 1) / 2.0
       1.0 - math.abs(i - half) / half
     }

@@ -31,6 +31,26 @@ class GroupCorrSpec extends SparkSpec {
       Seq(Some(2.0), Some(2.0), Some(4.0), Some(4.0), None))
   }
 
+  test("transformApply: arbitrary series UDF joins back; null keys stay null") {
+    // per-group demean: a -> [-1, 1], b -> [-2, 2], null key -> null
+    val df = g.withColumn("o", monotonically_increasing_id())
+    val out = GroupOps.transformApply(df, Seq("k"), "o", "v", "t") { xs =>
+      val m = xs.sum / xs.size; xs.map(_ - m)
+    }.orderBy("o")
+    assertSeqApprox(colD(out, "t"),
+      Seq(Some(-1.0), Some(1.0), Some(-2.0), Some(2.0), None))
+  }
+
+  test("transformApply: series order follows ordCol, not input order") {
+    // cumulative sum within group depends on ordering -> reversed ord
+    // must produce reversed accumulation
+    val df = Seq(("a", 2L, 10.0), ("a", 1L, 1.0)).toDF("k", "o", "v")
+    val out = GroupOps.transformApply(df, Seq("k"), "o", "v", "c") { xs =>
+      xs.scanLeft(0.0)(_ + _).tail.toIndexedSeq
+    }.orderBy("o")
+    assertSeqApprox(colD(out, "c"), Seq(Some(1.0), Some(11.0)))
+  }
+
   test("pivot_table with explicit values and fill") {
     val df = Seq(("r1", "F", 1.0), ("r1", "O", 2.0), ("r2", "F", 3.0))
       .toDF("idx", "cat", "v")

@@ -60,6 +60,42 @@ class WindowSpec extends SparkSpec {
       Seq(None, None, Some(2.25), Some(3.0), Some(4.0)))
   }
 
+  test("weighted (triang) rolling var/std match pandas roll_weighted_var") {
+    // hand-computed: w=[0.5,1,0.5], window [1,3,2] -> 1.03125,
+    // [3,2,5] -> 2.25, [2,5,4] -> 2.25
+    val wts = WindowOps.triangWeights(3)
+    val out = r5.select(col("i"),
+      WindowOps.weightedVar(col("v"), byI, wts).as("wv"),
+      WindowOps.weightedStd(col("v"), byI, wts).as("ws")).orderBy("i")
+    assertSeqApprox(colD(out, "wv"),
+      Seq(None, None, Some(1.03125), Some(2.25), Some(2.25)))
+    assertSeqApprox(colD(out, "ws"),
+      Seq(None, None, Some(math.sqrt(1.03125)), Some(1.5), Some(1.5)))
+  }
+
+  test("window weight generators are finite at n=1") {
+    for (w <- Seq(WindowOps.triangWeights(1), WindowOps.gaussianWeights(1, 1.0),
+      WindowOps.hammingWeights(1), WindowOps.hannWeights(1),
+      WindowOps.blackmanWeights(1), WindowOps.bartlettWeights(1))) {
+      assert(w.size == 1 && !w.head.isNaN && !w.head.isInfinite)
+    }
+  }
+
+  test("rAggSpec dispatches quantile/rank and custom callables") {
+    val spec = Seq((col("v"), "v", Seq("mean", "quantile", "rank", "range")))
+    val w = WindowOps.rollingSpec(byI, 3)
+    val out = r5.select(col("i") +: WindowOps.rAggSpec(spec, w, 3,
+      custom = Map("range" -> ((c, ws, mp) =>
+        WindowOps.rMax(c, ws, mp) - WindowOps.rMin(c, ws, mp)))): _*)
+      .orderBy("i")
+    assert(out.columns.toSeq ==
+      Seq("i", "v_mean", "v_quantile", "v_rank", "v_range"))
+    assertSeqApprox(colD(out, "v_quantile"),
+      Seq(None, None, Some(2.0), Some(3.0), Some(4.0)))
+    assertSeqApprox(colD(out, "v_range"),
+      Seq(None, None, Some(2.0), Some(3.0), Some(3.0)))
+  }
+
   test("ewm mean/var/sum match pandas adjust=True bias=False") {
     val e = Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex
       .map { case (v, i) => (i.toLong, v) }.toDF("i", "v")
@@ -105,6 +141,21 @@ class WindowSpec extends SparkSpec {
       Ewm.mean(col("v"), byI, 0.5, ignoreNa = true).as("m")).orderBy("i")
     assertSeqApprox(colD(out, "m"),
       Seq(Some(1.0), Some(1.0), Some(7.0 / 3), Some(3.2857142857142856)))
+  }
+
+  test("ewm ignore_na=True through sum and var/std") {
+    // pandas: Series([1, nan, 3, 4]).ewm(alpha=0.5, adjust=True,
+    //   ignore_na=True): sum=[1, 1, 3.5, 5.75],
+    //   var=[nan, nan, 2.0, 1.857142857142857]
+    val df = Seq(Some(1.0), None, Some(3.0), Some(4.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("i", "v")
+    val out = df.select(col("i"),
+      Ewm.sum(col("v"), byI, 0.5, ignoreNa = true).as("s"),
+      Ewm.variance(col("v"), byI, 0.5, ignoreNa = true).as("var")).orderBy("i")
+    assertSeqApprox(colD(out, "s"),
+      Seq(1.0, 1.0, 3.5, 5.75).map(Some(_)))
+    assertSeqApprox(colD(out, "var"),
+      Seq(None, None, Some(2.0), Some(1.857142857142857)), 1e-9)
   }
 
   test("ewm alpha parameterizations: span/com/halflife") {
