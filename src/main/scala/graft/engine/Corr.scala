@@ -127,12 +127,29 @@ object Corr {
     df.sparkSession.createDataFrame(rows).toDF("c1", "c2", "corr")
   }
 
-  /** Kendall tau-b over a (bounded) frame: self-join pairwise counting.
-    * tau_b = (C - D) / sqrt((n0 - tx)(n0 - ty)). */
-  def kendall(df: DataFrame, a: String, b: String): DataFrame = {
+  /** Kendall tau-b over a BOUNDED frame: self-join pairwise counting.
+    * tau_b = (C - D) / sqrt((n0 - tx)(n0 - ty)).
+    *
+    * The pairwise form is O(n²) by construction (so is the reference's
+    * kernel), so this GUARDS eagerly: one count job, and anything over
+    * `maxExactRows` fails fast with a pointer at [[kendallApprox]]
+    * instead of silently launching an n² broadcast-nested-loop join.
+    * The default bound (100k rows -> 10^10 sign pairs) is already
+    * minutes of cluster work — raise it knowingly or sample. */
+  def kendall(df: DataFrame, a: String, b: String,
+              maxExactRows: Long = 100000): DataFrame = {
     val base = df.select(col(a).as("x"), col(b).as("y"))
-      .filter(col(a).isNotNull && col(b).isNotNull)
-      .withColumn("i", monotonically_increasing_id())
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val n = base.count()
+    require(n <= maxExactRows,
+      s"exact kendall is O(n^2) and the frame has $n rows " +
+        s"(> maxExactRows=$maxExactRows); use kendallApprox, or raise " +
+        "maxExactRows explicitly if you really mean it")
+    kendallUnguarded(base)
+  }
+
+  private def kendallUnguarded(base0: DataFrame): DataFrame = {
+    val base = base0.withColumn("i", monotonically_increasing_id())
     val l = base.select(col("i").as("i1"), col("x").as("x1"), col("y").as("y1"))
     val r = base.select(col("i").as("i2"), col("x").as("x2"), col("y").as("y2"))
     val pairs = l.join(r, col("i1") < col("i2"))
@@ -158,11 +175,17 @@ object Corr {
     * few seconds of distributed work regardless of input size. */
   def kendallApprox(df: DataFrame, a: String, b: String,
                     maxRows: Int = 10000, seed: Long = 42L): DataFrame = {
+    // The hash mixes a per-row id: hashing only (x, y) would sample
+    // duplicate value pairs all-or-nothing, biasing tau-b toward
+    // whatever ties happened to hash low. The row id is deterministic
+    // for a fixed input layout (stable re-runs), which is the
+    // reproducibility this sketch promises.
     val sampled = df
       .filter(col(a).isNotNull && col(b).isNotNull)
-      .withColumn("__h", xxhash64(col(a), col(b), lit(seed)))
+      .withColumn("__h",
+        xxhash64(col(a), col(b), monotonically_increasing_id(), lit(seed)))
       .orderBy("__h").limit(maxRows)
       .drop("__h")
-    kendall(sampled, a, b)
+    kendallUnguarded(sampled.select(col(a).as("x"), col(b).as("y")))
   }
 }

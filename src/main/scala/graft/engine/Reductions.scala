@@ -355,6 +355,7 @@ object Reductions {
     * for the exact quartiles; the result is assembled driver-side
     * (describe is an eager, human-sized summary — pandas' is too). */
   def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "describe: at least one column required")
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).cast("double").as(s"count__$c"),
@@ -370,9 +371,11 @@ object Reductions {
     }
     // one sort job per column; submit them CONCURRENTLY — Spark's
     // scheduler interleaves independent jobs, so wall time is ~one sort
-    // instead of cols.size sequential sorts
+    // instead of cols.size sequential sorts. Pool capped: submission
+    // threads only enqueue jobs, so 8 is plenty for any column count.
     val quarts = {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(cols.size)
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(cols.size, 8))
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
       try scala.concurrent.Await.result(

@@ -137,7 +137,6 @@ object Dedup {
     * ness is decided on the STRINGS, so set sizes are exact; a 64-bit
     * collision merging two shingles across a doc pair has probability
     * ~n²/2^65 — negligible against float-rounding noise. */
-  private[graft] def shingleSetForProfile(k: Int) = shingleHash64SetUdf(k)
 
   private def shingleHash64SetUdf(k: Int) = udf { ws: Seq[String] =>
     if (ws == null || ws.isEmpty) Array.empty[Long]
@@ -178,7 +177,8 @@ object Dedup {
     * signatures must differ), so no distinct shuffle either.
     *
     * Skew guard: a bucket of B near-identical docs yields B²/2 pairs —
-    * quadratic in the hottest bucket. With `maxBucket > 0`, any bucket
+    * quadratic in the hottest bucket. With `maxBucket > 0` (the finite
+    * default caps a template-heavy corpus's hottest bucket), any bucket
     * larger than that emits a STAR instead (every member paired with the
     * bucket minimum): linear output that preserves exactly the
     * connectivity [[clusters]] needs, at the cost of losing the
@@ -189,7 +189,7 @@ object Dedup {
     * the oracle-checked default at test scale. */
   def minhashLshPairs(df0: DataFrame, id: String, text: String,
                       k: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
-                      maxBucket: Int = 0): DataFrame = {
+                      maxBucket: Int = 100000): DataFrame = {
     val spark = df0.sparkSession
     import spark.implicits._
     val df = graft.engine.Core.spread(df0)
@@ -265,7 +265,7 @@ object Dedup {
     * FIRST-colliding-band rule and the hamming gate applied in the same
     * JVM loop — no self-join, no checkpoint, no distinct. */
   def simhashPairs(df: DataFrame, id: String, text: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val fps = simhash32(df, id, text)
@@ -288,14 +288,34 @@ object Dedup {
           }
           true
         }
-        for {
-          i <- members.indices.iterator
-          j <- (i + 1 until members.length).iterator
-          h = java.lang.Long.bitCount(members(i)._2 ^ members(j)._2)
-          if h <= maxHamming && firstBand(members(i)._2, members(j)._2)
-        } yield {
-          val (d1, d2) = (members(i)._1, members(j)._1)
-          if (d1 < d2) (d1, d2, h) else (d2, d1, h)
+        if (maxBucket > 0 && members.length > maxBucket) {
+          // over-cap bucket (template-heavy corpus): degrade to a
+          // min-doc hub star, O(bucket) pairs — keeps the hamming gate,
+          // preserves hub-connectivity for dedup clustering, but no
+          // longer enumerates every qualifying pair (documented
+          // approximation; same guard shape as minhashLshPairs)
+          var hub = members(0)
+          var m = 1
+          while (m < members.length) {
+            if (members(m)._1 < hub._1) hub = members(m); m += 1
+          }
+          val (hd, hf) = hub
+          members.iterator.filter(_._1 != hd).flatMap { case (d, f) =>
+            val h = java.lang.Long.bitCount(hf ^ f)
+            if (h <= maxHamming) {
+              Some(if (hd < d) (hd, d, h) else (d, hd, h))
+            } else None
+          }
+        } else {
+          for {
+            i <- members.indices.iterator
+            j <- (i + 1 until members.length).iterator
+            h = java.lang.Long.bitCount(members(i)._2 ^ members(j)._2)
+            if h <= maxHamming && firstBand(members(i)._2, members(j)._2)
+          } yield {
+            val (d1, d2) = (members(i)._1, members(j)._1)
+            if (d1 < d2) (d1, d2, h) else (d2, d1, h)
+          }
         }
       }
       .toDF("doc1", "doc2", "hamming")
@@ -379,6 +399,13 @@ object Dedup {
       n = edges.count()
       pass += 1
     }
+    // fail fast instead of silently collecting an over-limit edge set
+    // when contraction stalls (e.g. one giant clique-free component that
+    // no partition-local pass can collapse further)
+    require(n <= driverEdgeLimit,
+      s"CC contraction stalled at $n edges (> driverEdgeLimit=" +
+        s"$driverEdgeLimit) after $pass passes; raise driverEdgeLimit " +
+        "or maxContract, or pre-partition the edge set")
     // bounded exact finish: contracted edges fit on the driver
     val uf = new UnionFind
     edges.as[(Long, Long)].collect().foreach { case (a, b) => uf.union(a, b) }

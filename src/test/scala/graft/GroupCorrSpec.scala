@@ -117,6 +117,14 @@ class GroupCorrSpec extends SparkSpec {
     assertApprox(d1(Corr.kendall(xy, "x", "y")), Some(-0.5477225575051661), 1e-9)
   }
 
+  test("exact kendall fails fast above maxExactRows") {
+    import spark.implicits._
+    val big = (1 to 100).map(i => (i.toDouble, i * 1.0)).toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      Corr.kendall(big, "x", "y", maxExactRows = 50)
+    }
+  }
+
   test("kendallApprox: exact when the sample covers the input; close on a sample") {
     import spark.implicits._
     // maxRows >= n -> identical to exact
