@@ -271,6 +271,23 @@ object Queries2 {
         .orderBy("user_id", "event_id")
     }),
 
+    // ---- §2.5 describe(percentiles=[.1,.5,.9]) — parameterized
+    //      percentile rows, exact sort-based quantiles ----
+    "q_describe_pct" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice")
+      Reductions.describe(T(s, d, "lineitem"), cols, Seq(0.1, 0.5, 0.9))
+        .select(col("stat") +: cols.map(c => r(col(c), 4).as(c)): _*)
+        .orderBy("stat")
+    }),
+
+    // ---- §2.5 describe(include='object') — count/unique/top/freq on
+    //      string columns (top = smallest most-frequent, deterministic) ----
+    "q_describe_obj" -> ((s, d) => {
+      Reductions.describeObject(T(s, d, "customer"),
+        Seq("c_mktsegment", "c_name"))
+        .orderBy("stat")
+    }),
+
     // ---- §2.9 weighted window std/var (WIN_OPS parity: mean/sum/std/var;
     //      win_type='hamming') ----
     "q_weighted_std" -> ((s, d) => {
@@ -309,8 +326,9 @@ object Queries2 {
            round(${rq("0.5")} + 1e-9, 4) AS row_med,
            round(${rq("0.95")} + 1e-9, 4) AS row_q95,
            round(CASE WHEN n > 1 THEN
-             sqrt((list_sum(list_transform(arr, x -> x*x))
-                   - list_sum(arr)*list_sum(arr)/n) / (n-1)) END + 1e-9, 6) AS row_std
+             sqrt(list_sum(list_transform(arr,
+               x -> (x - list_sum(arr)/n)*(x - list_sum(arr)/n))) / (n-1))
+             END + 1e-9, 6) AS row_std
          FROM c ORDER BY l_orderkey, l_linenumber, row_med, row_std"""
     },
 
@@ -480,6 +498,40 @@ object Queries2 {
              (sxx/sw - (su/sw)*(su/sw)) * (swc*swc/(swc*swc - sw2c)) END) + 1e-9, 2)
              AS im_std
          FROM c ORDER BY user_id, event_id""",
+
+    "q_describe_pct" -> {
+      val cols = Seq("l_quantity", "l_extendedprice")
+      val rows = Seq(
+        "count" -> ((c: String) => s"count($c)::DOUBLE"),
+        "mean" -> ((c: String) => s"avg($c)"),
+        "std" -> ((c: String) => s"stddev_samp($c)"),
+        "min" -> ((c: String) => s"min($c)::DOUBLE"),
+        "10%" -> ((c: String) => s"quantile_cont($c,0.1)"),
+        "50%" -> ((c: String) => s"quantile_cont($c,0.5)"),
+        "90%" -> ((c: String) => s"quantile_cont($c,0.9)"),
+        "max" -> ((c: String) => s"max($c)::DOUBLE"))
+      rows.map { case (stat, f) =>
+        s"SELECT '$stat' AS stat, " +
+          cols.map(c => s"round(${f(c)} + 1e-9,4) AS $c").mkString(", ") +
+          " FROM lineitem"
+      }.mkString("", " UNION ALL ", " ORDER BY stat")
+    },
+
+    "q_describe_obj" -> {
+      def top(c: String) =
+        s"""(SELECT $c FROM customer WHERE $c IS NOT NULL
+            GROUP BY 1 ORDER BY count(*) DESC, $c LIMIT 1)"""
+      def freq(c: String) =
+        s"""(SELECT count(*)::VARCHAR FROM customer WHERE $c IS NOT NULL
+            GROUP BY $c ORDER BY count(*) DESC, $c LIMIT 1)"""
+      s"""SELECT 'count' AS stat, count(c_mktsegment)::VARCHAR AS c_mktsegment,
+            count(c_name)::VARCHAR AS c_name FROM customer
+         UNION ALL SELECT 'unique', count(DISTINCT c_mktsegment)::VARCHAR,
+            count(DISTINCT c_name)::VARCHAR FROM customer
+         UNION ALL SELECT 'top', ${top("c_mktsegment")}, ${top("c_name")}
+         UNION ALL SELECT 'freq', ${freq("c_mktsegment")}, ${freq("c_name")}
+         ORDER BY stat"""
+    },
 
     "q_weighted_std" -> {
       // same expanded pandas roll_weighted_var formula as

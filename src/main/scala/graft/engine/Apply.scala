@@ -19,10 +19,20 @@ import org.apache.spark.sql.functions._
 object Apply {
 
   /** Elementwise scalar function over every cell of the given columns
-    * (pandas applymap / DataFrame.map). One projection — codegen'd. */
-  def applymap(df: DataFrame, cols: Seq[String], f: Column => Column): DataFrame =
+    * (pandas applymap / pandas-2 DataFrame.map). One projection —
+    * codegen'd. `naAction = Some("ignore")` keeps null cells null
+    * without invoking `f` on them (pandas `na_action='ignore'`). */
+  def applymap(df: DataFrame, cols: Seq[String], f: Column => Column,
+               naAction: Option[String] = None): DataFrame =
     df.select(df.columns.map { c =>
-      if (cols.contains(c)) f(col(c)).as(c) else col(c)
+      if (cols.contains(c)) {
+        val applied = naAction match {
+          case Some("ignore") =>
+            when(col(c).isNull, lit(null)).otherwise(f(col(c)))
+          case _ => f(col(c))
+        }
+        applied.as(c)
+      } else col(c)
     }.toIndexedSeq: _*)
 
   /** Series.map(dict): lookup table as a map literal; keys absent from

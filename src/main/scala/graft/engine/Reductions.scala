@@ -350,12 +350,90 @@ object Reductions {
     }
   }
 
-  /** pandas `describe()` -> (stat, col...) long-form frame. One aggregate
-    * pass for count/mean/std/min/max plus [[quantilesBySort]] per column
-    * for the exact quartiles; the result is assembled driver-side
-    * (describe is an eager, human-sized summary — pandas' is too). */
-  def describe(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** pandas' percentile row label: 0.25 -> "25%", 0.025 -> "2.5%". */
+  private def pctLabel(p: Double): String = {
+    val v = math.round(p * 10000) / 100.0
+    if (v == v.toInt) s"${v.toInt}%" else s"$v%"
+  }
+
+  /** Columns of `df` matching pandas-style dtype selectors for
+    * `describe(include=/exclude=)`: "number", "object" (strings),
+    * "datetime", "bool". */
+  def selectDtypes(df: DataFrame, include: Seq[String],
+                   exclude: Seq[String] = Nil): Seq[String] = {
+    import org.apache.spark.sql.types._
+    def matches(dt: DataType, sel: String): Boolean = sel match {
+      case "number"   => dt.isInstanceOf[NumericType]
+      case "object"   => dt == StringType
+      case "datetime" => dt == TimestampType || dt == DateType
+      case "bool"     => dt == BooleanType
+      case "all"      => true
+      case other => throw new IllegalArgumentException(s"dtype selector: $other")
+    }
+    df.schema.fields
+      .filter(f => include.isEmpty || include.exists(matches(f.dataType, _)))
+      .filterNot(f => exclude.exists(matches(f.dataType, _)))
+      .map(_.name).toSeq
+  }
+
+  /** pandas `describe(include=…, exclude=…, percentiles=…)` front-end:
+    * selects columns by dtype and dispatches numeric vs object shape
+    * (numeric wins when both kinds are selected, like pandas' default). */
+  def describeAuto(df: DataFrame, include: Seq[String] = Seq("number"),
+                   exclude: Seq[String] = Nil,
+                   percentiles: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    val cols = selectDtypes(df, include, exclude)
+    require(cols.nonEmpty, s"describe: no columns match include=$include exclude=$exclude")
+    val numeric = selectDtypes(df.select(cols.map(col): _*), Seq("number"))
+    if (numeric.nonEmpty) describe(df, numeric, percentiles)
+    else describeObject(df, cols)
+  }
+
+  /** pandas `describe()` on OBJECT (string) columns: count / unique /
+    * top / freq. `top` is the lexicographically-smallest most-frequent
+    * value — deterministic on ties, where pandas' "first encountered"
+    * depends on row order. Assembled driver-side like [[describe]]. */
+  def describeObject(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "describe: at least one column required")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"count__$c"),
+        count_distinct(col(c)).as(s"unique__$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val topFreq: Map[String, (String, Long)] = cols.map { c =>
+      val t = df.filter(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("__v")).count()
+        .orderBy(col("count").desc, col("__v")).limit(1).collect()
+      c -> (if (t.isEmpty) (null: String, 0L)
+            else (t(0).getString(0), t(0).getLong(1)))
+    }.toMap
+    val rows: Seq[(String, Seq[String])] = Seq(
+      "count" -> cols.map(c => one.getLong(one.fieldIndex(s"count__$c")).toString),
+      "unique" -> cols.map(c => one.getLong(one.fieldIndex(s"unique__$c")).toString),
+      "top" -> cols.map(c => topFreq(c)._1),
+      "freq" -> cols.map(c => topFreq(c)._2.toString))
+    val spark = df.sparkSession
+    val data = rows.map { case (s, vs) =>
+      org.apache.spark.sql.Row.fromSeq(s +: vs)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("stat",
+        org.apache.spark.sql.types.StringType) +:
+        cols.map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data.toIndexedSeq, 1), schema)
+  }
+
+  /** pandas `describe(percentiles=…)` -> (stat, col...) long-form frame.
+    * One aggregate pass for count/mean/std/min/max plus
+    * [[quantilesBySort]] per column for the exact percentile rows; the
+    * result is assembled driver-side (describe is an eager, human-sized
+    * summary — pandas' is too). */
+  def describe(df: DataFrame, cols: Seq[String],
+               percentiles: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(cols.nonEmpty, "describe: at least one column required")
+    val ps = percentiles.sorted
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).cast("double").as(s"count__$c"),
@@ -380,20 +458,20 @@ object Reductions {
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
       try scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(cols.map(c => scala.concurrent.Future(
-          c -> quantilesBySort(df, c, Seq(0.25, 0.5, 0.75),
+          c -> quantilesBySort(df, c, ps,
             knownCount = Some(cell("count", c).toLong))))),
         scala.concurrent.duration.Duration.Inf).toMap
       finally pool.shutdown()
     }
-    val rows: Seq[(String, Seq[Double])] = Seq(
-      "count" -> cols.map(cell("count", _)),
-      "mean" -> cols.map(cell("mean", _)),
-      "std" -> cols.map(cell("std", _)),
-      "min" -> cols.map(cell("min", _)),
-      "25%" -> cols.map(c => quarts(c)(0)),
-      "50%" -> cols.map(c => quarts(c)(1)),
-      "75%" -> cols.map(c => quarts(c)(2)),
-      "max" -> cols.map(cell("max", _)))
+    val rows: Seq[(String, Seq[Double])] =
+      Seq("count" -> cols.map(cell("count", _)),
+        "mean" -> cols.map(cell("mean", _)),
+        "std" -> cols.map(cell("std", _)),
+        "min" -> cols.map(cell("min", _))) ++
+      ps.zipWithIndex.map { case (p, i) =>
+        pctLabel(p) -> cols.map(c => quarts(c)(i))
+      } ++
+      Seq("max" -> cols.map(cell("max", _)))
     val spark = df.sparkSession
     val data = rows.map { case (s, vs) =>
       org.apache.spark.sql.Row.fromSeq(s +: vs.map(v => if (v.isNaN) null else v))
@@ -414,7 +492,10 @@ object Reductions {
     * Use when columns are wide or a full sort per column is off-budget;
     * the exact form stays the parity/oracle surface. */
   def describeApprox(df: DataFrame, cols: Seq[String],
-                     accuracy: Int = 10000): DataFrame = {
+                     accuracy: Int = 10000,
+                     percentiles: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(cols.nonEmpty, "describe: at least one column required")
+    val ps = percentiles.sorted
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).cast("double").as(s"count__$c"),
@@ -422,7 +503,7 @@ object Reductions {
         stddev_samp(col(c)).as(s"std__$c"),
         min(col(c)).cast("double").as(s"min__$c"),
         max(col(c)).cast("double").as(s"max__$c"),
-        percentile_approx(col(c), array(lit(0.25), lit(0.5), lit(0.75)),
+        percentile_approx(col(c), array(ps.map(lit): _*),
           lit(accuracy)).as(s"q__$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*).collect()(0)
@@ -439,15 +520,15 @@ object Reductions {
         else s(qi).asInstanceOf[Number].doubleValue()
       }
     }
-    val rows: Seq[(String, Seq[Double])] = Seq(
-      "count" -> cols.map(cell("count", _)),
-      "mean" -> cols.map(cell("mean", _)),
-      "std" -> cols.map(cell("std", _)),
-      "min" -> cols.map(cell("min", _)),
-      "25%" -> cols.map(quart(_, 0)),
-      "50%" -> cols.map(quart(_, 1)),
-      "75%" -> cols.map(quart(_, 2)),
-      "max" -> cols.map(cell("max", _)))
+    val rows: Seq[(String, Seq[Double])] =
+      Seq("count" -> cols.map(cell("count", _)),
+        "mean" -> cols.map(cell("mean", _)),
+        "std" -> cols.map(cell("std", _)),
+        "min" -> cols.map(cell("min", _))) ++
+      ps.zipWithIndex.map { case (p, i) =>
+        pctLabel(p) -> cols.map(quart(_, i))
+      } ++
+      Seq("max" -> cols.map(cell("max", _)))
     val spark = df.sparkSession
     val data = rows.map { case (s, vs) =>
       org.apache.spark.sql.Row.fromSeq(s +: vs.map(v => if (v.isNaN) null else v))
@@ -496,13 +577,17 @@ object Reductions {
   def rowMedian(cols: Seq[Column]): Column = rowQuantile(cols, 0.5)
 
   /** Row-wise sample variance over the valid values (pandas
-    * `var(axis=1, ddof)`): (sum(x^2) - sum(x)^2/n) / (n - ddof), null
-    * when n <= ddof. Pure array HOFs — stays in codegen. */
+    * `var(axis=1, ddof)`): two-pass shifted-mean form
+    * sum((x - mean)^2) / (n - ddof) — no catastrophic cancellation for
+    * large-magnitude rows, unlike sum(x^2) - sum(x)^2/n. Null when
+    * n <= ddof. Pure array HOFs — stays in codegen; the mean
+    * sub-expression re-evaluates per element (HOF lambda semantics),
+    * which is O(k^2) in the ROW width k — fine for axis=1 frames. */
   def rowVar(arr: Column, ddof: Int = 1): Column = {
     val n = size(arr).cast("double")
-    val s = aggregate(arr, lit(0.0), (a, x) => a + x)
-    val s2 = aggregate(arr, lit(0.0), (a, x) => a + x * x)
-    when(n > ddof, (s2 - s * s / n) / (n - ddof))
+    val m = aggregate(arr, lit(0.0), (a, x) => a + x) / n
+    val ss = aggregate(arr, lit(0.0), (a, x) => a + (x - m) * (x - m))
+    when(n > ddof, ss / (n - ddof))
   }
 
   /** Row-wise sample std (pandas `std(axis=1)`). */

@@ -177,6 +177,39 @@ class ReductionsSpec extends SparkSpec {
     }
   }
 
+  test("describe(percentiles=...) labels and values") {
+    val out = Reductions.describe(s, Seq("v"), Seq(0.1, 0.9)).orderBy("stat")
+    val m = out.collect().map(r => r.getString(0) -> optD(r, 1)).toMap
+    assert(m.contains("10%") && m.contains("90%") && !m.contains("25%"))
+    // sorted v = [1,2,4,8]: pos(0.1)=0.3 -> 1.3; pos(0.9)=2.7 -> 6.8
+    assertApprox(m("10%"), Some(1.3))
+    assertApprox(m("90%"), Some(6.8))
+  }
+
+  test("describeObject + describeAuto dtype dispatch") {
+    import spark.implicits._
+    val df = Seq(("x", 1.0), ("x", 2.0), ("y", 3.0)).toDF("k", "v")
+    val obj = Reductions.describeObject(df, Seq("k")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(obj == Map("count" -> "3", "unique" -> "2", "top" -> "x",
+      "freq" -> "2"))
+    // auto: numeric wins when both dtypes present
+    val auto = Reductions.describeAuto(df)
+    assert(auto.columns.toSeq == Seq("stat", "v"))
+    val objAuto = Reductions.describeAuto(df, include = Seq("object"))
+    assert(objAuto.columns.toSeq == Seq("stat", "k"))
+    assert(Reductions.selectDtypes(df, Seq("all"), Seq("object")) == Seq("v"))
+  }
+
+  test("applymap na_action='ignore' keeps nulls without calling f") {
+    import spark.implicits._
+    val df = Seq(Some(1.0), None, Some(3.0)).toDF("v")
+    val out = graft.engine.Apply.applymap(df, Seq("v"),
+      c => coalesce(c, lit(-1.0)) * 2, naAction = Some("ignore"))
+    assert(colD(out.orderBy(col("v").asc_nulls_first), "v") ==
+      Seq(None, Some(2.0), Some(6.0)))
+  }
+
   test("nuniqueApprox: HLL within rsd of exact") {
     import spark.implicits._
     val df = (1 to 10000).map(i => i % 997).toDF("v")
