@@ -71,38 +71,44 @@ object Corr {
     * pairwise-complete masking — ranks are computed on the common
     * subset). */
   def spearman(df: DataFrame, a: String, b: String): DataFrame = {
+    val spark = df.sparkSession
     val base = df.filter(col(a).isNotNull && col(b).isNotNull)
-      .select(col(a).as("__a"), col(b).as("__b"))
-    // ONE stats job fetches, for both columns at once, an ndv sketch
-    // (path choice) and bucket cut points (balance only — neither
-    // affects rank values).
-    val n = df.sparkSession.sparkContext.defaultParallelism
+      .select(col(a).cast("double").as("__a"), col(b).cast("double").as("__b"))
+    // ONE stats job fetches, for both columns at once, the EXACT value
+    // counts if the column is low-cardinality (bounded histogram — the
+    // whole per-value rank prestep in a single pass) and bucket cut
+    // points for the continuous fallback (balance only, never rank
+    // values).
+    val n = spark.sparkContext.defaultParallelism
     val qs = (1 until n).map(i => lit(i.toDouble / n))
     val st = base.agg(
-      approx_count_distinct(col("__a")).as("na"),
-      approx_count_distinct(col("__b")).as("nb"),
-      percentile_approx(col("__a").cast("double"), array(qs: _*), lit(100)).as("qa"),
-      percentile_approx(col("__b").cast("double"), array(qs: _*), lit(100)).as("qb"))
+      Reductions.boundedHistogram(col("__a")).as("ha"),
+      Reductions.boundedHistogram(col("__b")).as("hb"),
+      percentile_approx(col("__a"), array(qs: _*), lit(100)).as("qa"),
+      percentile_approx(col("__b"), array(qs: _*), lit(100)).as("qb"))
       .collect()(0)
+    def histOf(i: Int): Seq[(Double, Long)] =
+      if (st.isNullAt(i)) null else st.getMap[Double, Long](i).toSeq
     def cutsOf(i: Int): Array[Double] =
       if (st.isNullAt(i)) Array.empty
       else st.getSeq[Any](i).filter(_ != null)
         .map(_.asInstanceOf[Number].doubleValue()).toArray
-    // Low-cardinality side: per-value stats table, broadcast join — no
-    // shuffle of the frame. Continuous side: deterministic-bucket
-    // windows. Both exact; the 1.2 fudge covers HLL error.
-    def rankCol(in: DataFrame, c: String, out: String, ndv: Long,
-                cuts: Array[Double], pfx: String): DataFrame =
-      if (ndv <= 65536 * 1.2) {
-        val stt = Reductions.rankStatsTable(base, c, prefix = pfx)
-        in.join(stt, in(c) === col(s"${pfx}v"), "left")
+    // Low-cardinality side: driver-built rank-stats LocalRelation,
+    // broadcast join — no shuffle of the frame, no second scan.
+    // Continuous side: deterministic-bucket midrank windows. Both exact.
+    def rankCol(in: DataFrame, c: String, out: String,
+                hist: Seq[(Double, Long)], cuts: Array[Double],
+                pfx: String): DataFrame =
+      if (hist != null) {
+        val stt = Reductions.rankStatsFromCounts(spark, hist, pfx)
+        in.join(stt, col(c) === col(s"${pfx}v"), "left")
           .withColumn(out, col(s"${pfx}_before") + (col(s"${pfx}_cnt") + 1) / 2.0)
           .drop(s"${pfx}v", s"${pfx}_cnt", s"${pfx}_before", s"${pfx}_dense")
       } else Reductions.withMidrank(in, c, out,
         statsSource = Some(base), knownCuts = Some(cuts))
     val ranked = rankCol(
-      rankCol(base, "__a", "ra", st.getLong(0), cutsOf(2), "__ra"),
-      "__b", "rb", st.getLong(1), cutsOf(3), "__rb")
+      rankCol(base, "__a", "ra", histOf(0), cutsOf(2), "__ra"),
+      "__b", "rb", histOf(1), cutsOf(3), "__rb")
     ranked.agg(corr(col("ra"), col("rb")).as("spearman"))
   }
 

@@ -350,6 +350,101 @@ object Reductions {
     }
   }
 
+  /** Bounded EXACT histogram aggregate: (value -> count) while the
+    * distinct count stays ≤ `cap`; returns null the moment it would
+    * exceed it. Mergeable (map-side combinable, one small map per
+    * partial), state bounded by `cap` entries — so a single aggregation
+    * pass answers "give me the exact value counts IF the column is
+    * low-cardinality, else tell me it isn't", without a second scan and
+    * without unbounded collect_list state. Overflow is flagged with a
+    * null map key so merged partials stay poisoned. */
+  def boundedHistAgg(cap: Int): Aggregator[java.lang.Double,
+      java.util.HashMap[java.lang.Double, java.lang.Long],
+      Map[Double, Long]] =
+    new Aggregator[java.lang.Double,
+        java.util.HashMap[java.lang.Double, java.lang.Long],
+        Map[Double, Long]] {
+      private def overflowed(
+          b: java.util.HashMap[java.lang.Double, java.lang.Long]) =
+        b.containsKey(null)
+      private def poison(
+          b: java.util.HashMap[java.lang.Double, java.lang.Long]) = {
+        b.clear(); b.put(null, 0L); b
+      }
+      def zero = new java.util.HashMap[java.lang.Double, java.lang.Long]
+      def reduce(b: java.util.HashMap[java.lang.Double, java.lang.Long],
+                 a: java.lang.Double) = {
+        if (a == null || a.isNaN || overflowed(b)) b
+        else {
+          val prev = b.get(a)
+          if (prev != null) { b.put(a, prev + 1L); b }
+          else if (b.size >= cap) poison(b)
+          else { b.put(a, 1L); b }
+        }
+      }
+      def merge(b1: java.util.HashMap[java.lang.Double, java.lang.Long],
+                b2: java.util.HashMap[java.lang.Double, java.lang.Long]) = {
+        if (overflowed(b1) || overflowed(b2)) poison(b1)
+        else {
+          val it = b2.entrySet().iterator()
+          while (it.hasNext && !overflowed(b1)) {
+            val e = it.next()
+            val prev = b1.get(e.getKey)
+            if (prev != null) b1.put(e.getKey, prev + e.getValue)
+            else if (b1.size >= cap) poison(b1)
+            else b1.put(e.getKey, e.getValue)
+          }
+          b1
+        }
+      }
+      def finish(b: java.util.HashMap[java.lang.Double, java.lang.Long])
+        : Map[Double, Long] =
+        if (overflowed(b)) null
+        else {
+          val out = Map.newBuilder[Double, Long]
+          val it = b.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            out += (e.getKey.doubleValue() -> e.getValue.longValue())
+          }
+          out.result()
+        }
+      def bufferEncoder: Encoder[java.util.HashMap[java.lang.Double, java.lang.Long]] =
+        Encoders.kryo[java.util.HashMap[java.lang.Double, java.lang.Long]]
+      def outputEncoder: Encoder[Map[Double, Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Double, Long]]()
+    }
+
+  /** [[boundedHistAgg]] as a Column. */
+  def boundedHistogram(c: Column, cap: Int = 65536): Column =
+    udaf(boundedHistAgg(cap)).apply(c)
+
+  /** Rank-stats LocalRelation from DRIVER-SIDE value counts (the shared
+    * finish of [[rankStatsTable]]'s small path and [[boundedHistogram]]
+    * consumers): sorted values -> cnt/before/dense, broadcast for the
+    * join-back. */
+  def rankStatsFromCounts(spark: org.apache.spark.sql.SparkSession,
+                          counts: Seq[(Double, Long)], prefix: String,
+                          ascending: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val sorted = if (ascending) counts.sortBy(_._1) else counts.sortBy(-_._1)
+    var before = 0.0
+    val rows = new Array[org.apache.spark.sql.Row](sorted.length)
+    var i = 0
+    while (i < sorted.length) {
+      val (v, cnt) = sorted(i)
+      rows(i) = org.apache.spark.sql.Row(v, cnt.toDouble, before, (i + 1).toDouble)
+      before += cnt
+      i += 1
+    }
+    val schema = StructType(Seq(
+      StructField(s"${prefix}v", DoubleType),
+      StructField(s"${prefix}_cnt", DoubleType),
+      StructField(s"${prefix}_before", DoubleType),
+      StructField(s"${prefix}_dense", DoubleType)))
+    broadcast(spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema))
+  }
+
   /** pandas' percentile row label: 0.25 -> "25%", 0.025 -> "2.5%". */
   private def pctLabel(p: Double): String = {
     val v = math.round(p * 10000) / 100.0

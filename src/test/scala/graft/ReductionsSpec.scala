@@ -210,6 +210,28 @@ class ReductionsSpec extends SparkSpec {
       Seq(None, Some(2.0), Some(6.0)))
   }
 
+  test("boundedHistogram: exact counts under cap, null over cap, merges across partitions") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i % 7).toDouble).toDF("v").repartition(8)
+    val row = df.agg(
+      Reductions.boundedHistogram(col("v"), cap = 10).as("h"),
+      Reductions.boundedHistogram(col("v"), cap = 5).as("over")).collect()(0)
+    val h = row.getMap[Double, Long](0)
+    assert(h.size == 7)
+    // 1..1000 % 7: residue r in 1..6 appears 143 times; 0 appears 142
+    assert(h(0.0) == 142L && h(1.0) == 143L && h(6.0) == 143L)
+    assert(row.isNullAt(1)) // 7 distinct > cap=5 -> null
+  }
+
+  test("rankStatsFromCounts: before/cnt/dense from driver counts") {
+    val stt = Reductions.rankStatsFromCounts(spark,
+      Seq(5.0 -> 2L, 1.0 -> 3L, 9.0 -> 1L), "__rk")
+    val rows = stt.collect().map(r =>
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.toSeq == Seq((1.0, 3.0, 0.0, 1.0), (5.0, 2.0, 3.0, 2.0),
+      (9.0, 1.0, 5.0, 3.0)))
+  }
+
   test("nuniqueApprox: HLL within rsd of exact") {
     import spark.implicits._
     val df = (1 to 10000).map(i => i % 997).toDF("v")
