@@ -86,14 +86,16 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // ---- LSH-bucketed ANN (scale path). The seeded hyperplanes are
-    //      deterministic constants, INLINED as literals into the oracle
-    //      SQL, so DuckDB reproduces the buckets bit-for-bit -> full
+    // ---- LSH-bucketed ANN (scale path): multi-table OR-amplified form
+    //      (8 tables x 4 planes — single-table recall@5 measured 0.26,
+    //      amplified ~0.8+). The seeded hyperplanes are deterministic
+    //      constants, emitted as a VALUES table in the oracle SQL, so
+    //      DuckDB reproduces the buckets bit-for-bit -> full
     //      rows/schema/hash check ----
     "q_ann_lsh" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
-      Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
-        planes = 4, dim = 64)
+      Similarity.lshTopKMulti(emb.filter(col("vec_id") < 10), emb, k = 5,
+        planes = 4, tables = 8, dim = 64)
         .select(col("query_id"), col("neighbor_id"), r(col("cos"), 6).as("cos"),
           col("rank"))
         .orderBy("query_id", "rank")
@@ -105,7 +107,7 @@ object PipelineQueries {
       val emb = T(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
       Similarity.recallAtK(
-        Similarity.lshTopK(q, emb, k = 5, planes = 4, dim = 64),
+        Similarity.lshTopKMulti(q, emb, k = 5, planes = 4, tables = 8, dim = 64),
         Similarity.bruteForceTopK(q, emb, k = 5), k = 5)
         .orderBy("query_id")
     }),
@@ -341,23 +343,33 @@ object PipelineQueries {
          LEFT JOIN hits USING (qid) ORDER BY query_id"""
   )
 
-  /** The 4 seeded LSH hyperplanes as SQL literals — SAME generator as
-    * Similarity.lshTopK's (hyperplanes(4, 64, seed=42)); Double.toString
-    * round-trips exactly, so DuckDB reproduces the bucket bits. */
+  /** The 8x4 seeded LSH hyperplanes as a SQL VALUES table — SAME
+    * generator as Similarity.lshTopKMulti's (multiPlanes(4, 64, 8,
+    * seed=42)); Double.toString round-trips exactly, so DuckDB
+    * reproduces the bucket bits. */
   private lazy val LshCte: String = {
-    val planes = Similarity.hyperplanes(4, 64, 42L)
-    def bucketSql(v: String): String = planes.zipWithIndex.map { case (p, i) =>
-      s"(CASE WHEN list_dot_product($v, ${p.mkString("[", ", ", "]")}) >= 0 " +
-        s"THEN ${1 << i} ELSE 0 END)"
-    }.mkString(" + ")
-    s"""lshq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-                 FROM embeddings WHERE vec_id < 10),
-       qb AS (SELECT qid, qv, ${bucketSql("qv")} AS bkt FROM lshq),
-       cb AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv,
-                ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bkt
-              FROM embeddings),
+    val sets = Similarity.multiPlanes(planes = 4, dim = 64, tables = 8)
+    val rows = for {
+      (pls, t) <- sets.zipWithIndex
+      (p, i) <- pls.zipWithIndex
+    } yield s"($t, $i, ${p.mkString("[", ", ", "]")})"
+    s"""lshplanes(t, p, w) AS (VALUES ${rows.mkString(",\n         ")}),
+       lshq AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 10),
+       lshc AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings),
+       qb AS (SELECT qid, t,
+                sum(CASE WHEN list_dot_product(qv, w) >= 0
+                    THEN (1::BIGINT << p) ELSE 0 END) AS bkt
+              FROM lshq, lshplanes GROUP BY 1, 2),
+       cb AS (SELECT nid, t,
+                sum(CASE WHEN list_dot_product(cv, w) >= 0
+                    THEN (1::BIGINT << p) ELSE 0 END) AS bkt
+              FROM lshc, lshplanes GROUP BY 1, 2),
+       lshcand AS (SELECT DISTINCT qid, nid
+                   FROM qb JOIN cb USING (t, bkt) WHERE nid <> qid),
        lshscored AS (SELECT qid, nid, list_cosine_similarity(qv, cv) AS cos
-                     FROM qb JOIN cb USING (bkt) WHERE nid <> qid),
+                     FROM lshcand JOIN lshq USING (qid) JOIN lshc USING (nid)),
        lshranked AS (SELECT qid, nid, cos,
                        row_number() OVER (PARTITION BY qid
                          ORDER BY cos DESC, nid) AS rank

@@ -119,6 +119,65 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** The `tables` seeded plane sets for [[lshTopKMulti]] — exposed so
+    * an external oracle can regenerate the identical constants. */
+  def multiPlanes(planes: Int, dim: Int, tables: Int,
+                  seed: Long = 42L): Seq[Seq[Seq[Double]]] =
+    (0 until tables).map(t => hyperplanes(planes, dim, seed + 7919L * t))
+
+  /** Multi-table (OR-amplified) LSH ANN top-k — the recall-tuned scale
+    * path. Each of `tables` independent plane sets buckets both sides;
+    * the candidate set is the DISTINCT union of same-bucket pairs over
+    * all tables, scored once. Single-table recall r becomes
+    * ~1-(1-r)^tables while candidates stay sub-linear
+    * (~tables * corpus / 2^planes per query). One bucket-join shuffle +
+    * one dedup shuffle; vectors join back by id so the wide embedding
+    * rows never ride through the bucket explode. */
+  def lshTopKMulti(queries: DataFrame, corpus: DataFrame, k: Int,
+                   planes: Int, tables: Int, dim: Int,
+                   seed: Long = 42L): DataFrame = {
+    val sets = multiPlanes(planes, dim, tables, seed)
+    val m: Array[Array[Array[Double]]] =
+      sets.map(_.map(_.toArray).toArray).toArray
+    val bUdf = udf { v: Seq[Double] =>
+      val arr = v.toArray
+      m.indices.map { t =>
+        val pls = m(t)
+        var b = 0L
+        var p = 0
+        while (p < pls.length) {
+          val pl = pls(p)
+          var i = 0; var d = 0.0
+          val n = math.min(arr.length, pl.length)
+          while (i < n) { d += arr(i) * pl(i); i += 1 }
+          if (d >= 0) b |= 1L << p
+          p += 1
+        }
+        (t, b)
+      }
+    }
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("cv"))
+    val qb = q.select(col("query_id"), explode(bUdf(col("qv"))).as("tb"))
+      .select(col("query_id"), col("tb._1").as("t"), col("tb._2").as("bkt"))
+    val cb = c.select(col("neighbor_id"), explode(bUdf(col("cv"))).as("tb"))
+      .select(col("neighbor_id"), col("tb._1").as("t"), col("tb._2").as("bkt"))
+    val cand = qb.join(cb, Seq("t", "bkt"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cand
+      .join(broadcast(q.withColumn("qn", l2norm(col("qv")))), Seq("query_id"))
+      .join(c.withColumn("cn", l2norm(col("cv"))), Seq("neighbor_id"))
+      .withColumn("cos", pairCos(col("qv"), col("qn"), col("cv"), col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** IVF (inverted-file) ANN top-k: the corpus is partitioned into
     * `nlist` cells by nearest centroid; each query scores only its
     * `nprobe` nearest cells. Candidate volume is ~corpus*nprobe/nlist
