@@ -304,10 +304,12 @@ object Queries {
     }),
 
     // ---- §2.6 kendall tau-b (bounded slice) ----
+    // O(n log n) Knight's-algorithm exact form; identical value to the
+    // pairwise Corr.kendall (spec-asserted), minutes-vs-seconds at 1M+
     "q_kendall" -> ((s, d) => {
       val ev = T(s, d, "events").filter(col("user_id") === 7)
         .withColumn("tsu", unix_micros(col("ts")))
-      Corr.kendall(ev, "value", "tsu")
+      Corr.kendallFast(ev, "value", "tsu")
         .select(r(col("kendall"), 6).as("kendall"))
     }),
 

@@ -117,6 +117,18 @@ class GroupCorrSpec extends SparkSpec {
     assertApprox(d1(Corr.kendall(xy, "x", "y")), Some(-0.5477225575051661), 1e-9)
   }
 
+  test("kendallFast (Knight O(n log n)) equals pairwise kendall incl. ties") {
+    import spark.implicits._
+    assertApprox(d1(Corr.kendallFast(xy, "x", "y")),
+      Some(-0.5477225575051661), 1e-9)
+    // random-ish data with heavy ties in both columns
+    val df = (1 to 400).map { i =>
+      ((i * 37 % 11).toDouble, (i * 53 % 7).toDouble)
+    }.toDF("x", "y")
+    assertApprox(d1(Corr.kendallFast(df, "x", "y")),
+      d1(Corr.kendall(df, "x", "y")), 1e-12)
+  }
+
   test("exact kendall fails fast above maxExactRows") {
     import spark.implicits._
     val big = (1 to 100).map(i => (i.toDouble, i * 1.0)).toDF("x", "y")
