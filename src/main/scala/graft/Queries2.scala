@@ -271,6 +271,22 @@ object Queries2 {
         .orderBy("user_id", "event_id")
     }),
 
+    // ---- §2.9 rolling agg-spec: one WindowSpec, several ops per column
+    //      in a single WindowExec pass (incl. the round-4 quantile/rank
+    //      dispatch entries) ----
+    "q_roll_spec" -> ((s, d) => {
+      val w = WindowOps.rollingSpec(byUser, 10)
+      val base = T(s, d, "events").select(
+        Seq(col("event_id"), col("user_id")) ++ WindowOps.rAggSpec(
+          Seq((col("value"), "v", Seq("mean", "std", "quantile", "rank"))),
+          w, mp = 10): _*)
+      base.select(col("event_id"), col("user_id"),
+        r(col("v_mean"), 4).as("v_mean"), r(col("v_std"), 4).as("v_std"),
+        r(col("v_quantile"), 4).as("v_quantile"),
+        r(col("v_rank"), 1).as("v_rank"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // ---- §2.5 describe(percentiles=[.1,.5,.9]) — parameterized
     //      percentile rows, exact sort-based quantiles ----
     "q_describe_pct" -> ((s, d) => {
@@ -498,6 +514,17 @@ object Queries2 {
              (sxx/sw - (su/sw)*(su/sw)) * (swc*swc/(swc*swc - sw2c)) END) + 1e-9, 2)
              AS im_std
          FROM c ORDER BY user_id, event_id""",
+
+    "q_roll_spec" ->
+      s"""SELECT event_id, user_id,
+         round(CASE WHEN count(value) OVER w >= 10 THEN avg(value) OVER w END + 1e-9, 4) AS v_mean,
+         round(CASE WHEN count(value) OVER w >= 10 THEN stddev_samp(value) OVER w END + 1e-9, 4) AS v_std,
+         round(CASE WHEN count(value) OVER w >= 10 THEN quantile_cont(value, 0.5) OVER w END + 1e-9, 4) AS v_quantile,
+         round(CASE WHEN count(value) OVER w >= 10 THEN
+           len(list_filter(list(value) OVER w, y -> y < value)) +
+           (len(list_filter(list(value) OVER w, y -> y = value)) + 1)/2.0 END + 1e-9, 1) AS v_rank
+         FROM events WINDOW w AS ($evWin ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
 
     "q_describe_pct" -> {
       val cols = Seq("l_quantity", "l_extendedprice")
