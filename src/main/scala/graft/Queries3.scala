@@ -162,6 +162,67 @@ object Queries3 {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- §2.2/§2.12 whole-frame agg spec (reference
+    //      parallelize_aggregate): stat x col frame, one agg pass ----
+    "q_agg_frame" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_discount", "l_tax")
+      Reductions.aggregateSpec(T(s, d, "lineitem"), cols,
+        Seq("sum", "mean", "std", "max"))
+        .select(col("stat") +: cols.map(c => r(col(c), 2).as(c)): _*)
+        .orderBy("stat")
+    }),
+
+    // ---- §2.8 GroupBy.describe: per-group 8-stat summary, one grouped
+    //      aggregate pass (exact per-group percentiles) ----
+    "q_groupby_describe" -> ((s, d) => {
+      GroupOps.describeBy(T(s, d, "events"), Seq("event_type"), "value")
+        .select(col("event_type"), col("value_count"),
+          r(col("value_mean"), 4).as("value_mean"),
+          r(col("value_std"), 4).as("value_std"),
+          r(col("value_min"), 4).as("value_min"),
+          r(col("value_p25"), 4).as("value_p25"),
+          r(col("value_p50"), 4).as("value_p50"),
+          r(col("value_p75"), 4).as("value_p75"),
+          r(col("value_max"), 4).as("value_max"))
+        .orderBy("event_type")
+    }),
+
+    // ---- §2.5 Series.value_counts (normalize fraction; deterministic
+    //      value tie-break) ----
+    "q_value_counts" -> ((s, d) => {
+      Reductions.valueCounts(T(s, d, "lineitem"), "l_returnflag")
+        .select(col("l_returnflag"), col("count"), r(col("frac"), 6).as("frac"))
+    }),
+
+    // ---- §2.10 str accessor, tranche 4: capitalize / char-class
+    //      predicates / partition / slice_replace ----
+    "q_str_ops4" -> ((s, d) => {
+      val t = col("p_type")
+      T(s, d, "part").select(
+        col("p_partkey"),
+        StrDt.strCapitalize(t).as("cap"),
+        StrDt.strIsAlpha(col("p_brand")).as("alpha"),
+        StrDt.strIsDigit(StrDt.strSplitItem(col("p_brand"), "#", 1)).as("numpart"),
+        StrDt.strIsUpper(t).as("upper_t"),
+        StrDt.strIsLower(t).as("lower_t"),
+        StrDt.strPartitionBefore(t, " ").as("head"),
+        StrDt.strPartitionAfter(t, " ").as("tail"),
+        StrDt.strSliceReplace(col("p_brand"), 0, 5, "B").as("spliced"))
+        .orderBy("p_partkey")
+    }),
+
+    // ---- §2.10 dt accessor, tranche 4: year/quarter boundaries + leap ----
+    "q_dt_ops4" -> ((s, d) => {
+      val ts = col("o_orderdate")
+      T(s, d, "orders").select(
+        col("o_orderkey"),
+        StrDt.dtIsYearStart(ts).as("ys"),
+        StrDt.dtIsYearEnd(ts).as("ye"),
+        StrDt.dtIsLeapYear(ts).as("leap"),
+        StrDt.dtIsQuarterEnd(ts).as("qe"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---- recall@5 of the IVF scale path vs the exact baseline ----
     "q_ann_ivf_recall" -> ((s, d) => {
       val emb = T(s, d, "embeddings")
@@ -277,6 +338,60 @@ object Queries3 {
          FROM orders
          QUALIFY rn <= 3
          ORDER BY o_orderpriority, rn""",
+
+    "q_agg_frame" -> {
+      val cols = Seq("l_quantity", "l_discount", "l_tax")
+      val rows = Seq(
+        "sum" -> ((c: String) => s"sum($c)"),
+        "mean" -> ((c: String) => s"avg($c)"),
+        "std" -> ((c: String) => s"stddev_samp($c)"),
+        "max" -> ((c: String) => s"max($c)::DOUBLE"))
+      rows.map { case (stat, f) =>
+        s"SELECT '$stat' AS stat, " +
+          cols.map(c => s"round(${f(c)} + 1e-9, 2) AS $c").mkString(", ") +
+          " FROM lineitem"
+      }.mkString("", " UNION ALL ", " ORDER BY stat")
+    },
+
+    "q_groupby_describe" ->
+      """SELECT event_type, count(value) AS value_count,
+         round(avg(value) + 1e-9, 4) AS value_mean,
+         round(stddev_samp(value) + 1e-9, 4) AS value_std,
+         round(min(value) + 1e-9, 4) AS value_min,
+         round(quantile_cont(value, 0.25) + 1e-9, 4) AS value_p25,
+         round(quantile_cont(value, 0.5) + 1e-9, 4) AS value_p50,
+         round(quantile_cont(value, 0.75) + 1e-9, 4) AS value_p75,
+         round(max(value) + 1e-9, 4) AS value_max
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_value_counts" ->
+      """SELECT l_returnflag, count(*) AS count,
+         round(count(*) / (SELECT count(l_returnflag) FROM lineitem) + 1e-9, 6) AS frac
+         FROM lineitem WHERE l_returnflag IS NOT NULL
+         GROUP BY 1 ORDER BY count DESC, l_returnflag""",
+
+    "q_str_ops4" ->
+      """SELECT p_partkey,
+         upper(substr(p_type, 1, 1)) || lower(substr(p_type, 2)) AS cap,
+         regexp_full_match(p_brand, '[A-Za-z]+') AS alpha,
+         regexp_full_match(split_part(p_brand, '#', 2), '[0-9]+') AS numpart,
+         p_type = upper(p_type) AND regexp_matches(p_type, '[A-Z]') AS upper_t,
+         p_type = lower(p_type) AND regexp_matches(p_type, '[a-z]') AS lower_t,
+         split_part(p_type, ' ', 1) AS head,
+         CASE WHEN strpos(p_type, ' ') > 0
+              THEN substr(p_type, strpos(p_type, ' ') + 1) ELSE '' END AS tail,
+         'B' || substr(p_brand, 6) AS spliced
+         FROM part ORDER BY p_partkey""",
+
+    "q_dt_ops4" ->
+      """SELECT o_orderkey,
+         month(o_orderdate) = 1 AND day(o_orderdate) = 1 AS ys,
+         month(o_orderdate) = 12 AND day(o_orderdate) = 31 AS ye,
+         (year(o_orderdate) % 4 = 0 AND year(o_orderdate) % 100 <> 0)
+           OR year(o_orderdate) % 400 = 0 AS leap,
+         o_orderdate::DATE = last_day(o_orderdate)
+           AND month(o_orderdate) % 3 = 0 AS qe
+         FROM orders ORDER BY o_orderkey""",
 
     "q_ann_ivf" ->
       s"""WITH $IvfCte

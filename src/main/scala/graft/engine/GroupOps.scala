@@ -123,6 +123,30 @@ object GroupOps {
     filled.orderBy(index.map(col): _*)
   }
 
+  /** pandas `GroupBy.describe()` on one value column: per-group
+    * count/mean/std/min/25%/50%/75%/max as flat `<c>_<stat>` columns.
+    * ONE grouped aggregate pass — the exact `percentile` buffers are
+    * per-group (bounded by group cardinality), all map-side combinable,
+    * single shuffle on the keys. */
+  def describeBy(df: DataFrame, keys: Seq[String], c: String,
+                 percentiles: Seq[Double] = Seq(0.25, 0.5, 0.75),
+                 dropNullKeys: Boolean = true,
+                 sortKeys: Boolean = true): DataFrame = {
+    val base = if (dropNullKeys)
+      df.filter(keys.map(col(_).isNotNull).reduce(_ && _)) else df
+    val v = col(c)
+    val aggs = Seq(
+      count(v).as(s"${c}_count"),
+      avg(v).as(s"${c}_mean"),
+      stddev_samp(v).as(s"${c}_std"),
+      min(v).as(s"${c}_min")) ++
+      percentiles.map(p =>
+        percentile(v, lit(p)).as(s"${c}_p${math.round(p * 100)}")) ++
+      Seq(max(v).as(s"${c}_max"))
+    val out = base.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    if (sortKeys) out.orderBy(keys.map(col): _*) else out
+  }
+
   /** Two-phase aggregation for SKEWED keys (the classic salting pattern):
     * partial-aggregate per (key, salt), then combine the salt buckets.
     * Exact for the algebraic stats exposed here (sum/count/min/max, with

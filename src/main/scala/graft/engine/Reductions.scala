@@ -688,6 +688,47 @@ object Reductions {
   /** Row-wise sample std (pandas `std(axis=1)`). */
   def rowStd(arr: Column, ddof: Int = 1): Column = sqrt(rowVar(arr, ddof))
 
+  /** pandas `DataFrame.agg(['sum','mean',...])` (whole-frame, axis=0;
+    * reference `parallelize_aggregate`, `parallel_dataframe.py:341-361`):
+    * list-spec over columns -> (stat, col...) long-form frame, exactly
+    * the stat×col shape pandas concats. ONE single-pass aggregate (all
+    * fn×col cells map-side combinable), assembled driver-side like
+    * [[describe]]. */
+  def aggregateSpec(df: DataFrame, cols: Seq[String],
+                    fns: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && fns.nonEmpty, "aggregate: empty spec")
+    val aggs = for (f <- fns; c <- cols)
+      yield GroupOps.aggFn(f)(col(c)).cast("double").as(s"${f}__$c")
+    val one = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val rows = fns.map { f =>
+      org.apache.spark.sql.Row.fromSeq(f +: cols.map { c =>
+        val i = one.fieldIndex(s"${f}__$c")
+        if (one.isNullAt(i)) null
+        else { val v = one.getDouble(i); if (v.isNaN) null else (v: java.lang.Double) }
+      })
+    }
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    val schema = StructType(StructField("stat", StringType) +:
+      cols.map(c => StructField(c, DoubleType)))
+    df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  /** pandas `Series.value_counts(normalize, ascending, dropna)`:
+    * (value, count, frac), ordered by count (desc by default) with the
+    * VALUE as the deterministic tie-break (pandas' first-encountered
+    * tie order is row-order-dependent — meaningless distributed). One
+    * hash aggregate + a broadcast 1-row total. */
+  def valueCounts(df: DataFrame, c: String, ascending: Boolean = false,
+                  dropna: Boolean = true): DataFrame = {
+    val base = if (dropna) df.filter(col(c).isNotNull) else df
+    val counts = base.groupBy(col(c)).agg(count(lit(1)).as("count"))
+    val tot = counts.agg(sum(col("count")).cast("double").as("__t"))
+    val ord = if (ascending) col("count").asc else col("count").desc
+    counts.crossJoin(broadcast(tot))
+      .select(col(c), col("count"), (col("count") / col("__t")).as("frac"))
+      .orderBy(ord, col(c))
+  }
+
   /** 100 TB mode of nunique: HyperLogLog++ sketch (`approx_count_distinct`,
     * `rsd` = relative standard deviation) — one pass, mergeable partials,
     * constant memory; the exact `count_distinct` stays the parity surface. */

@@ -69,6 +69,34 @@ object StrDt {
     when(length(c) > i, substring(c, i + 1, 1))
   /** pandas str.removeprefix / removesuffix (3.9+ Python semantics:
     * remove at most one occurrence, only at the edge). */
+  /** pandas str.capitalize: FIRST char upper, rest lower (not initcap,
+    * which capitalizes every word). */
+  def strCapitalize(c: Column): Column =
+    concat(upper(substring(c, 1, 1)), lower(c.substr(lit(2), length(c))))
+
+  /** pandas str.isalpha / isdigit / isspace / islower / isupper —
+    * character-class predicates (empty string -> false, like pandas). */
+  def strIsAlpha(c: Column): Column = c.rlike("^[A-Za-z]+$")
+  def strIsDigit(c: Column): Column = c.rlike("^[0-9]+$")
+  def strIsSpace(c: Column): Column = c.rlike("^\\s+$")
+  def strIsLower(c: Column): Column = (c === lower(c)) && c.rlike("[a-z]")
+  def strIsUpper(c: Column): Column = (c === upper(c)) && c.rlike("[A-Z]")
+
+  /** pandas str.partition(sep) head/tail: text before / after the FIRST
+    * separator occurrence (whole string / empty when absent). */
+  def strPartitionBefore(c: Column, sep: String): Column =
+    when(instr(c, sep) > 0, substring_index(c, sep, 1)).otherwise(c)
+  def strPartitionAfter(c: Column, sep: String): Column =
+    when(instr(c, sep) > 0,
+      c.substr(instr(c, sep) + sep.length, length(c)))
+      .otherwise(lit(""))
+
+  /** pandas str.slice_replace(start, stop, repl): splice `repl` over
+    * [start, stop) (0-based, like pandas). */
+  def strSliceReplace(c: Column, start: Int, stop: Int, repl: String): Column =
+    concat(substring(c, 1, start), lit(repl),
+      c.substr(lit(stop + 1), length(c)))
+
   def strRemovePrefix(c: Column, p: String): Column =
     when(c.startsWith(p), c.substr(lit(p.length + 1), length(c))).otherwise(c)
   def strRemoveSuffix(c: Column, sfx: String): Column =
@@ -111,6 +139,16 @@ object StrDt {
   def dtIsQuarterStart(c: Column): Column =
     dayofmonth(c) === 1 && (month(c) - 1) % 3 === 0
   /** pandas dt.date: calendar date part. */
+  def dtIsQuarterEnd(c: Column): Column =
+    to_date(c) === last_day(c) && month(c) % 3 === 0
+  def dtIsYearStart(c: Column): Column =
+    month(c) === 1 && dayofmonth(c) === 1
+  def dtIsYearEnd(c: Column): Column =
+    month(c) === 12 && dayofmonth(c) === 31
+  def dtIsLeapYear(c: Column): Column = {
+    val y = year(c)
+    (y % 4 === 0 && y % 100 =!= 0) || y % 400 === 0
+  }
   def dtDate(c: Column): Column = to_date(c)
   /** pandas dt.normalize(): midnight of the same day, still a timestamp. */
   def dtNormalize(c: Column): Column = date_trunc("day", c)

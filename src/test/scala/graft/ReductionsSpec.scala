@@ -210,6 +210,33 @@ class ReductionsSpec extends SparkSpec {
       Seq(None, Some(2.0), Some(6.0)))
   }
 
+  test("aggregateSpec: stat x col frame from one pass") {
+    val out = Reductions.aggregateSpec(s, Seq("v"), Seq("sum", "mean", "max"))
+    val m = out.collect().map(r => r.getString(0) -> optD(r, 1)).toMap
+    assertApprox(m("sum"), Some(15.0))
+    assertApprox(m("mean"), Some(3.75))
+    assertApprox(m("max"), Some(8.0))
+  }
+
+  test("valueCounts: count-desc with value tie-break, frac normalizes") {
+    import spark.implicits._
+    val df = Seq("b", "a", "b", "c", "a", "b").toDF("k")
+    val rows = Reductions.valueCounts(df, "k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(("b", 3L, 0.5), ("a", 2L, 2.0 / 6), ("c", 1L, 1.0 / 6)))
+  }
+
+  test("describeBy: per-group stats incl. exact percentiles") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 4.0), ("g", 8.0), ("h", 5.0))
+      .toDF("k", "v")
+    val out = graft.engine.GroupOps.describeBy(df, Seq("k"), "v").collect()
+    val g = out.find(_.getString(0) == "g").get
+    assert(g.getLong(1) == 4L)                       // count
+    assert(math.abs(g.getDouble(5) - 1.75) < 1e-9)   // p25 of [1,2,4,8]
+    assert(math.abs(g.getDouble(6) - 3.0) < 1e-9)    // p50
+  }
+
   test("boundedHistogram: exact counts under cap, null over cap, merges across partitions") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (i % 7).toDouble).toDF("v").repartition(8)

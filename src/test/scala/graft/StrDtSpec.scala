@@ -120,6 +120,45 @@ class StrDtSpec extends SparkSpec {
     assert(!rows(2).getBoolean(5))
   }
 
+  test("str tranche 4: capitalize/char-class/partition/slice_replace") {
+    val r = Seq(("Hello World", "Brand#42")).toDF("s", "b").select(
+      StrDt.strCapitalize(col("s")),                    // "Hello world"
+      StrDt.strIsAlpha(lit("abcDEF")),                  // true
+      StrDt.strIsAlpha(col("b")),                       // '#' -> false
+      StrDt.strIsDigit(lit("042")),                     // true
+      StrDt.strIsSpace(lit("  \t")),                    // true
+      StrDt.strIsLower(lit("ab c")),                    // true
+      StrDt.strIsUpper(col("s")),                       // mixed -> false
+      StrDt.strPartitionBefore(col("s"), " "),          // "Hello"
+      StrDt.strPartitionAfter(col("s"), " "),           // "World"
+      StrDt.strPartitionAfter(lit("nosep"), " "),       // ""
+      StrDt.strSliceReplace(col("b"), 0, 5, "X")        // "X#42"
+    ).collect()(0)
+    assert(r.getString(0) == "Hello world")
+    assert(r.getBoolean(1) && !r.getBoolean(2) && r.getBoolean(3))
+    assert(r.getBoolean(4) && r.getBoolean(5) && !r.getBoolean(6))
+    assert(r.getString(7) == "Hello" && r.getString(8) == "World")
+    assert(r.getString(9) == "" && r.getString(10) == "X#42")
+  }
+
+  test("dt tranche 4: year boundaries + leap + quarter end") {
+    val df = Seq(
+      Date.valueOf("2000-01-01"), Date.valueOf("1999-12-31"),
+      Date.valueOf("1900-06-30"), Date.valueOf("2024-03-31")).toDF("d")
+    val out = df.select(col("d"),
+      StrDt.dtIsYearStart(col("d")).as("ys"),
+      StrDt.dtIsYearEnd(col("d")).as("ye"),
+      StrDt.dtIsLeapYear(col("d")).as("lp"),
+      StrDt.dtIsQuarterEnd(col("d")).as("qe")).orderBy("d").collect()
+    // 1900 is NOT leap (divisible by 100, not 400); 2000 IS (by 400)
+    val m = out.map(r => r.getDate(0).toString ->
+      (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))).toMap
+    assert(m("2000-01-01") == ((true, false, true, false)))
+    assert(m("1999-12-31") == ((false, true, false, true)))
+    assert(m("1900-06-30") == ((false, false, false, true)))
+    assert(m("2024-03-31") == ((false, false, true, true)))
+  }
+
   test("str.extract with several groups: one column each, null on no match") {
     import spark.implicits._
     val df = Seq("ab-12", "xy-99", "nope").toDF("s")
