@@ -69,7 +69,20 @@ object Syntax {
     def mad(cols: String*): DataFrame = Reductions.mad(df, numeric(cols))
     def describe(cols: String*): DataFrame =
       Reductions.describe(df, numeric(cols))
+    def describe(percentiles: Seq[Double], cols: Seq[String]): DataFrame =
+      Reductions.describe(df, numeric(cols), percentiles)
+    def describeAuto(include: Seq[String] = Seq("number"),
+                     exclude: Seq[String] = Nil): DataFrame =
+      Reductions.describeAuto(df, include, exclude)
     def mode(c: String): DataFrame = Reductions.modeAll(df, c)
+    def valueCounts(c: String, ascending: Boolean = false,
+                    dropna: Boolean = true): DataFrame =
+      Reductions.valueCounts(df, c, ascending, dropna)
+    def aggregate(fns: Seq[String], cols: String*): DataFrame =
+      Reductions.aggregateSpec(df, numeric(cols), fns)
+    def rank(c: String, outs: Seq[(String, Boolean)] = Seq("rank" -> false),
+             ascending: Boolean = true, naOption: String = "keep"): DataFrame =
+      Reductions.withRankAvg(df, c, outs, ascending, naOption)
 
     // ---- §2.4 element-wise ----
     def applymap(cols: Seq[String], f: Column => Column): DataFrame =
@@ -86,6 +99,12 @@ object Syntax {
     def transform(fn: String, valueCol: String, keys: Seq[String]): DataFrame =
       df.withColumn(s"${valueCol}_$fn",
         GroupOps.transform(fn, col(valueCol), keys.map(col)))
+    def transformApply(keys: Seq[String], ordCol: String, valueCol: String,
+                       out: String)
+                      (f: IndexedSeq[Double] => IndexedSeq[Double]): DataFrame =
+      GroupOps.transformApply(df, keys, ordCol, valueCol, out)(f)
+    def describeBy(keys: Seq[String], c: String): DataFrame =
+      GroupOps.describeBy(df, keys, c)
 
     // ---- §2.7 reshaping ----
     def pivotTable(index: Seq[String], column: String, values: Seq[String],

@@ -41,4 +41,19 @@ class SyntaxSpec extends SparkSpec {
     val am = df.pp.applymap(Seq("x"), c => c * 2)
     assert(colD(am.orderBy("x"), "x") == Seq(2.0, 4.0, 6.0).map(Some(_)))
   }
+
+  test("round-4 surface: value_counts / aggregate / rank / describeBy / transformApply") {
+    val vc = df.pp.valueCounts("k").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(vc.toSeq == Seq(("a", 2L), ("b", 1L)))
+    val ag = df.pp.aggregate(Seq("sum", "max"), "x")
+    assert(ag.columns.toSeq == Seq("stat", "x") && ag.count() == 2)
+    val rk = df.pp.rank("x")
+    assert(rk.columns.contains("rank"))
+    val db = df.pp.describeBy(Seq("k"), "x")
+    assert(db.columns.contains("x_p50") && db.count() == 2)
+    val ta = df.pp.transformApply(Seq("k"), "x", "x", "t")(xs =>
+      xs.map(_ * 10))
+    assert(colD(ta.orderBy("x"), "t") == Seq(10.0, 20.0, 30.0).map(Some(_)))
+  }
 }
