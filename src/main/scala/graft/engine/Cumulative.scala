@@ -118,10 +118,9 @@ object Cumulative {
             else df.sparkSession.sparkContext.defaultParallelism
     val cuts = df.stat.approxQuantile(
       lead, (1 until n).map(_.toDouble / n).toArray, 0.01).distinct.sorted
+    // native binary-search bucket expression (see Reductions.withMidrank)
     def bucketOf(v: Column): Column =
-      cuts.foldLeft(lit(0)) { (acc, cut) =>
-        acc + when(v > lit(cut), 1).otherwise(0)
-      }
+      coalesce(graft.functions.BucketBin.bucketBin(v, cuts), lit(0))
     val sums = values.zipWithIndex.map { case ((v, _), i) =>
       coalesce(sum(v), lit(0.0)).as(s"__s$i")
     }

@@ -294,10 +294,10 @@ object Reductions {
     // correctness.
     val cuts = knownCuts.getOrElse(src.stat.approxQuantile(
       c, (1 until n).map(_.toDouble / n).toArray, 0.01)).distinct.sorted
+    // native binary-search expression — O(log cuts)/row in codegen,
+    // same value as the Σ(v > cut) indicator sum
     def bucketOf(v: Column): Column =
-      cuts.foldLeft(lit(0)) { (acc, cut) =>
-        acc + when(v > lit(cut), 1).otherwise(0)
-      }
+      coalesce(graft.functions.BucketBin.bucketBin(v, cuts), lit(0))
     val offs = {
       val partials = src.filter(col(c).isNotNull)
         .groupBy(bucketOf(col(c)).as("__bkt"))

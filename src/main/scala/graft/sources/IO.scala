@@ -36,6 +36,16 @@ object IO {
                     schema: Option[StructType] = None): DataFrame =
     schema.fold(spark.read.json(path))(s => spark.read.schema(s).json(path))
 
+  /** ORC read/write — the other columnar format with predicate pushdown
+    * and column pruning built into Spark; same explicit-schema guidance
+    * as parquet. */
+  def readOrc(spark: SparkSession, path: String,
+              schema: Option[StructType] = None): DataFrame =
+    schema.fold(spark.read.orc(path))(s => spark.read.schema(s).orc(path))
+  def writeOrc(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
   /** Stable row ids at ingest (pandas-index analogue):
     * `monotonically_increasing_id` is partition-local-ordered and unique
     * but NOT dense; zipWithIndex-style density costs an extra pass, so

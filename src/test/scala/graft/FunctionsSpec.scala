@@ -62,6 +62,26 @@ class FunctionsSpec extends SparkSpec {
     assert(df.agg(sum("d")).collect()(0).getDouble(0) > 0)
   }
 
+  test("bucket-bin: binary search equals the indicator sum, NaN past last cut, null in null out") {
+    import spark.implicits._
+    val cuts = Array(1.0, 3.0, 7.0)
+    val df = Seq(Some(0.5), Some(1.0), Some(2.0), Some(3.0), Some(3.5),
+      Some(9.0), Some(Double.NaN), None).toDF("v")
+    val out = df.select(col("v"),
+      graft.functions.BucketBin.bucketBin(col("v"), cuts).as("b"),
+      (cuts.map(c => when(col("v") > lit(c), 1).otherwise(0)): Seq[org.apache.spark.sql.Column])
+        .reduce(_ + _).as("ref")).collect()
+    out.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1))
+      else if (r.getDouble(0).isNaN) assert(r.getInt(1) == cuts.length)
+      else assert(r.getInt(1) == r.getInt(2), s"row $r")
+    }
+    // exact-cut value buckets LEFT (v > cut strict): 1.0 -> 0, 3.0 -> 1
+    val m = out.filter(r => !r.isNullAt(0) && !r.getDouble(0).isNaN)
+      .map(r => r.getDouble(0) -> r.getInt(1)).toMap
+    assert(m(1.0) == 0 && m(3.0) == 1 && m(3.5) == 2 && m(9.0) == 3)
+  }
+
   test("rolling hash: order-sensitive, matches a hand-rolled mirror") {
     def md5p32(s: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")

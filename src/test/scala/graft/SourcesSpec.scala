@@ -29,6 +29,17 @@ class SourcesSpec extends SparkSpec {
     assert(j.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("x", "y"))
   }
 
+  test("orc round-trip with pushdown-capable scan") {
+    val dir = tmp() + "/o"
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    IO.writeOrc(df, dir)
+    val back = IO.readOrc(spark, dir, Some(df.schema)).filter(col("id") > 1)
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq == Seq("b", "c"))
+    // the filter reaches the ORC scan as a pushed predicate
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"))
+  }
+
   test("row ids: sparse unique; dense 0..n-1") {
     val df = Seq("a", "b", "c").toDF("s")
     val sparse = IO.withRowId(df).select("row_id").collect().map(_.getLong(0))
