@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Core.r
+import graft.pipeline._
+
+/** Corpus-curation query surface (see [[graft.pipeline.Curation]]):
+  * decontamination, PII, deterministic splits/sampling, repetition
+  * metrics, sequence packing. Every query has a full DuckDB oracle —
+  * the hash-determinism design (md5 everywhere a decision is "random")
+  * is what makes that possible. */
+object PipelineQueries2 {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.engine.Core.normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
+
+  /** Deterministic PII-bearing text: the synthetic corpus has no PII, so
+    * the query plants some as a pure function of doc_id (email always,
+    * IP on even ids, phone on ids % 3 == 0) — the detector/redactor then
+    * has real positives AND negatives to prove itself on. */
+  private def plantedPii(id: org.apache.spark.sql.Column,
+                         text: org.apache.spark.sql.Column) =
+    concat(
+      text,
+      lit(" contact user"), id.cast("string"), lit("@mail.example.com"),
+      when(id % 2 === 0,
+        concat(lit(" from 10.0."), (id % 256).cast("string"), lit("."),
+          (id % 100).cast("string")))
+        .otherwise(lit("")),
+      when(id % 3 === 0,
+        concat(lit(" tel +555 123 4"), lpad((id % 1000).cast("string"), 3, "0")))
+        .otherwise(lit("")))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- benchmark decontamination: src0 is the "eval suite" ----
+    "q_decontam" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Curation.decontaminate(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("n_contaminated"),
+          col("contaminated").cast("int").as("contaminated"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- PII detect + redact (codegen-only, zero shuffle) ----
+    "q_pii" -> ((s, d) => {
+      val aug = plantedPii(col("doc_id"), col("text"))
+      T(s, d, "documents").select(col("doc_id"), aug.as("__t"))
+        .select(
+          col("doc_id"),
+          regexp_count(col("__t"), lit(Curation.EmailRe)).as("n_email"),
+          regexp_count(col("__t"), lit(Curation.Ipv4Re)).as("n_ip"),
+          regexp_count(col("__t"), lit(Curation.PhoneRe)).as("n_phone"),
+          length(Curation.redact(col("__t"))).as("redacted_len"),
+          md5(Curation.redact(col("__t")).cast("binary")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- deterministic 80/10/10 hash split ----
+    "q_split" -> ((s, d) =>
+      T(s, d, "documents").select(
+        col("doc_id"),
+        Curation.hashBucket(col("doc_id")).as("bucket"),
+        Curation.hashSplit(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+        .orderBy("doc_id")),
+
+    // ---- stratified deterministic downsampling by source ----
+    "q_sample_strat" -> ((s, d) =>
+      Curation.stratifiedSample(T(s, d, "documents"), "doc_id", "source",
+        Map("src1" -> 1.0, "src2" -> 0.5, "src3" -> 0.25, "src4" -> 0.1))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
+    // ---- Gopher-style repetition metrics ----
+    "q_rep_metrics" -> ((s, d) =>
+      Curation.repetitionMetrics(T(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          r(col("dup_word_frac"), 6).as("dup_word_frac"),
+          r(col("top_bigram_frac"), 6).as("top_bigram_frac"))
+        .orderBy("doc_id")),
+
+    // ---- greedy sequence packing into 512-token chunks ----
+    "q_pack" -> ((s, d) => {
+      val docs = T(s, d, "documents").select(
+        col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      Curation.packGreedy(docs, "doc_id", "n_tok", ctxLen = 512)
+        .orderBy("doc_id")
+    })
+  )
+
+  private val WordsCte =
+    """words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                 FROM documents)"""
+
+  /** Word 3-gram CTE (distinct per doc) — mirrors Dedup.shingles(k=3). */
+  private val ShingleCte =
+    s"""$WordsCte,
+       s0 AS (SELECT doc_id,
+                CASE WHEN len(w) >= 3 THEN
+                  list_transform(generate_series(0, len(w)-3),
+                                 i -> array_to_string(w[i+1:i+3], ' '))
+                ELSE [array_to_string(w, ' ')] END AS shl
+              FROM words),
+       sh AS (SELECT DISTINCT doc_id, unnest(shl) AS s FROM s0)"""
+
+  /** Planted-PII expression mirroring [[plantedPii]]. */
+  private val AugSql =
+    """(text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        || (CASE WHEN doc_id % 2 = 0
+            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                 || CAST(doc_id % 100 AS VARCHAR) ELSE '' END)
+        || (CASE WHEN doc_id % 3 = 0
+            THEN ' tel +555 123 4' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+            ELSE '' END))"""
+
+  private val EmailReSql = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4ReSql  = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private val PhoneReSql = "\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}"
+  private val RedactSql =
+    s"""regexp_replace(regexp_replace(regexp_replace($AugSql,
+        '$EmailReSql', '<EMAIL>', 'g'),
+        '$Ipv4ReSql', '<IP>', 'g'),
+        '$PhoneReSql', '<PHONE>', 'g')"""
+
+  val oracle: Map[String, String] = Map(
+
+    "q_decontam" ->
+      s"""WITH $ShingleCte,
+         bench AS (SELECT DISTINCT s FROM sh JOIN documents USING (doc_id)
+                   WHERE source = 'src0'),
+         hits AS (SELECT doc_id, count(*) AS n_contaminated
+                  FROM sh JOIN documents USING (doc_id)
+                  WHERE source <> 'src0' AND s IN (SELECT s FROM bench)
+                  GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(n_contaminated, 0) AS n_contaminated,
+                CASE WHEN coalesce(n_contaminated, 0) > 0 THEN 1 ELSE 0 END
+                  AS contaminated
+         FROM documents d LEFT JOIN hits USING (doc_id)
+         WHERE d.source <> 'src0'
+         ORDER BY doc_id""",
+
+    "q_pii" ->
+      s"""SELECT doc_id,
+         len(regexp_extract_all($AugSql, '$EmailReSql')) AS n_email,
+         len(regexp_extract_all($AugSql, '$Ipv4ReSql')) AS n_ip,
+         len(regexp_extract_all($AugSql, '$PhoneReSql')) AS n_phone,
+         length($RedactSql) AS redacted_len,
+         md5($RedactSql) AS redacted_md5
+         FROM documents ORDER BY doc_id""",
+
+    // thresholds are round(0.8*65536)=52429, round(0.9*65536)=58982 —
+    // mirrors Curation.hashSplit's cumulative-fraction rounding
+    "q_split" ->
+      """SELECT doc_id, b AS bucket,
+         CASE WHEN b < 52429 THEN 'train'
+              WHEN b < 58982 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS b
+               FROM documents)
+         ORDER BY doc_id""",
+
+    "q_sample_strat" ->
+      """SELECT doc_id, source
+         FROM (SELECT doc_id, source,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS b
+               FROM documents)
+         WHERE b < (CASE source WHEN 'src1' THEN 1.0 WHEN 'src2' THEN 0.5
+                    WHEN 'src3' THEN 0.25 WHEN 'src4' THEN 0.1
+                    ELSE 0.0 END) * 65536
+         ORDER BY doc_id""",
+
+    "q_rep_metrics" ->
+      s"""WITH $WordsCte,
+         base AS (SELECT doc_id, len(w) AS n, w FROM words),
+         bg AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(0, len(w)-2),
+                           i -> array_to_string(w[i+1:i+2], ' '))) AS g
+                FROM words WHERE len(w) >= 2),
+         cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+         top AS (SELECT doc_id, max(c) AS topc, sum(c) AS tot
+                 FROM cnt GROUP BY 1)
+         SELECT b.doc_id, n AS n_tokens,
+           round(1.0 - len(list_distinct(w))*1.0 / greatest(n, 1) + 1e-9, 6)
+             AS dup_word_frac,
+           round(coalesce(topc*1.0 / tot, 0.0) + 1e-9, 6) AS top_bigram_frac
+         FROM base b LEFT JOIN top USING (doc_id) ORDER BY doc_id""",
+
+    "q_pack" ->
+      s"""WITH $WordsCte,
+         t AS (SELECT doc_id, len(w) AS nt FROM words),
+         c AS (SELECT doc_id, nt,
+                 sum(nt) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM t)
+         SELECT doc_id, nt AS n_tokens,
+           CAST(cum - nt AS BIGINT) AS start_offset,
+           CAST(floor((cum - nt) / 512.0) AS BIGINT) AS chunk_id,
+           CAST(cum - nt AS BIGINT) % 512 AS chunk_offset
+         FROM c ORDER BY doc_id"""
+  )
+}

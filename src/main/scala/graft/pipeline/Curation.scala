@@ -1,0 +1,185 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-curation operators for a training-data pipeline: benchmark
+  * decontamination, PII detection/redaction, deterministic hash splits,
+  * repetition (boilerplate) metrics, greedy sequence packing, and
+  * stratified deterministic sampling.
+  *
+  * These extend the reference surface (dubovikmaster/parallel-pandas has
+  * no curation ops) with the operations a 100 TB LLM-data pipeline needs
+  * around the dedup/similarity family in [[Dedup]]/[[Similarity]].
+  * Design rules shared by all of them:
+  *   - hash-determinism: every random-looking decision (split, sample)
+  *     is a pure function of row content via md5, so re-runs, retries
+  *     and the DuckDB oracle all agree bit-for-bit;
+  *   - one shuffle max per op, keyed to spread (doc, gram) not doc;
+  *   - no driver-side loops — the only collect is the ~`buckets`-row
+  *     partials table inside the prefix-sum used by [[packGreedy]].
+  */
+object Curation {
+
+  // ---------------------------------------------------------------
+  // Benchmark decontamination
+  // ---------------------------------------------------------------
+
+  /** Flag training documents that share at least one word `k`-gram with
+    * a benchmark/eval corpus (the standard "n-gram decontamination" of
+    * LLM training sets; production uses k=8..13, tests use small k so
+    * the tiny fixtures actually collide).
+    *
+    * Plan shape: distinct k-grams on both sides; the benchmark side is
+    * tiny relative to training (eval suites are MBs, corpora are TBs) so
+    * its distinct gram set is broadcast — the training side streams
+    * map-only, then one hash-aggregate by doc id. No shuffle of the
+    * training text itself, no sort.
+    *
+    * Returns one row per training doc: (id, n_contaminated — distinct
+    * contaminated grams, contaminated flag). */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+                    id: String, text: String, k: Int = 3): DataFrame = {
+    val trainGrams = train
+      .select(col(id), explode(Dedup.shingles(col(text), k)).as("__g"))
+      .distinct()
+    val benchGrams = bench
+      .select(explode(Dedup.shingles(col(text), k)).as("__g"))
+      .distinct()
+    val hits = trainGrams
+      .join(broadcast(benchGrams), Seq("__g"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_contaminated"))
+    train.select(col(id))
+      .join(hits, Seq(id), "left")
+      .select(col(id),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  // ---------------------------------------------------------------
+  // PII detection / redaction
+  // ---------------------------------------------------------------
+
+  /** Conservative ASCII regexes chosen to mean the SAME thing in Java
+    * regex (Spark codegen) and RE2 (DuckDB): no backrefs, no lookahead,
+    * no \b. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re  = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhoneRe = "\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}"
+
+  /** Per-row PII hit counts — pure codegen (regexp_count), zero
+    * shuffle; runs at scan speed on 100 TB. */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(EmailRe)),
+     regexp_count(text, lit(Ipv4Re)),
+     regexp_count(text, lit(PhoneRe)))
+
+  /** Redact PII in place (email first so its digits can't be re-matched
+    * as phones; ip before phone so dotted quads don't half-match). */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  // ---------------------------------------------------------------
+  // Deterministic hash split / stratified sampling
+  // ---------------------------------------------------------------
+
+  /** Uniform-ish value in [0, 65536) that is a pure function of the id:
+    * first 4 hex chars of md5(id as string). Identical in DuckDB as
+    * ('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 4))::BIGINT, which is
+    * what makes the split/sample oracles exact. */
+  def hashBucket(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("long")
+
+  /** Deterministic train/val/test assignment by cumulative fraction
+    * thresholds over [[hashBucket]]. `splits` are (label, fraction)
+    * in order; fractions must sum to 1. Stable under re-partitioning,
+    * retries, and incremental ingest (a doc's split never changes when
+    * more data arrives) — the property row_number()-based splits lack. */
+  def hashSplit(idCol: Column, splits: Seq[(String, Double)]): Column = {
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val b = hashBucket(idCol)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    splits.zip(cum).init.foldRight(lit(splits.last._1): Column) {
+      case (((label, _), hi), elseCol) =>
+        when(b < math.round(hi * 65536).toDouble, lit(label)).otherwise(elseCol)
+    }
+  }
+
+  /** Deterministic per-stratum Bernoulli sample: keep a row iff
+    * hashBucket(id)/65536 < rate(stratum). Exact, reproducible
+    * stratified downsampling — the curation move for rebalancing
+    * sources/languages in a corpus. Unknown strata are dropped
+    * (rate 0). */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double]): DataFrame = {
+    val rate = rates.foldLeft(lit(0.0): Column) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < rate * 65536)
+  }
+
+  // ---------------------------------------------------------------
+  // Repetition / boilerplate metrics (Gopher-style quality signals)
+  // ---------------------------------------------------------------
+
+  /** Per-doc repetition metrics a la Gopher/MassiveText quality rules:
+    *   - dup_word_frac: 1 - distinct/total tokens (in-row codegen);
+    *   - top_bigram_frac: occurrences of the most frequent word bigram
+    *     over total bigrams (0 when < 2 tokens).
+    * The bigram mode needs a per-(doc, gram) count — one shuffle keyed
+    * (doc, gram), so a template-heavy doc spreads over its distinct
+    * grams rather than hot-spotting one task; the per-doc max then
+    * map-side-combines. Token totals ride along codegen-only. */
+  def repetitionMetrics(df: DataFrame, id: String, text: String): DataFrame = {
+    val w = Dedup.words(col(text))
+    val base = df.select(col(id), w.as("__w"))
+      .withColumn("__n", size(col("__w")))
+    val grams = base.filter(col("__n") >= 2)
+      .select(col(id), explode(Dedup.shinglesFromWords(col("__w"), 2)).as("__g"))
+    val top = grams.groupBy(col(id), col("__g")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(id)).agg(max(col("__c")).as("__top"), sum(col("__c")).as("__tot"))
+    base.join(top, Seq(id), "left")
+      .select(col(id),
+        col("__n").as("n_tokens"),
+        (lit(1.0) - size(array_distinct(col("__w"))).cast("double") /
+          greatest(col("__n"), lit(1)).cast("double")).as("dup_word_frac"),
+        coalesce(col("__top").cast("double") / col("__tot"), lit(0.0))
+          .as("top_bigram_frac"))
+  }
+
+  // ---------------------------------------------------------------
+  // Greedy sequence packing
+  // ---------------------------------------------------------------
+
+  /** GPT-style "concatenate then chunk" sequence packing: documents in
+    * a fixed order are laid head-to-tail and cut every `ctxLen` tokens;
+    * a doc is assigned to the chunk where it STARTS. Emits (id, tokens,
+    * start offset, chunk id, offset within chunk).
+    *
+    * The global running offset uses the checkpoint-free bucketed prefix
+    * sum ([[graft.engine.Cumulative.globalCumsumBucketed]]) — value-
+    * deterministic buckets, one tiny partials broadcast, no global sort
+    * and no single-partition window, so the layout is computed scale-out
+    * on 100 TB exactly like cumsum. */
+  def packGreedy(df: DataFrame, id: String, tokenCol: String,
+                 ctxLen: Int): DataFrame = {
+    val cum = graft.engine.Cumulative.globalCumsumBucketed(
+      df.select(col(id), col(tokenCol).cast("double").as("__t")),
+      order = Seq(col(id)), lead = id,
+      values = Seq((col("__t"), "__cum")))
+    cum.select(
+      col(id),
+      col("__t").cast("long").as("n_tokens"),
+      (col("__cum") - col("__t")).cast("long").as("start_offset"),
+      floor((col("__cum") - col("__t")) / ctxLen).cast("long").as("chunk_id"),
+      ((col("__cum") - col("__t")).cast("long") % ctxLen).as("chunk_offset"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Curation
+
+/** [[graft.pipeline.Curation]]: decontamination hits/misses, PII
+  * detect+redact, hash split determinism & proportions, stratified
+  * sampling, repetition metrics, greedy packing layout. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "train"),
+    (2L, "pack my box with five dozen liquor jugs", "train"),
+    (3L, "the quick brown fox sat still", "train"),
+    (4L, "a a a a a a", "train"),
+    (10L, "quick brown fox jumps high", "bench"),
+    (11L, "totally unrelated benchmark text here", "bench")
+  ).toDF("doc_id", "text", "kind")
+
+  test("decontaminate flags only docs sharing a k-gram with bench") {
+    val out = Curation.decontaminate(
+      docs.filter($"kind" === "train"), docs.filter($"kind" === "bench"),
+      "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+    // doc 1 shares "quick brown fox" + "brown fox jumps"; doc 3 shares
+    // "quick brown fox"; docs 2 and 4 share nothing
+    assert(out.map(r => r.getLong(0) -> r.getBoolean(2)).toSeq ==
+      Seq(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+    assert(out(0).getLong(1) == 2L && out(2).getLong(1) == 1L)
+  }
+
+  test("pii counts and redaction") {
+    val df = Seq(
+      (1L, "mail a@b.co and c.d+x@e-f.org, ip 192.168.0.1, tel +123 456 7890"),
+      (2L, "no pii here at all"),
+      (3L, "999.999.999.999 is a (sloppy but standard) ipv4 match")
+    ).toDF("id", "t")
+    val (e, i, p) = Curation.piiCounts(col("t"))
+    val got = df.select(e.as("e"), i.as("i"), p.as("p"),
+      Curation.redact(col("t")).as("r")).orderBy(df("id")).collect()
+    assert((got(0).getInt(0), got(0).getInt(1), got(0).getInt(2)) == ((2, 1, 1)))
+    assert(got(0).getString(3) ==
+      "mail <EMAIL> and <EMAIL>, ip <IP>, tel <PHONE>")
+    assert((got(1).getInt(0), got(1).getInt(1), got(1).getInt(2)) == ((0, 0, 0)))
+    assert(got(2).getInt(1) == 1)
+  }
+
+  test("hashSplit is deterministic, exhaustive, and roughly proportional") {
+    val ids = spark.range(0, 2000).toDF("id")
+    val split = Curation.hashSplit(col("id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = ids.groupBy(split.as("s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000L)
+    assert(counts("train") > 1500 && counts("train") < 1700)
+    assert(counts("val") > 120 && counts("val") < 280)
+    // same id -> same split on a re-evaluated plan
+    val twice = ids.select(split.as("a"), split.as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(twice == 0L)
+  }
+
+  test("hashSplit rejects fractions that do not sum to 1") {
+    intercept[IllegalArgumentException] {
+      Curation.hashSplit(col("id"), Seq("a" -> 0.5, "b" -> 0.6))
+    }
+  }
+
+  test("stratifiedSample keeps rate-1 strata whole and drops unknown strata") {
+    val df = spark.range(0, 300)
+      .select($"id", (concat(lit("s"), ($"id" % 3).cast("string"))).as("src"))
+    val out = Curation.stratifiedSample(df, "id", "src",
+      Map("s0" -> 1.0, "s1" -> 0.5))
+    val by = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by("s0") == 100L)          // rate 1.0: all kept
+    assert(by.get("s2").isEmpty)      // unmapped stratum dropped
+    assert(by("s1") > 20 && by("s1") < 80)
+  }
+
+  test("repetitionMetrics: dup-word and top-bigram fractions") {
+    val out = Curation.repetitionMetrics(
+      Seq((1L, "a b a b a b"),      // bigrams: ab ba ab ba ab -> top 3/5
+          (2L, "all words unique here"),
+          (3L, "solo")).toDF("doc_id", "text"),
+      "doc_id", "text").orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 6)
+    assert(math.abs(out(0).getDouble(2) - (1.0 - 2.0 / 6.0)) < 1e-12)
+    assert(math.abs(out(0).getDouble(3) - 3.0 / 5.0) < 1e-12)
+    assert(out(1).getDouble(2) == 0.0 &&
+      math.abs(out(1).getDouble(3) - 1.0 / 3.0) < 1e-12)
+    assert(out(2).getDouble(3) == 0.0) // < 2 tokens: no bigrams
+  }
+
+  test("packGreedy lays docs head-to-tail and assigns start chunk") {
+    val df = Seq((1L, 300), (2L, 300), (3L, 100), (4L, 50))
+      .toDF("doc_id", "n_tok")
+    val out = Curation.packGreedy(df, "doc_id", "n_tok", ctxLen = 512)
+      .orderBy("doc_id").collect()
+    // offsets: 0, 300, 600, 700 -> chunks 0, 0, 1, 1
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 300L, 600L, 700L))
+    assert(out.map(_.getLong(3)).toSeq == Seq(0L, 0L, 1L, 1L))
+    assert(out.map(_.getLong(4)).toSeq == Seq(0L, 300L, 88L, 188L))
+  }
+}
