@@ -31,24 +31,24 @@ object Curation {
     * LLM training sets; production uses k=8..13, tests use small k so
     * the tiny fixtures actually collide).
     *
-    * Plan shape: distinct k-grams on both sides; the benchmark side is
-    * tiny relative to training (eval suites are MBs, corpora are TBs) so
-    * its distinct gram set is broadcast — the training side streams
-    * map-only, then one hash-aggregate by doc id. No shuffle of the
-    * training text itself, no sort.
+    * Plan shape: the benchmark side is tiny relative to training (eval
+    * suites are MBs, corpora are TBs) so its distinct gram set is
+    * broadcast and applied MAP-SIDE to the streaming training grams —
+    * almost everything dies before any shuffle. Only the surviving
+    * contaminated (doc, gram) pairs are distinct-ed and counted, so the
+    * one real shuffle carries contamination hits, not the corpus.
     *
     * Returns one row per training doc: (id, n_contaminated — distinct
     * contaminated grams, contaminated flag). */
   def decontaminate(train: DataFrame, bench: DataFrame,
                     id: String, text: String, k: Int = 3): DataFrame = {
-    val trainGrams = train
-      .select(col(id), explode(Dedup.shingles(col(text), k)).as("__g"))
-      .distinct()
     val benchGrams = bench
       .select(explode(Dedup.shingles(col(text), k)).as("__g"))
       .distinct()
-    val hits = trainGrams
+    val hits = train
+      .select(col(id), explode(Dedup.shingles(col(text), k)).as("__g"))
       .join(broadcast(benchGrams), Seq("__g"))
+      .distinct()
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_contaminated"))
     train.select(col(id))
