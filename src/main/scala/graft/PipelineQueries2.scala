@@ -90,6 +90,26 @@ object PipelineQueries2 {
         col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tok"))
       Curation.packGreedy(docs, "doc_id", "n_tok", ctxLen = 512)
         .orderBy("doc_id")
+    }),
+
+    // ---- distributed k-means over embeddings (IVF coarse-quantizer
+    //      trainer): 2 Lloyd iterations, k=4, deterministic id init ----
+    "q_kmeans" -> ((s, d) =>
+      Similarity.kmeans(T(s, d, "embeddings"), "vec_id", "embedding",
+        k = 4, iters = 2)
+        .select(col("vec_id"), col("cluster"), r(col("dist"), 6).as("dist"))
+        .orderBy("vec_id")),
+
+    // ---- normalization chain on deterministically-dirtied text ----
+    "q_clean" -> ((s, d) => {
+      val dirty = concat(lit("  "),
+        when(col("doc_id") % 2 === 0, upper(col("text"))).otherwise(col("text")),
+        lit("\tmid\u0007bell  "))
+      T(s, d, "documents").select(
+        col("doc_id"),
+        length(Curation.cleanText(dirty)).as("clean_len"),
+        md5(Curation.cleanText(dirty).cast("binary")).as("clean_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -127,7 +147,58 @@ object PipelineQueries2 {
         '$Ipv4ReSql', '<IP>', 'g'),
         '$PhoneReSql', '<PHONE>', 'g')"""
 
+  /** One unrolled Lloyd iteration: assign against c{i-1}, recompute
+    * c{i} (empty clusters keep their centroid — mirrors kmeans). The
+    * two parallel unnests zip positionally, giving (dim-index, value)
+    * pairs; sum/count instead of avg() so both engines divide the same
+    * exact sums (see Similarity.kmeans's order-independence note). */
+  private def kmeansIter(i: Int): String =
+    s"""d$i AS (SELECT e.vec_id, c.cid,
+             list_sum(list_transform(generate_series(1, 64),
+               j -> (x[j]-cv[j])*(x[j]-cv[j]))) AS d
+           FROM e, c${i - 1} c),
+       a$i AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM d$i) WHERE rn = 1),
+       u$i AS (SELECT cid, unnest(x) AS v, unnest(generate_series(1, 64)) AS j
+           FROM a$i JOIN e USING (vec_id)),
+       m$i AS (SELECT cid, j, sum(v)/count(v) AS m FROM u$i GROUP BY 1, 2),
+       g$i AS (SELECT cid, list(m ORDER BY j) AS cv FROM m$i GROUP BY cid),
+       c$i AS (SELECT c.cid, coalesce(g.cv, c.cv) AS cv
+           FROM c${i - 1} c LEFT JOIN g$i g USING (cid))"""
+
   val oracle: Map[String, String] = Map(
+
+    "q_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+                     FROM embeddings),
+         c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                    AS cid, x AS cv
+                FROM (SELECT vec_id, x FROM e ORDER BY vec_id LIMIT 4)),
+         ${kmeansIter(1)},
+         ${kmeansIter(2)},
+         df AS (SELECT e.vec_id, c.cid,
+                  list_sum(list_transform(generate_series(1, 64),
+                    j -> (x[j]-cv[j])*(x[j]-cv[j]))) AS d
+                FROM e, c2 c),
+         af AS (SELECT vec_id, cid, d FROM (
+                  SELECT vec_id, cid, d,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                  FROM df) WHERE rn = 1)
+         SELECT vec_id, cid AS cluster, round(sqrt(d) + 1e-9, 6) AS dist
+         FROM af ORDER BY vec_id""",
+
+    "q_clean" ->
+      """SELECT doc_id, length(cleaned) AS clean_len, md5(cleaned) AS clean_md5
+         FROM (SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(
+                   '  ' || (CASE WHEN doc_id % 2 = 0 THEN upper(text)
+                            ELSE text END)
+                        || chr(9) || 'mid' || chr(7) || 'bell  ',
+                   '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')) AS cleaned
+               FROM documents)
+         ORDER BY doc_id""",
 
     "q_decontam" ->
       s"""WITH $ShingleCte,

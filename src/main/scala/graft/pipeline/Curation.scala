@@ -156,6 +156,18 @@ object Curation {
   }
 
   // ---------------------------------------------------------------
+  // Text normalization
+  // ---------------------------------------------------------------
+
+  /** Canonical text cleanup applied before any hashing/dedup pass:
+    * control chars -> space, whitespace runs collapsed, ends trimmed.
+    * Pure codegen (two regexp_replace + trim), zero shuffle; the ASCII
+    * control class is written out so Java regex and RE2 agree. */
+  def cleanText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "[\\x00-\\x1F\\x7F]", " "),
+      "\\s+", " "))
+
+  // ---------------------------------------------------------------
   // Greedy sequence packing
   // ---------------------------------------------------------------
 

@@ -337,4 +337,58 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("id1", "id2", "cos").distinct()
   }
+
+  /** Distributed Lloyd's k-means over an embedding column — the proper
+    * trainer for [[ivfTopKWith]]'s coarse quantizer (hash-sampled
+    * centroids are the zero-cost fallback; a few Lloyd iterations cut
+    * IVF probe misses substantially).
+    *
+    * Scale shape per iteration: centroids live on the DRIVER (k × dim
+    * doubles — tiny) and enter the plan as literals, so assignment is a
+    * zero-shuffle codegen projection (argmin over k fold expressions);
+    * the update is one hash-aggregate keyed (cluster, dim) — 64·N rows
+    * spread over the cluster, no hot key. Nothing frame-sized ever
+    * serializes to the driver.
+    *
+    * Determinism: init = the k lowest-id vectors (cid by id order);
+    * argmin ties break to the lowest cid via struct array_min; centroid
+    * means are exact sums of float32-valued doubles (order-independent
+    * because no addition ever rounds: 24-bit mantissas with bounded
+    * exponent spread fit in 53 bits), so re-runs — and the DuckDB
+    * oracle — reproduce the trajectory bit-for-bit.
+    *
+    * Returns (vec_id, cluster, dist): final assignment against the
+    * post-iteration centroids, dist = Euclidean. */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String,
+             k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, s"kmeans: need k>0, iters>=0")
+    val base = df.select(col(idCol).cast("long").as("vec_id"),
+      asDouble(col(vecCol)).as("x"))
+    var cents: Array[Array[Double]] = base.orderBy("vec_id").limit(k)
+      .select("x").collect().map(_.getSeq[Double](0).toArray)
+    require(cents.length == k, s"kmeans: k=$k but only ${cents.length} rows")
+    val dim = cents(0).length
+    def sqDist(cv: Array[Double]): Column =
+      aggregate(
+        zip_with(col("x"), array(cv.map(lit): _*), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, v) => acc + v)
+    def assigned(): DataFrame = base.withColumn("__best",
+      array_min(array(cents.zipWithIndex.map { case (cv, i) =>
+        struct(sqDist(cv).as("d"), lit(i).as("c"))
+      }: _*)))
+    for (_ <- 0 until iters) {
+      val sums = assigned()
+        .select(col("__best.c").as("cid"), posexplode(col("x")).as(Seq("p", "v")))
+        .groupBy("cid", "p")
+        .agg(sum("v").as("s"), count("v").as("n"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cluster keeps its centroid
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+      }
+      cents = next
+    }
+    assigned().select(col("vec_id"), col("__best.c").as("cluster"),
+      sqrt(col("__best.d")).as("dist"))
+  }
 }
