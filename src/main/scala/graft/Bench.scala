@@ -35,7 +35,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The per-query map is ~90 entries and outgrew the driver's tail
+    // capture in round 4 (BENCH_r04.json: parsed null). Emit the full
+    // record first (and persist it to BENCH.json for the repo), then the
+    // SHORT machine-parseable summary as the LAST line so any tail-based
+    // capture always sees a complete JSON object.
+    println(full)
+    try {
+      val w = new java.io.PrintWriter("BENCH.json")
+      try w.println(full) finally w.close()
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

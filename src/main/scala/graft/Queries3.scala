@@ -65,18 +65,17 @@ object Queries3 {
     }),
 
     // ---- §2.5 rank method variants: min / dense / first / max / pct —
-    //      all derived from the distributed per-value rank stats; the
-    //      only window is partitioned BY VALUE (within-tie row_number
-    //      for method='first'), so nothing serializes globally.
-    //      Caveats (documented, by design):
-    //      - l_quantity is LOW-cardinality (~50 values), so the
-    //        by-value window/join concentrates each tie group into one
-    //        task (~N/50 rows at scale). For a skew-proof method='first'
-    //        on such keys, salt the within-tie row_number and add a
-    //        second prefix sum over the salted tie counts.
-    //      - null values left-join to null stats -> null ranks
-    //        (pandas na_option='keep'), unlike a nulls-last window
-    //        which would assign them trailing ranks. ----
+    //      all derived from the distributed per-value rank stats.
+    //      method='first' adds the within-tie ordinal via
+    //      Reductions.withinTieOrdinal: the tiebreak column is bucketed
+    //      by value-deterministic quantile cuts, so NO window is
+    //      partitioned by the value alone — l_quantity has ~50 distinct
+    //      values and a by-value window would put a whole ~N/50-row tie
+    //      group on one task at 100 TB. The largest partition anywhere
+    //      is ~tieGroup/buckets.
+    //      Null values left-join to null stats -> null ranks
+    //      (pandas na_option='keep', intentional), unlike a nulls-last
+    //      window which would assign them trailing ranks. ----
     "q_rank_methods" -> ((s, d) => {
       val q = col("l_quantity")
       val li = T(s, d, "lineitem")
@@ -84,15 +83,17 @@ object Queries3 {
       val tot = stats.agg(coalesce(sum(col("__rk_cnt")), lit(0.0)).as("__n"))
       val st = li.join(stats, q === col("__rkv"), "left").drop("__rkv")
         .crossJoin(broadcast(tot))
-      val wTie = Window.partitionBy(q).orderBy(col("l_orderkey"),
-        col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
-      st.select(
-        col("l_orderkey"), col("l_linenumber"), q,
-        (col("__rk_before") + 1).cast("long").as("rk_min"),
-        col("__rk_dense").cast("long").as("rk_dense"),
-        (col("__rk_before") + row_number().over(wTie)).cast("long").as("rk_first"),
-        (col("__rk_before") + col("__rk_cnt")).cast("long").as("rk_max"),
-        r((col("__rk_before") + 1) / col("__n"), 6).as("rk_min_pct"))
+      val tiebreak = Seq(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"))
+      Reductions.withinTieOrdinal(st, "l_quantity", tiebreak, "__tie_ord",
+          statsSource = Some(li))
+        .select(
+          col("l_orderkey"), col("l_linenumber"), q,
+          (col("__rk_before") + 1).cast("long").as("rk_min"),
+          col("__rk_dense").cast("long").as("rk_dense"),
+          (col("__rk_before") + col("__tie_ord")).cast("long").as("rk_first"),
+          (col("__rk_before") + col("__rk_cnt")).cast("long").as("rk_max"),
+          r((col("__rk_before") + 1) / col("__n"), 6).as("rk_min_pct"))
         .orderBy(col("l_orderkey"), col("l_linenumber"), q,
           col("l_extendedprice"), col("rk_first"))
     }),

@@ -323,6 +323,67 @@ object Reductions {
       .drop("__bkt", "__off")
   }
 
+  /** Within-tie ordinal — the 1-based position of each row inside its
+    * value's tie group under `tiebreak` ordering (what pandas
+    * `rank(method='first')` adds on top of the min rank) — WITHOUT a
+    * `Window.partitionBy(value)` over the frame, which at scale puts a
+    * whole tie group (~n/distinct rows) on one task when the column is
+    * LOW-cardinality (exactly the case where ties matter).
+    *
+    * Design: the FIRST tiebreak column is cut into ~`buckets` quantile
+    * buckets via the same value-deterministic binary-search expression
+    * as [[withMidrank]] (bucket id is a pure function of the value, so
+    * plan branches agree by construction, and bucket order == tiebreak
+    * order because equal values always share a bucket). Then:
+    *   - per-(value, bucket) counts (map-side combinable) → running
+    *     offsets via a window over the (distinct × buckets)-row counts
+    *     table, broadcast back;
+    *   - `row_number` within a `(value, bucket)` window ordered by the
+    *     full tiebreak — the largest partition any task holds is
+    *     ~tieGroup/buckets, and `buckets` grows with the cluster.
+    * Null values get a null ordinal (na_option='keep').
+    *
+    * Contract: intended for LOW-cardinality value columns (the counts
+    * table is O(distinct × buckets) and is broadcast); for near-unique
+    * columns tie groups are tiny and a plain per-value window is already
+    * skew-free. The first tiebreak column must be numeric and ordered
+    * ascending (it dominates the composite ordering). */
+  def withinTieOrdinal(df: DataFrame, c: String, tiebreak: Seq[Column],
+                       out: String, buckets: Int = 0,
+                       statsSource: Option[DataFrame] = None): DataFrame = {
+    val n = if (buckets > 0) buckets
+            else df.sparkSession.sparkContext.defaultParallelism
+    val tb = tiebreak.head
+    // Both the cut probe and the (value, bucket) counts run on the SLIM
+    // source frame (pass `statsSource` when `df` is itself an expensive
+    // plan — e.g. already joined to its rank stats): they only need
+    // (c, tiebreak.head), never the joined row.
+    val slim = statsSource.getOrElse(df)
+    val cuts = slim.select(tb.cast("double").as("__tbv")).stat
+      .approxQuantile("__tbv",
+        (1 until n).map(_.toDouble / n).toArray, 0.01).distinct.sorted
+    def bucketOf(v: Column): Column =
+      coalesce(graft.functions.BucketBin.bucketBin(v.cast("double"), cuts),
+        lit(0))
+    val withB = df.withColumn("__tb", bucketOf(tb))
+    val cnts = slim.filter(col(c).isNotNull)
+      .groupBy(col(c).as("__tv"), bucketOf(tb).as("__tbb"))
+      .agg(count(lit(1)).as("__tn"))
+    // running offset of each bucket within its value's tie group; the
+    // window runs over the tiny counts table, never the frame
+    val wOff = Window.partitionBy("__tv").orderBy("__tbb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = cnts
+      .withColumn("__toff", coalesce(sum(col("__tn")).over(wOff), lit(0L)))
+      .select(col("__tv"), col("__tbb"), col("__toff"))
+    val wIn = Window.partitionBy(col(c), col("__tb")).orderBy(tiebreak: _*)
+    withB.join(broadcast(offs),
+        withB(c) === col("__tv") && col("__tb") === col("__tbb"), "left")
+      .withColumn(out,
+        when(col(c).isNotNull, col("__toff") + row_number().over(wIn)))
+      .drop("__tb", "__tv", "__tbb", "__toff")
+  }
+
   /** Exact quantiles (pandas linear interpolation) via DISTRIBUTED SORT
     * instead of Catalyst's value-counting Percentile buffer. The buffer
     * is O(distinct values) per partial — unbounded for continuous
