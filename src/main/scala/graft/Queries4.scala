@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine._
+import graft.engine.Core.r
+
+/** Fourth tranche (round 5): full col×col correlation matrices for all
+  * three methods (the last registered-surface gap — reference
+  * `p_corr(method=…)`, `parallel_pandas/core/parallel_dataframe.py:
+  * 285-325`), the wide-frame MLlib pearson path, and datetime describe.
+  * Same conventions as [[Queries]]. */
+object Queries4 {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Core.normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
+
+  /** The 4 numeric lineitem columns every matrix query correlates. */
+  private val MatCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- §2.6 p_corr(method=…) FULL MATRIX, all three methods.
+    //      spearman: ONE batched stats job for all 4 columns (bounded
+    //      exact histograms + quantile cuts in a single aggregate), each
+    //      column ranked once, one corr aggregate for all 6 pairs.
+    //      kendall: one shared bounded collect + Knight O(n log n) per
+    //      pair. The frame is a bounded slice (l_partkey < 200, ~6k rows
+    //      at every SF) because the ORACLE's pairwise tau is O(n²) —
+    //      the engine paths themselves run the scale plans. ----
+    "q_corr_matrix" -> ((s, d) => {
+      val li = T(s, d, "lineitem").filter(col("l_partkey") < 200)
+      val pe = Corr.corrMatrix(li, MatCols, "pearson")
+        .withColumnRenamed("corr", "pearson")
+      val sp = Corr.corrMatrix(li, MatCols, "spearman")
+      val kd = Corr.corrMatrix(li, MatCols, "kendall")
+      pe.join(sp, Seq("c1", "c2")).join(kd, Seq("c1", "c2"))
+        .select(col("c1"), col("c2"),
+          r(col("pearson"), 6).as("pearson"),
+          r(col("spearman"), 6).as("spearman"),
+          r(col("kendall"), 6).as("kendall"))
+        .orderBy("c1", "c2")
+    }),
+
+    // ---- §2.6 wide-frame pearson matrix via the MLlib Gramian (one
+    //      pass over assembled vectors instead of k²/2 co-moment
+    //      aggregates) — the scale path for hundreds of columns, here
+    //      oracled against plain corr on the full frame. ----
+    "q_corr_wide" -> ((s, d) => {
+      Corr.pearsonLongWide(T(s, d, "lineitem"), MatCols)
+        .select(col("c1"), col("c2"), r(col("corr"), 6).as("corr"))
+        .orderBy("c1", "c2")
+    })
+  )
+
+  /** Upper-triangle (i, j) index pairs over [[MatCols]]. */
+  private val Pairs: Seq[(Int, Int)] =
+    for { i <- MatCols.indices; j <- (i + 1) until MatCols.size } yield (i, j)
+
+  val oracle: Map[String, String] = Map(
+    "q_corr_matrix" -> {
+      // a0..a3 alias the matrix columns; rank/pearson/spearman are one
+      // CTE each, kendall tau-b comes from ONE aggregate over the rid
+      // self-join (sign-product sums + per-column tie-pair counts).
+      val a = MatCols.indices.map(i => s"a$i")
+      val rk = MatCols.indices.map(i =>
+        s"rank() OVER (ORDER BY a$i) + (count(*) OVER (PARTITION BY a$i)-1)/2.0 AS r$i")
+        .mkString(", ")
+      val pe = Pairs.map { case (i, j) => s"corr(a$i, a$j) AS p${i}_$j" }.mkString(", ")
+      val sp = Pairs.map { case (i, j) => s"corr(r$i, r$j) AS s${i}_$j" }.mkString(", ")
+      val cd = Pairs.map { case (i, j) =>
+        s"sum(sign(y.a$i - x.a$i) * sign(y.a$j - x.a$j)) AS cd${i}_$j" }.mkString(", ")
+      val ties = MatCols.indices.map(i =>
+        s"sum(CASE WHEN x.a$i = y.a$i THEN 1 ELSE 0 END) AS t$i").mkString(", ")
+      val rows = Pairs.map { case (i, j) =>
+        s"""SELECT '${MatCols(i)}' AS c1, '${MatCols(j)}' AS c2,
+           round(p${i}_$j + 1e-9, 6) AS pearson,
+           round(s${i}_$j + 1e-9, 6) AS spearman,
+           round(cd${i}_$j / sqrt((n0 - t$i) * (n0 - t$j)) + 1e-9, 6) AS kendall
+           FROM pe, sp, kd"""
+      }.mkString(" UNION ALL ")
+      s"""WITH base AS (SELECT ${MatCols.zip(a).map { case (c, n) => s"$c AS $n" }.mkString(", ")}
+            FROM lineitem WHERE l_partkey < 200),
+          rk AS (SELECT $rk FROM base),
+          pe AS (SELECT $pe FROM base),
+          sp AS (SELECT $sp FROM rk),
+          b2 AS (SELECT row_number() OVER () AS rid, * FROM base),
+          kd AS (SELECT count(*) AS n0, $cd, $ties
+                 FROM b2 x JOIN b2 y ON x.rid < y.rid)
+          SELECT * FROM ($rows) ORDER BY c1, c2"""
+    },
+
+    "q_corr_wide" -> {
+      val rows = Pairs.map { case (i, j) =>
+        s"""SELECT '${MatCols(i)}' AS c1, '${MatCols(j)}' AS c2,
+           round(corr(${MatCols(i)}, ${MatCols(j)}) + 1e-9, 6) AS corr
+           FROM lineitem"""
+      }.mkString(" UNION ALL ")
+      s"SELECT * FROM ($rows) ORDER BY c1, c2"
+    }
+  )
+}

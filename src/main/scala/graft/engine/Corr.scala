@@ -113,6 +113,118 @@ object Corr {
   }
 
 
+  /** Full spearman matrix over `cols`, long form (c1, c2, spearman),
+    * upper triangle — pandas `p_corr(method='spearman')` on a k-column
+    * frame (`parallel_dataframe.py:285-325`; the reference fans the
+    * upper triangle out to a pool, `:279`).
+    *
+    * ONE stats job for ALL columns (the batched form of [[spearman]]'s
+    * probe): a single aggregate computes every column's bounded exact
+    * histogram AND its quantile cut points in one pass. Each column is
+    * then ranked ONCE — broadcast rank-stats join when low-cardinality,
+    * deterministic-bucket midrank window otherwise — and one final
+    * aggregate evaluates all k(k-1)/2 rank correlations. Total: 1 probe
+    * job + 1 main job, independent of k.
+    *
+    * Null handling: LISTWISE deletion (rows with a null/NaN in any of
+    * `cols` are dropped before ranking) — ranking each column once is
+    * only meaningful over a common row set. pandas masks per PAIR;
+    * identical when nulls are absent (the common case for numeric
+    * matrices). For pairwise-exact semantics on null-laden data, call
+    * the single-pair [[spearman]] per pair. */
+  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    val k = cols.size
+    require(k >= 2, "spearmanMatrix: need at least two columns")
+    val keep = cols.map(c => col(c).isNotNull && !isnan(col(c).cast("double")))
+      .reduce(_ && _)
+    val base = df.filter(keep)
+      .select(cols.zipWithIndex.map { case (c, i) =>
+        col(c).cast("double").as(s"__c$i") }: _*)
+    val n = spark.sparkContext.defaultParallelism
+    val qs = (1 until n).map(i => lit(i.toDouble / n))
+    val aggs = (0 until k).flatMap { i =>
+      Seq(Reductions.boundedHistogram(col(s"__c$i")).as(s"h$i"),
+        percentile_approx(col(s"__c$i"), array(qs: _*), lit(100)).as(s"q$i"))
+    }
+    val st = base.agg(aggs.head, aggs.tail: _*).collect()(0)
+    var ranked = base
+    for (i <- 0 until k) {
+      val hi = st.fieldIndex(s"h$i"); val qi = st.fieldIndex(s"q$i")
+      val hist: Seq[(Double, Long)] =
+        if (st.isNullAt(hi)) null else st.getMap[Double, Long](hi).toSeq
+      val cuts: Array[Double] =
+        if (st.isNullAt(qi)) Array.empty
+        else st.getSeq[Any](qi).filter(_ != null)
+          .map(_.asInstanceOf[Number].doubleValue()).toArray
+      ranked =
+        if (hist != null) {
+          val stt = Reductions.rankStatsFromCounts(spark, hist, s"__p$i")
+          ranked.join(stt, col(s"__c$i") === col(s"__p${i}v"), "left")
+            .withColumn(s"__r$i",
+              col(s"__p${i}_before") + (col(s"__p${i}_cnt") + 1) / 2.0)
+            .drop(s"__p${i}v", s"__p${i}_cnt", s"__p${i}_before",
+              s"__p${i}_dense")
+        } else Reductions.withMidrank(ranked, s"__c$i", s"__r$i",
+          statsSource = Some(base.select(col(s"__c$i"))),
+          knownCuts = Some(cuts))
+    }
+    val pairs = for { i <- 0 until k; j <- (i + 1) until k } yield (i, j)
+    val corrAggs = pairs.map { case (i, j) =>
+      corr(col(s"__r$i"), col(s"__r$j")).as(s"s${i}_$j") }
+    val one = ranked.agg(corrAggs.head, corrAggs.tail: _*)
+    val stacked = pairs.map { case (i, j) =>
+      s"'${cols(i)}', '${cols(j)}', `s${i}_$j`" }
+      .mkString(s"stack(${pairs.size}, ", ", ", ") as (c1, c2, spearman)")
+    one.select(expr(stacked))
+  }
+
+  /** Full kendall tau-b matrix over `cols`, long form (c1, c2, kendall),
+    * upper triangle — pandas `p_corr(method='kendall')`. ONE bounded
+    * listwise-complete collect shared by all pairs, then Knight's
+    * O(n log n) tau ([[kendallFast]]'s core) per pair on the driver —
+    * k(k-1)/2 in-memory sorts instead of k(k-1)/2 cluster jobs. Same
+    * `maxRows` contract as [[kendallFast]]; above it, sample per pair
+    * with [[kendallApprox]]. */
+  def kendallMatrix(df: DataFrame, cols: Seq[String],
+                    maxRows: Long = 10000000L): DataFrame = {
+    val spark = df.sparkSession
+    val k = cols.size
+    require(k >= 2, "kendallMatrix: need at least two columns")
+    val keep = cols.map(c => col(c).isNotNull && !isnan(col(c).cast("double")))
+      .reduce(_ && _)
+    val rows = df.filter(keep)
+      .select(cols.map(c => col(c).cast("double")): _*)
+      .limit((maxRows + 1).min(Int.MaxValue).toInt).collect()
+    require(rows.length <= maxRows,
+      s"kendallMatrix collects the projected columns; input exceeds " +
+        s"maxRows=$maxRows — use kendallApprox per pair")
+    val n = rows.length
+    val data = Array.ofDim[Double](k, n)
+    var r = 0
+    while (r < n) {
+      var i = 0
+      while (i < k) { data(i)(r) = rows(r).getDouble(i); i += 1 }
+      r += 1
+    }
+    val out = for { i <- 0 until k; j <- (i + 1) until k } yield
+      org.apache.spark.sql.Row(cols(i), cols(j), knightTau(data(i), data(j)))
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    spark.createDataFrame(java.util.Arrays.asList(out: _*),
+      StructType(Seq(StructField("c1", StringType),
+        StructField("c2", StringType), StructField("kendall", DoubleType))))
+  }
+
+  /** pandas `p_corr(method=…)` matrix dispatch: full col×col matrix in
+    * long form for all three methods. */
+  def corrMatrix(df: DataFrame, cols: Seq[String],
+                 method: String = "pearson"): DataFrame = method match {
+    case "pearson"  => pearsonLong(df, cols)
+    case "spearman" => spearmanMatrix(df, cols)
+    case "kendall"  => kendallMatrix(df, cols)
+    case other => throw new IllegalArgumentException(s"corr method: $other")
+  }
+
   /** Full pearson matrix via MLlib for WIDE frames (hundreds of
     * columns): assembles a vector column and computes the Gramian once,
     * instead of k^2/2 separate co-moment aggregates. Returns long form
@@ -194,9 +306,21 @@ object Corr {
         s"$maxRows — use kendallApprox")
     val n = rows.length
     val xs = new Array[Double](n); val ys = new Array[Double](n)
-    val idx = Array.range(0, n)
     var i = 0
     while (i < n) { xs(i) = rows(i).getDouble(0); ys(i) = rows(i).getDouble(1); i += 1 }
+    val tau = knightTau(xs, ys)
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(tau)),
+      StructType(Seq(StructField("kendall", DoubleType))))
+  }
+
+  /** Knight's-algorithm tau-b core over in-memory arrays (null when the
+    * denominator is 0, i.e. one side is constant). Inputs are not
+    * mutated. */
+  private def knightTau(xs: Array[Double], ys: Array[Double]): java.lang.Double = {
+    val n = xs.length
+    val idx = Array.range(0, n)
     val sorted = idx.sortBy(i => (xs(i), ys(i)))
     val y = sorted.map(ys)
     def tiePairs(keys: Array[(Double, Double)]): Long = {
@@ -233,12 +357,7 @@ object Corr {
       }
     msort(0, n)
     val denom = math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble)
-    val tau: java.lang.Double =
-      if (denom == 0) null else (n0 - n1 - n2 + n3 - 2 * swaps) / denom
-    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
-    spark.createDataFrame(
-      java.util.Arrays.asList(org.apache.spark.sql.Row(tau)),
-      StructType(Seq(StructField("kendall", DoubleType))))
+    if (denom == 0) null else (n0 - n1 - n2 + n3 - 2 * swaps) / denom
   }
 
   /** 100 TB mode of [[kendall]]: exact tau-b over a deterministic hash

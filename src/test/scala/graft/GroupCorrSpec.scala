@@ -137,6 +137,39 @@ class GroupCorrSpec extends SparkSpec {
     }
   }
 
+  test("spearmanMatrix: every pair equals the single-pair spearman") {
+    import spark.implicits._
+    // x: low-cardinality (histogram/broadcast-join rank path),
+    // z: near-unique (deterministic-bucket midrank path) — both paths
+    // must agree with the pairwise form
+    val df = (1 to 300).map { i =>
+      ((i * 37 % 5).toDouble, (i * 53 % 7).toDouble, math.sin(i) * 1000)
+    }.toDF("x", "y", "z")
+    val m = Corr.spearmanMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> optD(r, 2)).toMap
+    assert(m.size == 3)
+    for (((a, b), got) <- m)
+      assertApprox(got, d1(Corr.spearman(df, a, b)), 1e-9)
+  }
+
+  test("kendallMatrix: every pair equals kendallFast; corrMatrix dispatches") {
+    import spark.implicits._
+    val df = (1 to 300).map { i =>
+      ((i * 37 % 5).toDouble, (i * 53 % 7).toDouble, math.sin(i) * 1000)
+    }.toDF("x", "y", "z")
+    val m = Corr.kendallMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> optD(r, 2)).toMap
+    assert(m.size == 3)
+    for (((a, b), got) <- m)
+      assertApprox(got, d1(Corr.kendallFast(df, a, b)), 1e-12)
+    // dispatcher: pearson matrix comes back in the same long form
+    val p = Corr.corrMatrix(df, Seq("x", "y", "z"), "pearson")
+    assert(p.columns.toSeq == Seq("c1", "c2", "corr") && p.count() == 3)
+    intercept[IllegalArgumentException] {
+      Corr.corrMatrix(df, Seq("x", "y"), "nope")
+    }
+  }
+
   test("kendallApprox: exact when the sample covers the input; close on a sample") {
     import spark.implicits._
     // maxRows >= n -> identical to exact
