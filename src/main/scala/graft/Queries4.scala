@@ -50,6 +50,14 @@ object Queries4 {
       Corr.pearsonLongWide(T(s, d, "lineitem"), MatCols)
         .select(col("c1"), col("c2"), r(col("corr"), 6).as("corr"))
         .orderBy("c1", "c2")
+    }),
+
+    // ---- §2.5 describe() on DATETIME columns (pandas ≥2 shape):
+    //      count/mean/min/quartiles/max over epoch-micros, exact
+    //      integer mean, distributed quantile sort — via the
+    //      describeAuto include= selector. ----
+    "q_describe_dt" -> ((s, d) => {
+      Reductions.describeAuto(T(s, d, "orders"), include = Seq("datetime"))
     })
   )
 
@@ -97,6 +105,25 @@ object Queries4 {
            FROM lineitem"""
       }.mkString(" UNION ALL ")
       s"SELECT * FROM ($rows) ORDER BY c1, c2"
-    }
+    },
+
+    "q_describe_dt" ->
+      // exact integer mean: HUGEINT sum + half-up integer division,
+      // mirroring the engine's decimal-sum arithmetic bit for bit
+      """WITH us AS (SELECT epoch_us(o_orderdate) AS u FROM orders),
+         agg AS (SELECT count(u) AS cnt,
+                   (2 * sum(CAST(u AS HUGEINT)) + count(u)) // (2 * count(u)) AS mean_us,
+                   min(u) AS mn, max(u) AS mx,
+                   quantile_cont(u, 0.25) AS q25,
+                   quantile_cont(u, 0.50) AS q50,
+                   quantile_cont(u, 0.75) AS q75
+                 FROM us)
+         SELECT 'count' AS stat, CAST(cnt AS VARCHAR) AS o_orderdate FROM agg
+         UNION ALL SELECT 'mean', strftime(make_timestamp(CAST(mean_us AS BIGINT)), '%Y-%m-%d %H:%M:%S.%f') FROM agg
+         UNION ALL SELECT 'min', strftime(make_timestamp(CAST(round(mn) AS BIGINT)), '%Y-%m-%d %H:%M:%S.%f') FROM agg
+         UNION ALL SELECT '25%', strftime(make_timestamp(CAST(round(q25) AS BIGINT)), '%Y-%m-%d %H:%M:%S.%f') FROM agg
+         UNION ALL SELECT '50%', strftime(make_timestamp(CAST(round(q50) AS BIGINT)), '%Y-%m-%d %H:%M:%S.%f') FROM agg
+         UNION ALL SELECT '75%', strftime(make_timestamp(CAST(round(q75) AS BIGINT)), '%Y-%m-%d %H:%M:%S.%f') FROM agg
+         UNION ALL SELECT 'max', strftime(make_timestamp(CAST(round(mx) AS BIGINT)), '%Y-%m-%d %H:%M:%S.%f') FROM agg"""
   )
 }

@@ -174,10 +174,45 @@ object GroupOps {
 
   /** pandas merge: equi-join with suffix disambiguation of overlapping
     * non-key columns. Spark picks broadcast/sort-merge itself; callers
-    * can wrap the right side in `broadcast()`. */
+    * can wrap the right side in `broadcast()`.
+    *
+    * `validate` (pandas `merge(validate=…)`): "1:1" / "1:m" / "m:1" /
+    * "m:m" — asserts key uniqueness on the constrained side(s) BEFORE
+    * the join, failing fast with pandas' MergeError message shape. The
+    * check is one map-side-combinable `max(count)` aggregate per
+    * constrained side (never a frame-sized collect); "m:m" checks
+    * nothing, like pandas. */
   def merge(left: DataFrame, right: DataFrame, on: Seq[String],
             how: String = "inner",
-            suffixes: (String, String) = ("_x", "_y")): DataFrame = {
+            suffixes: (String, String) = ("_x", "_y"),
+            validate: Option[String] = None): DataFrame = {
+    validate.foreach { v =>
+      def unique(df: DataFrame): Boolean =
+        df.groupBy(on.map(col): _*).count()
+          .agg(coalesce(max(col("count")), lit(0L)).as("m"))
+          .collect()(0).getLong(0) <= 1
+      def fail(side: String, kind: String): Nothing =
+        throw new IllegalArgumentException(
+          s"MergeError: Merge keys are not unique in $side dataset; " +
+            s"not a $kind merge")
+      v match {
+        case "1:1" | "one_to_one" =>
+          if (!unique(left)) fail("left", "one-to-one")
+          if (!unique(right)) fail("right", "one-to-one")
+        case "1:m" | "one_to_many" =>
+          if (!unique(left)) fail("left", "one-to-many")
+        case "m:1" | "many_to_one" =>
+          if (!unique(right)) fail("right", "many-to-one")
+        case "m:m" | "many_to_many" => ()
+        case other =>
+          throw new IllegalArgumentException(
+            s""""$other" is not a valid argument. Valid arguments are:
+               |- "1:1"
+               |- "1:m"
+               |- "m:1"
+               |- "m:m"""".stripMargin)
+      }
+    }
     val overlap = (left.columns.toSet intersect right.columns.toSet) -- on.toSet
     val l = overlap.foldLeft(left)((d, c) => d.withColumnRenamed(c, c + suffixes._1))
     val r = overlap.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + suffixes._2))

@@ -199,6 +199,9 @@ object Reductions {
       // Large path re-runs the counts aggregate (one extra map-side-
       // combinable pass) into the distributed prefix sum; checkpoint so
       // the two passes inside globalCumsumMulti share one evaluation.
+      // Counts/dense indices ride as Double (rank callers cast back to
+      // long): exact only below 2^53 rows / distinct values — fine for
+      // row counts, not for 64-bit id-like payloads.
       val ck = cnts.localCheckpoint()
       Cumulative.globalCumsumMulti(ck.withColumn("__one", lit(1.0)),
           Seq(ord),
@@ -521,7 +524,8 @@ object Reductions {
     def matches(dt: DataType, sel: String): Boolean = sel match {
       case "number"   => dt.isInstanceOf[NumericType]
       case "object"   => dt == StringType
-      case "datetime" => dt == TimestampType || dt == DateType
+      case "datetime" =>
+        dt == TimestampType || dt == TimestampNTZType || dt == DateType
       case "bool"     => dt == BooleanType
       case "all"      => true
       case other => throw new IllegalArgumentException(s"dtype selector: $other")
@@ -540,34 +544,119 @@ object Reductions {
                    percentiles: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
     val cols = selectDtypes(df, include, exclude)
     require(cols.nonEmpty, s"describe: no columns match include=$include exclude=$exclude")
-    val numeric = selectDtypes(df.select(cols.map(col): _*), Seq("number"))
+    val slim = df.select(cols.map(col): _*)
+    val numeric = selectDtypes(slim, Seq("number"))
+    val datetimes = selectDtypes(slim, Seq("datetime"))
     if (numeric.nonEmpty) describe(df, numeric, percentiles)
+    else if (datetimes.size == cols.size)
+      describeDatetime(df, datetimes, percentiles)
     else describeObject(df, cols)
   }
 
   /** pandas `describe()` on OBJECT (string) columns: count / unique /
     * top / freq. `top` is the lexicographically-smallest most-frequent
     * value — deterministic on ties, where pandas' "first encountered"
-    * depends on row order. Assembled driver-side like [[describe]]. */
+    * depends on row order. Assembled driver-side like [[describe]].
+    *
+    * ONE job for ANY column count: each row explodes to its (column,
+    * value) pairs (a k-wide scan, not k scans), the per-(col, value)
+    * counts hash-aggregate (map-side combinable), and a second tiny
+    * aggregate over the counts table folds each column to
+    * (count = Σ value counts, unique = #groups, top/freq = min_by over
+    * the (-count, value) struct — max count, then smallest value). */
   def describeObject(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "describe: at least one column required")
+    val pairs = df.select(explode(map(
+        cols.flatMap(c => Seq(lit(c), col(c).cast("string"))): _*))
+        .as(Seq("__c", "__v")))
+      .filter(col("__v").isNotNull)
+    val perCol = pairs.groupBy(col("__c"), col("__v"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("__c"))
+      .agg(sum(col("__n")).as("__count"),
+        count(lit(1)).as("__unique"),
+        min_by(col("__v"), struct((-col("__n")).as("nc"), col("__v"))).as("__top"),
+        max(col("__n")).as("__freq"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))).toMap
+    def cell(c: String): (Long, Long, String, Long) =
+      perCol.getOrElse(c, (0L, 0L, null, 0L))
+    val rows: Seq[(String, Seq[String])] = Seq(
+      "count" -> cols.map(cell(_)._1.toString),
+      "unique" -> cols.map(cell(_)._2.toString),
+      "top" -> cols.map(cell(_)._3),
+      "freq" -> cols.map(cell(_)._4.toString))
+    val spark = df.sparkSession
+    val data = rows.map { case (s, vs) =>
+      org.apache.spark.sql.Row.fromSeq(s +: vs)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("stat",
+        org.apache.spark.sql.types.StringType) +:
+        cols.map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data.toIndexedSeq, 1), schema)
+  }
+
+  /** pandas `describe()` on DATETIME columns (pandas ≥2 default /
+    * `datetime_is_numeric=True` shape): count / mean / min / 25% / 50% /
+    * 75% / max, timestamps rendered as strings (the stat column mixes
+    * counts and timestamps, which pandas holds as object dtype). Same
+    * job shape as numeric [[describe]] — one aggregate pass plus a
+    * distributed quantile sort per column over epoch-micros.
+    *
+    * The mean is computed with EXACT integer arithmetic (decimal sum of
+    * epoch micros, half-up integer division) — a double sum of ~1e19
+    * carries ~0.3 µs of error, enough to flip the rounded microsecond
+    * either side of a .5 boundary and flake any bit-exact comparison. */
+  def describeDatetime(df: DataFrame, cols: Seq[String],
+                       percentiles: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(cols.nonEmpty, "describe: at least one column required")
+    val ps = percentiles.sorted
+    // cast("timestamp") first: parquet TIMESTAMP can surface as NTZ,
+    // which unix_micros rejects (identity under the UTC session tz)
+    def usOf(c: String): Column = unix_micros(col(c).cast("timestamp"))
+    val us = df.select(cols.map(c => usOf(c).cast("double").as(c)): _*)
     val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"count__$c"),
-        count_distinct(col(c)).as(s"unique__$c"))
+      Seq(
+        count(col(c)).as(s"count__$c"),
+        sum(usOf(c).cast("decimal(38,0)")).as(s"sum__$c"),
+        min(usOf(c)).cast("double").as(s"min__$c"),
+        max(usOf(c)).cast("double").as(s"max__$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val topFreq: Map[String, (String, Long)] = cols.map { c =>
-      val t = df.filter(col(c).isNotNull)
-        .groupBy(col(c).cast("string").as("__v")).count()
-        .orderBy(col("count").desc, col("__v")).limit(1).collect()
-      c -> (if (t.isEmpty) (null: String, 0L)
-            else (t(0).getString(0), t(0).getLong(1)))
-    }.toMap
-    val rows: Seq[(String, Seq[String])] = Seq(
-      "count" -> cols.map(c => one.getLong(one.fieldIndex(s"count__$c")).toString),
-      "unique" -> cols.map(c => one.getLong(one.fieldIndex(s"unique__$c")).toString),
-      "top" -> cols.map(c => topFreq(c)._1),
-      "freq" -> cols.map(c => topFreq(c)._2.toString))
+    def cnt(c: String): Long = one.getLong(one.fieldIndex(s"count__$c"))
+    def cell(name: String, c: String): Double = {
+      val i = one.fieldIndex(s"${name}__$c")
+      if (one.isNullAt(i)) Double.NaN else one.getDouble(i)
+    }
+    def meanUs(c: String): Option[BigInt] = {
+      val i = one.fieldIndex(s"sum__$c")
+      if (one.isNullAt(i) || cnt(c) == 0) None
+      else {
+        val s = BigInt(one.getDecimal(i).toBigInteger)
+        val n = BigInt(cnt(c))
+        Some((2 * s + n) / (2 * n)) // half-up for the positive epoch
+      }
+    }
+    val quarts = cols.map(c =>
+      c -> quantilesBySort(us, c, ps, knownCount = Some(cnt(c)))).toMap
+    val fmtr = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+    def fmtL(v: Long): String = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.EPOCH.plus(v, java.time.temporal.ChronoUnit.MICROS),
+      java.time.ZoneOffset.UTC).format(fmtr)
+    def fmt(v: Double): String = if (v.isNaN) null else fmtL(math.round(v))
+    val rows: Seq[(String, Seq[String])] =
+      Seq("count" -> cols.map(cnt(_).toString),
+        "mean" -> cols.map(c => meanUs(c).map(m => fmtL(m.toLong)).orNull),
+        "min" -> cols.map(c => fmt(cell("min", c)))) ++
+      ps.zipWithIndex.map { case (p, i) =>
+        pctLabel(p) -> cols.map(c => fmt(quarts(c)(i)))
+      } ++
+      Seq("max" -> cols.map(c => fmt(cell("max", c))))
     val spark = df.sparkSession
     val data = rows.map { case (s, vs) =>
       org.apache.spark.sql.Row.fromSeq(s +: vs)

@@ -111,8 +111,9 @@ object Syntax {
                    value: String, aggfunc: String = "mean"): DataFrame =
       GroupOps.pivotTable(df, index, column, values, value, aggfunc)
     def merge(right: DataFrame, on: Seq[String], how: String = "inner",
-              suffixes: (String, String) = ("_x", "_y")): DataFrame =
-      GroupOps.merge(df, right, on, how, suffixes)
+              suffixes: (String, String) = ("_x", "_y"),
+              validate: Option[String] = None): DataFrame =
+      GroupOps.merge(df, right, on, how, suffixes, validate)
     def pctChange(c: String, w: WindowSpec): DataFrame =
       df.withColumn(s"${c}_pct_change", Cumulative.pctChange(col(c), w))
 
@@ -126,9 +127,11 @@ object Syntax {
     def cumprod(c: String, w: WindowSpec): DataFrame =
       df.withColumn(s"${c}_cumprod", Cumulative.cumprod(col(c), w))
 
-    // ---- §2.6 correlation ----
+    // ---- §2.6 correlation: pandas corr(method=…), full matrix ----
     def corrMatrix(cols: String*): DataFrame =
       Corr.pearsonLong(df, numeric(cols))
+    def corrMatrix(method: String, cols: Seq[String]): DataFrame =
+      Corr.corrMatrix(df, numeric(cols), method)
 
     // ---- 100 TB sketch modes (approximate, one-pass) ----
     def describeApprox(cols: String*): DataFrame =

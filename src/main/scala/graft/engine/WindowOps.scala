@@ -89,6 +89,25 @@ object WindowOps {
     when(count(c).over(w) >= mp, fUdf(arr))
   }
 
+  /** pandas `Rolling.apply(func, raw=False)`: the callable receives the
+    * window as a SERIES — (index, value) pairs in frame order — instead
+    * of a bare value array (`parallel_window.py:187-192`; pandas hands a
+    * `pd.Series` whose index is the original row labels). `idx` is the
+    * frame's index column; null values are kept in the series (as NaN,
+    * with their index) exactly like pandas, so the callable can reason
+    * about positions — the gate still counts non-null values. */
+  def rApplySeries(idx: Column, c: Column, w: WindowSpec, mp: Int,
+                   f: Seq[(Long, Double)] => Double): Column = {
+    val fUdf = udf((rows: Seq[org.apache.spark.sql.Row]) =>
+      f(rows.map(r => (r.getLong(0),
+        if (r.isNullAt(1)) Double.NaN else r.getDouble(1)))))
+    // collect_list skips null STRUCTS but not structs with null fields,
+    // so null values survive with their index
+    val arr = collect_list(struct(idx.cast("long").as("i"),
+      c.cast("double").as("v"))).over(w)
+    when(count(c).over(w) >= mp, fUdf(arr))
+  }
+
   /** Weighted window mean/sum (pandas `win_type=` rolling). Weights are
     * positional over the full window; pandas yields null until the window
     * is full. Uses lag-composition so everything stays declarative. */

@@ -38,16 +38,25 @@ object Curation {
     * contaminated (doc, gram) pairs are distinct-ed and counted, so the
     * one real shuffle carries contamination hits, not the corpus.
     *
+    * The broadcast is SIZE-GUARDED: one cheap count job on the distinct
+    * gram set decides, and above `maxBroadcastGrams` the plan falls back
+    * to a plain shuffle equi-join on the gram — a user pointing this at
+    * two large corpora gets a slower plan, not a driver/executor OOM.
+    *
     * Returns one row per training doc: (id, n_contaminated — distinct
     * contaminated grams, contaminated flag). */
   def decontaminate(train: DataFrame, bench: DataFrame,
-                    id: String, text: String, k: Int = 3): DataFrame = {
+                    id: String, text: String, k: Int = 3,
+                    maxBroadcastGrams: Long = 10000000L): DataFrame = {
     val benchGrams = bench
       .select(explode(Dedup.shingles(col(text), k)).as("__g"))
       .distinct()
+    val gramSide =
+      if (benchGrams.count() <= maxBroadcastGrams) broadcast(benchGrams)
+      else benchGrams
     val hits = train
       .select(col(id), explode(Dedup.shingles(col(text), k)).as("__g"))
-      .join(broadcast(benchGrams), Seq("__g"))
+      .join(gramSide, Seq("__g"))
       .distinct()
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_contaminated"))
@@ -183,6 +192,10 @@ object Curation {
     * on 100 TB exactly like cumsum. */
   def packGreedy(df: DataFrame, id: String, tokenCol: String,
                  ctxLen: Int): DataFrame = {
+    // The prefix sum carries token counts as Double, so the long casts
+    // below are exact only while the TOTAL corpus token count stays
+    // under 2^53 (~9e15 ≈ 9 petatokens) — comfortably above any current
+    // training corpus, but not a place to route 64-bit id-like values.
     val cum = graft.engine.Cumulative.globalCumsumBucketed(
       df.select(col(id), col(tokenCol).cast("double").as("__t")),
       order = Seq(col(id)), lead = id,

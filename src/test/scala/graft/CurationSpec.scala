@@ -30,6 +30,21 @@ class CurationSpec extends SparkSpec {
     assert(out(0).getLong(1) == 2L && out(2).getLong(1) == 1L)
   }
 
+  test("decontaminate falls back to a shuffle join above maxBroadcastGrams") {
+    // maxBroadcastGrams = 0 forces the non-broadcast path; results must
+    // be identical and the plan must carry no broadcast hint
+    val train = docs.filter($"kind" === "train")
+    val bench = docs.filter($"kind" === "bench")
+    val out = Curation.decontaminate(train, bench, "doc_id", "text", k = 3,
+      maxBroadcastGrams = 0L)
+    assert(out.orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toSeq ==
+      Seq(1L -> true, 2L -> false, 3L -> true, 4L -> false))
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("broadcast"),
+      s"expected no broadcast hint in fallback plan:\n$plan")
+  }
+
   test("pii counts and redaction") {
     val df = Seq(
       (1L, "mail a@b.co and c.d+x@e-f.org, ip 192.168.0.1, tel +123 456 7890"),

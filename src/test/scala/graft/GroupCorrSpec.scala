@@ -76,6 +76,31 @@ class GroupCorrSpec extends SparkSpec {
     assert(out.count() == 3)
   }
 
+  test("merge(validate=) passes valid shapes and fails fast like pandas") {
+    val l = Seq((1, 10.0), (2, 20.0)).toDF("id", "a")
+    val dupL = Seq((1, 10.0), (1, 11.0), (2, 20.0)).toDF("id", "a")
+    val r = Seq((1, 100.0), (2, 200.0)).toDF("id", "b")
+    val dupR = Seq((1, 100.0), (1, 101.0)).toDF("id", "b")
+    // valid: 1:1 unique/unique, 1:m dup right ok, m:1 dup left ok
+    assert(GroupOps.merge(l, r, Seq("id"), validate = Some("1:1")).count() == 2)
+    assert(GroupOps.merge(l, dupR, Seq("id"), validate = Some("1:m")).count() == 2)
+    assert(GroupOps.merge(dupL, r, Seq("id"), validate = Some("m:1")).count() == 3)
+    assert(GroupOps.merge(dupL, dupR, Seq("id"), validate = Some("m:m")).count() == 4)
+    // invalid: fail fast with the pandas MergeError message shape
+    val e1 = intercept[IllegalArgumentException] {
+      GroupOps.merge(dupL, r, Seq("id"), validate = Some("1:1"))
+    }
+    assert(e1.getMessage.contains("not unique in left dataset") &&
+      e1.getMessage.contains("one-to-one"))
+    val e2 = intercept[IllegalArgumentException] {
+      GroupOps.merge(l, dupR, Seq("id"), validate = Some("m:1"))
+    }
+    assert(e2.getMessage.contains("not unique in right dataset"))
+    intercept[IllegalArgumentException] {
+      GroupOps.merge(l, r, Seq("id"), validate = Some("bogus"))
+    }
+  }
+
   test("salted two-phase stats equal a plain aggregation") {
     val df = (1 to 200).map(i => (if (i <= 190) "hot" else "cold", i * 1.0))
       .toDF("k", "v").repartition(8)

@@ -201,6 +201,25 @@ class ReductionsSpec extends SparkSpec {
     assert(Reductions.selectDtypes(df, Seq("all"), Seq("object")) == Seq("v"))
   }
 
+  test("describeDatetime: count/mean/min/quartiles/max over epoch-micros") {
+    import spark.implicits._
+    // 1970-01-01 00:00:00/01/02/05 UTC -> micros [0, 1e6, 2e6, 5e6]
+    val df = Seq(0L, 1000000L, 2000000L, 5000000L)
+      .toDF("u").select(timestamp_micros(col("u")).as("ts"))
+    val m = Reductions.describeDatetime(df, Seq("ts")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("count") == "4")
+    assert(m("mean") == "1970-01-01 00:00:02.000000")
+    assert(m("min") == "1970-01-01 00:00:00.000000")
+    // sorted pos(0.25)=0.75 -> 750000us; pos(0.5)=1.5 -> 1.5e6
+    assert(m("25%") == "1970-01-01 00:00:00.750000")
+    assert(m("50%") == "1970-01-01 00:00:01.500000")
+    assert(m("max") == "1970-01-01 00:00:05.000000")
+    // describeAuto routes datetime-only selections here
+    val auto = Reductions.describeAuto(df, include = Seq("datetime"))
+    assert(auto.columns.toSeq == Seq("stat", "ts") && auto.count() == 7)
+  }
+
   test("applymap na_action='ignore' keeps nulls without calling f") {
     import spark.implicits._
     val df = Seq(Some(1.0), None, Some(3.0)).toDF("v")

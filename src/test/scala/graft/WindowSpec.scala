@@ -44,6 +44,26 @@ class WindowSpec extends SparkSpec {
       Seq(None, Some(2.0), Some(1.0), Some(3.0), Some(1.0)))
   }
 
+  test("rolling apply raw=False: callable sees (index, value) series incl. nulls") {
+    // pandas: s = pd.Series([1, nan, 2, 5], index=[0,1,2,3])
+    //   s.rolling(3, min_periods=2).apply(lambda s: s.idxmax(), raw=False)
+    //   = [nan, nan, 2, 3] — needs the INDEX, raw=True can't express it
+    val df = Seq((0L, Some(1.0)), (1L, None), (2L, Some(2.0)), (3L, Some(5.0)))
+      .toDF("i", "v")
+    val w = WindowOps.rollingSpec(byI, 3)
+    val out = df.select(col("i"),
+      WindowOps.rApplySeries(col("i"), col("v"), w, 2, { s =>
+        s.filterNot(_._2.isNaN).maxBy(_._2)._1.toDouble
+      }).as("idxmax")).orderBy("i")
+    assertSeqApprox(colD(out, "idxmax"), Seq(None, None, Some(2.0), Some(3.0)))
+    // null values arrive IN the series (as NaN with their index)
+    val out2 = df.select(col("i"),
+      WindowOps.rApplySeries(col("i"), col("v"), w, 1, s => s.size.toDouble)
+        .as("n")).orderBy("i")
+    assertSeqApprox(colD(out2, "n"),
+      Seq(Some(1.0), Some(2.0), Some(3.0), Some(3.0)))
+  }
+
   test("expanding std with min_periods=2") {
     val w = WindowOps.expandingSpec(byI)
     val out = r5.select(col("i"), WindowOps.rStd(col("v"), w, 2).as("s")).orderBy("i")
