@@ -353,18 +353,22 @@ object Reductions {
     * ascending (it dominates the composite ordering). */
   def withinTieOrdinal(df: DataFrame, c: String, tiebreak: Seq[Column],
                        out: String, buckets: Int = 0,
-                       statsSource: Option[DataFrame] = None): DataFrame = {
+                       statsSource: Option[DataFrame] = None,
+                       knownCuts: Option[Array[Double]] = None): DataFrame = {
     val n = if (buckets > 0) buckets
             else df.sparkSession.sparkContext.defaultParallelism
     val tb = tiebreak.head
     // Both the cut probe and the (value, bucket) counts run on the SLIM
     // source frame (pass `statsSource` when `df` is itself an expensive
     // plan — e.g. already joined to its rank stats): they only need
-    // (c, tiebreak.head), never the joined row.
+    // (c, tiebreak.head), never the joined row. `knownCuts` (cut points
+    // of the FIRST tiebreak column) lets callers batch the probe into
+    // an existing stats job; cut quality affects balance only.
     val slim = statsSource.getOrElse(df)
-    val cuts = slim.select(tb.cast("double").as("__tbv")).stat
-      .approxQuantile("__tbv",
-        (1 until n).map(_.toDouble / n).toArray, 0.01).distinct.sorted
+    val cuts = knownCuts.getOrElse(
+      slim.select(tb.cast("double").as("__tbv")).stat
+        .approxQuantile("__tbv",
+          (1 until n).map(_.toDouble / n).toArray, 0.01)).distinct.sorted
     def bucketOf(v: Column): Column =
       coalesce(graft.functions.BucketBin.bucketBin(v.cast("double"), cuts),
         lit(0))

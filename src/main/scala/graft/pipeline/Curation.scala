@@ -38,21 +38,26 @@ object Curation {
     * contaminated (doc, gram) pairs are distinct-ed and counted, so the
     * one real shuffle carries contamination hits, not the corpus.
     *
-    * The broadcast is SIZE-GUARDED: one cheap count job on the distinct
-    * gram set decides, and above `maxBroadcastGrams` the plan falls back
-    * to a plain shuffle equi-join on the gram — a user pointing this at
-    * two large corpora gets a slower plan, not a driver/executor OOM.
+    * The broadcast is SIZE-GUARDED with zero extra jobs: the decision
+    * reads Catalyst's size estimate of the BENCH plan (file-scan bytes —
+    * the same statistic Spark's own auto-broadcast threshold uses).
+    * Above `maxBenchBytes` of source text the plan falls back to a
+    * plain shuffle equi-join on the gram — a user pointing this at two
+    * large corpora gets a slower plan, not a driver/executor OOM. The
+    * default is conservative (256 MB of text explodes to a few GB of
+    * k-grams, near the broadcast ceiling).
     *
     * Returns one row per training doc: (id, n_contaminated — distinct
     * contaminated grams, contaminated flag). */
   def decontaminate(train: DataFrame, bench: DataFrame,
                     id: String, text: String, k: Int = 3,
-                    maxBroadcastGrams: Long = 10000000L): DataFrame = {
+                    maxBenchBytes: Long = 256L << 20): DataFrame = {
     val benchGrams = bench
       .select(explode(Dedup.shingles(col(text), k)).as("__g"))
       .distinct()
+    val benchBytes = bench.queryExecution.optimizedPlan.stats.sizeInBytes
     val gramSide =
-      if (benchGrams.count() <= maxBroadcastGrams) broadcast(benchGrams)
+      if (benchBytes <= maxBenchBytes) broadcast(benchGrams)
       else benchGrams
     val hits = train
       .select(col(id), explode(Dedup.shingles(col(text), k)).as("__g"))

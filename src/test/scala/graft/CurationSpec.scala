@@ -30,13 +30,14 @@ class CurationSpec extends SparkSpec {
     assert(out(0).getLong(1) == 2L && out(2).getLong(1) == 1L)
   }
 
-  test("decontaminate falls back to a shuffle join above maxBroadcastGrams") {
-    // maxBroadcastGrams = 0 forces the non-broadcast path; results must
-    // be identical and the plan must carry no broadcast hint
+  test("decontaminate falls back to a shuffle join above maxBenchBytes") {
+    // maxBenchBytes = 0 forces the non-broadcast path (any real plan
+    // has a positive size estimate); results must be identical and the
+    // plan must carry no broadcast hint
     val train = docs.filter($"kind" === "train")
     val bench = docs.filter($"kind" === "bench")
     val out = Curation.decontaminate(train, bench, "doc_id", "text", k = 3,
-      maxBroadcastGrams = 0L)
+      maxBenchBytes = 0L)
     assert(out.orderBy("doc_id").collect()
       .map(r => r.getLong(0) -> r.getBoolean(2)).toSeq ==
       Seq(1L -> true, 2L -> false, 3L -> true, 4L -> false))
