@@ -30,15 +30,22 @@ object Queries4 {
     //      the engine paths themselves run the scale plans. ----
     "q_corr_matrix" -> ((s, d) => {
       val li = T(s, d, "lineitem").filter(col("l_partkey") < 200)
-      val pe = Corr.corrMatrix(li, MatCols, "pearson")
-        .withColumnRenamed("corr", "pearson")
-      val sp = Corr.corrMatrix(li, MatCols, "spearman")
-      val kd = Corr.corrMatrix(li, MatCols, "kendall")
-      pe.join(sp, Seq("c1", "c2")).join(kd, Seq("c1", "c2"))
+      Corr.corrMatrixAll(li, MatCols, withKendall = true)
         .select(col("c1"), col("c2"),
           r(col("pearson"), 6).as("pearson"),
           r(col("spearman"), 6).as("spearman"),
           r(col("kendall"), 6).as("kendall"))
+        .orderBy("c1", "c2")
+    }),
+
+    // ---- the same two-method matrix at FULL scale (no kendall — the
+    //      oracle's pairwise tau is O(n²); pearson+spearman cost one
+    //      probe + one aggregate regardless of row count) ----
+    "q_corr_matrix_full" -> ((s, d) => {
+      Corr.corrMatrixAll(T(s, d, "lineitem"), MatCols)
+        .select(col("c1"), col("c2"),
+          r(col("pearson"), 6).as("pearson"),
+          r(col("spearman"), 6).as("spearman"))
         .orderBy("c1", "c2")
     }),
 
@@ -105,6 +112,27 @@ object Queries4 {
            FROM lineitem"""
       }.mkString(" UNION ALL ")
       s"SELECT * FROM ($rows) ORDER BY c1, c2"
+    },
+
+    "q_corr_matrix_full" -> {
+      val a = MatCols.indices.map(i => s"a$i")
+      val rk = MatCols.indices.map(i =>
+        s"rank() OVER (ORDER BY a$i) + (count(*) OVER (PARTITION BY a$i)-1)/2.0 AS r$i")
+        .mkString(", ")
+      val pe = Pairs.map { case (i, j) => s"corr(a$i, a$j) AS p${i}_$j" }.mkString(", ")
+      val sp = Pairs.map { case (i, j) => s"corr(r$i, r$j) AS s${i}_$j" }.mkString(", ")
+      val rows = Pairs.map { case (i, j) =>
+        s"""SELECT '${MatCols(i)}' AS c1, '${MatCols(j)}' AS c2,
+           round(p${i}_$j + 1e-9, 6) AS pearson,
+           round(s${i}_$j + 1e-9, 6) AS spearman
+           FROM pe, sp"""
+      }.mkString(" UNION ALL ")
+      s"""WITH base AS (SELECT ${MatCols.zip(a).map { case (c, n) => s"$c AS $n" }.mkString(", ")}
+            FROM lineitem),
+          rk AS (SELECT $rk FROM base),
+          pe AS (SELECT $pe FROM base),
+          sp AS (SELECT $sp FROM rk)
+          SELECT * FROM ($rows) ORDER BY c1, c2"""
     },
 
     "q_describe_dt" ->

@@ -133,9 +133,25 @@ object Corr {
     * matrices). For pairwise-exact semantics on null-laden data, call
     * the single-pair [[spearman]] per pair. */
   def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val (ranked, pairs) = rankedFrame(df, cols)
+    val corrAggs = pairs.map { case (i, j) =>
+      corr(col(s"__r$i"), col(s"__r$j")).as(s"s${i}_$j") }
+    val one = ranked.agg(corrAggs.head, corrAggs.tail: _*)
+    val stacked = pairs.map { case (i, j) =>
+      s"'${cols(i)}', '${cols(j)}', `s${i}_$j`" }
+      .mkString(s"stack(${pairs.size}, ", ", ", ") as (c1, c2, spearman)")
+    one.select(expr(stacked))
+  }
+
+  /** Shared prestep of the matrix forms: the listwise-complete frame
+    * with every column's midrank attached (`__c<i>` value, `__r<i>`
+    * rank) after ONE batched stats job, plus the upper-triangle index
+    * pairs. */
+  private def rankedFrame(df: DataFrame, cols: Seq[String])
+    : (DataFrame, Seq[(Int, Int)]) = {
     val spark = df.sparkSession
     val k = cols.size
-    require(k >= 2, "spearmanMatrix: need at least two columns")
+    require(k >= 2, "corr matrix: need at least two columns")
     val keep = cols.map(c => col(c).isNotNull && !isnan(col(c).cast("double")))
       .reduce(_ && _)
     val base = df.filter(keep)
@@ -170,13 +186,32 @@ object Corr {
           knownCuts = Some(cuts))
     }
     val pairs = for { i <- 0 until k; j <- (i + 1) until k } yield (i, j)
-    val corrAggs = pairs.map { case (i, j) =>
-      corr(col(s"__r$i"), col(s"__r$j")).as(s"s${i}_$j") }
+    (ranked, pairs)
+  }
+
+  /** Pearson AND spearman matrices in ONE main job (long form: c1, c2,
+    * pearson, spearman): the final aggregate evaluates raw-value and
+    * rank correlations for every pair over the same ranked frame, so
+    * the whole two-method matrix costs 1 stats probe + 1 aggregate at
+    * any column count. `withKendall` joins the Knight-tau matrix on
+    * top (bounded collect — see [[kendallMatrix]]). Listwise-complete
+    * masking across `cols`, like the other matrix forms. */
+  def corrMatrixAll(df: DataFrame, cols: Seq[String],
+                    withKendall: Boolean = false,
+                    kendallMaxRows: Long = 10000000L): DataFrame = {
+    val (ranked, pairs) = rankedFrame(df, cols)
+    val corrAggs = pairs.flatMap { case (i, j) => Seq(
+      corr(col(s"__c$i"), col(s"__c$j")).as(s"p${i}_$j"),
+      corr(col(s"__r$i"), col(s"__r$j")).as(s"s${i}_$j")) }
     val one = ranked.agg(corrAggs.head, corrAggs.tail: _*)
     val stacked = pairs.map { case (i, j) =>
-      s"'${cols(i)}', '${cols(j)}', `s${i}_$j`" }
-      .mkString(s"stack(${pairs.size}, ", ", ", ") as (c1, c2, spearman)")
-    one.select(expr(stacked))
+      s"'${cols(i)}', '${cols(j)}', `p${i}_$j`, `s${i}_$j`" }
+      .mkString(s"stack(${pairs.size}, ", ", ",
+        ") as (c1, c2, pearson, spearman)")
+    val ps = one.select(expr(stacked))
+    if (withKendall) ps.join(kendallMatrix(df, cols, kendallMaxRows),
+      Seq("c1", "c2"))
+    else ps
   }
 
   /** Full kendall tau-b matrix over `cols`, long form (c1, c2, kendall),
