@@ -49,12 +49,13 @@ object Queries4 {
         .orderBy("c1", "c2")
     }),
 
-    // ---- §2.6 wide-frame pearson matrix via the MLlib Gramian (one
-    //      pass over assembled vectors instead of k²/2 co-moment
-    //      aggregates) — the scale path for hundreds of columns, here
-    //      oracled against plain corr on the full frame. ----
+    // ---- §2.6 wide-frame pearson matrix via the NATIVE one-pass
+    //      Gramian aggregate (one O(k²)-state Aggregator instead of
+    //      k²/2 co-moment aggregates or the MLlib RDD detour) — the
+    //      scale path for hundreds of columns, oracled against plain
+    //      corr on the full frame. MLlib variant spec-tested. ----
     "q_corr_wide" -> ((s, d) => {
-      Corr.pearsonLongWide(T(s, d, "lineitem"), MatCols)
+      Corr.pearsonLongGramian(T(s, d, "lineitem"), MatCols)
         .select(col("c1"), col("c2"), r(col("corr"), 6).as("corr"))
         .orderBy("c1", "c2")
     }),

@@ -260,6 +260,66 @@ object Corr {
     case other => throw new IllegalArgumentException(s"corr method: $other")
   }
 
+  /** Full pearson matrix for WIDE frames via a NATIVE one-pass Gramian
+    * aggregate — no MLlib RDD detour, no k²/2 separate Catalyst
+    * aggregate expressions (which bloat codegen past ~100 columns).
+    * One `Aggregator` carries a flat (n, sums[k], gram[k(k+1)/2])
+    * buffer: O(k²) state per partial, map-side combinable, one row to
+    * the driver; the corr matrix falls out of the moments there. Rows
+    * with a null/NaN in any column are skipped (listwise — the same
+    * masking as the MLlib `handleInvalid="skip"` path and
+    * [[corrMatrixAll]]). Same raw-moment arithmetic as MLlib's Gramian. */
+  def pearsonLongGramian(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val k = cols.size
+    require(k >= 2, "corr matrix: need at least two columns")
+    val agg = new org.apache.spark.sql.expressions.Aggregator[
+        Seq[Double], Array[Double], Array[Double]] {
+      private val len = 1 + k + k * (k + 1) / 2
+      def zero: Array[Double] = new Array[Double](len)
+      def reduce(b: Array[Double], xs: Seq[Double]): Array[Double] = {
+        b(0) += 1
+        var i = 0; var g = 1 + k
+        while (i < k) {
+          val x = xs(i)
+          b(1 + i) += x
+          var j = i
+          while (j < k) { b(g) += x * xs(j); g += 1; j += 1 }
+          i += 1
+        }
+        b
+      }
+      def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+        var i = 0
+        while (i < len) { a(i) += b(i); i += 1 }
+        a
+      }
+      def finish(b: Array[Double]): Array[Double] = b
+      def bufferEncoder = org.apache.spark.sql.Encoders.kryo[Array[Double]]
+      def outputEncoder = org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Array[Double]]()
+    }
+    val keep = cols.map(c => col(c).isNotNull && !isnan(col(c).cast("double")))
+      .reduce(_ && _)
+    val gramUdaf = udaf(agg)
+    val m = df.filter(keep)
+      .select(gramUdaf(array(cols.map(col(_).cast("double")): _*)).as("m"))
+      .collect()(0).getSeq[Double](0)
+    val n = m(0)
+    def sum(i: Int) = m(1 + i)
+    // flat upper-triangle offset of (i, j), i <= j
+    def gram(i: Int, j: Int) = m(1 + k + i * k - i * (i - 1) / 2 + (j - i))
+    def cov(i: Int, j: Int) = gram(i, j) - sum(i) * sum(j) / n
+    val rows = for { i <- 0 until k; j <- (i + 1) until k } yield {
+      val d = math.sqrt(cov(i, i) * cov(j, j))
+      val r: java.lang.Double = if (n == 0 || d == 0) null else cov(i, j) / d
+      org.apache.spark.sql.Row(cols(i), cols(j), r)
+    }
+    import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+    df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("c1", StringType),
+        StructField("c2", StringType), StructField("corr", DoubleType))))
+  }
+
   /** Full pearson matrix via MLlib for WIDE frames (hundreds of
     * columns): assembles a vector column and computes the Gramian once,
     * instead of k^2/2 separate co-moment aggregates. Returns long form

@@ -134,6 +134,21 @@ class GroupCorrSpec extends SparkSpec {
     pair.foreach { case (k, v) => assertApprox(Some(wide(k)), Some(v), 1e-12) }
   }
 
+  test("native Gramian pearson matrix agrees with pairwise corr; skips null rows") {
+    val df = Seq(
+      (Some(1.0), Some(4.0), Some(2.0)), (Some(2.0), Some(1.0), Some(5.0)),
+      (Some(2.0), Some(3.0), Some(1.0)), (Some(3.0), Some(2.0), Some(4.0)),
+      (None, Some(9.0), Some(9.0))) // listwise-dropped row
+      .toDF("x", "y", "z")
+    val complete = df.na.drop()
+    val g = Corr.pearsonLongGramian(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val pair = Corr.pearsonLong(complete, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(g.size == 3)
+    pair.foreach { case (k, v) => assertApprox(Some(g(k)), Some(v), 1e-9) }
+  }
+
   test("spearman = pearson over average ranks") {
     assertApprox(d1(Corr.spearman(xy, "x", "y")), Some(-0.632455532033676), 1e-9)
   }
