@@ -100,6 +100,16 @@ object PipelineQueries2 {
         .select(col("vec_id"), col("cluster"), r(col("dist"), 6).as("dist"))
         .orderBy("vec_id")),
 
+    // ---- TF-IDF + BM25 top terms per doc (corpus search / keyword
+    //      extraction): two hash aggregates + vocab equi-join + ONE
+    //      doc-id window shuffle shared by doc-length and top-k ----
+    "q_tfidf" -> ((s, d) =>
+      TextAnalysis.bm25TopTerms(T(s, d, "documents"), "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("term"), col("tf"),
+          r(col("tfidf"), 6).as("tfidf"), r(col("bm25"), 6).as("bm25"),
+          col("rank"))
+        .orderBy("doc_id", "rank")),
+
     // ---- normalization chain on deterministically-dirtied text ----
     "q_clean" -> ((s, d) => {
       val dirty = concat(lit("  "),
@@ -169,6 +179,27 @@ object PipelineQueries2 {
            FROM c${i - 1} c LEFT JOIN g$i g USING (cid))"""
 
   val oracle: Map[String, String] = Map(
+
+    // identical double-op order to bm25TopTerms so scores (and the
+    // rank tie-break) agree bit-for-bit
+    "q_tfidf" ->
+      s"""WITH $WordsCte,
+         tok AS (SELECT doc_id, unnest(w) AS term FROM words),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                FROM tok WHERE term <> '' GROUP BY 1, 2),
+         dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfr FROM tf GROUP BY 1),
+         dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+         sc AS (SELECT f.doc_id, f.term, f.tf,
+                  f.tf * (ln((st.n + 1.0) / (d.dfr + 1.0)) + 1.0) AS tfidf,
+                  (ln((st.n - d.dfr + 0.5) / (d.dfr + 0.5) + 1.0) * (f.tf * 2.2))
+                    / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / st.avgdl)) AS bm25
+                FROM tf f JOIN dft d USING (term) JOIN dl l USING (doc_id), st),
+         rk AS (SELECT sc.*, row_number() OVER (PARTITION BY doc_id
+                  ORDER BY bm25 DESC, term) AS rank FROM sc)
+         SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           round(tfidf + 1e-9, 6) AS tfidf, round(bm25 + 1e-9, 6) AS bm25, rank
+         FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""",
 
     "q_kmeans" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x

@@ -1,6 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -80,6 +81,54 @@ object TextAnalysis {
     * cheaper production hashing. */
   def fingerprint(c: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(c)))))
+
+  /** TF-IDF + BM25 top-`k` terms per document — the scoring kernel for
+    * corpus search / keyword extraction over a training set.
+    *
+    * Scores (both emitted per surviving term):
+    *   - tfidf = tf · (ln((N+1)/(df+1)) + 1)        (sklearn smoothing)
+    *   - bm25  = idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    *     idf = ln((N−df+0.5)/(df+0.5) + 1)           (Okapi, Lucene form)
+    *
+    * Plan shape at 100 TB: term counts hash-aggregate on (doc, term) —
+    * map-side combinable, hot documents spread over their distinct
+    * terms; document frequency re-aggregates that table on the term (a
+    * vocabulary-sized equi-join, hash-partitioned — never broadcast,
+    * vocabularies are corpus-sized); doc length and the top-k ranking
+    * share ONE window shuffle on the doc id (WindowGroupLimit bounds
+    * per-doc state); the two global scalars (N, avg doc length) ride a
+    * broadcast 1-row aggregate. Everything is a pure function of the
+    * corpus — rerun-stable and oracle-exact. */
+  def bm25TopTerms(df: DataFrame, id: String, text: String, k: Int = 3,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = df
+      .select(col(id), explode(tokens(col(text))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(id), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfTab = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val stats = tf.groupBy(col(id)).agg(sum(col("tf")).as("__dl0"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        avg(col("__dl0")).as("__avgdl"))
+    val wDoc = Window.partitionBy(col(id))
+    val scored = tf
+      .join(dfTab, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__dl", sum(col("tf")).over(wDoc))
+    val idf = log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0)
+    val tfidf = col("tf") * (log((col("__n") + 1.0) / (col("__df") + 1.0)) + 1.0)
+    val bm25 = idf * (col("tf") * (k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    val wRank = wDoc.orderBy(bm25.desc, col("term"))
+    scored
+      .withColumn("tfidf", tfidf)
+      .withColumn("bm25", bm25)
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col(id), col("term"), col("tf").cast("long").as("tf"),
+        col("tfidf"), col("bm25"), col("rank"))
+  }
 
   /** Order-sensitive rolling-hash fingerprint (Rabin-Karp-style
     * polynomial fold over the token stream) — distinguishes documents

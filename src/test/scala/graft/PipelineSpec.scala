@@ -142,6 +142,27 @@ class PipelineSpec extends SparkSpec {
     assert(r.getString(4) == "en")
   }
 
+  test("bm25/tfidf top terms: rarer term outranks common term") {
+    // "apple" appears in 1 of 3 docs, "the" in all 3 — for doc 1 the
+    // distinctive term must rank first under both scores
+    val corpus = Seq(
+      (1L, "the apple the apple pie"),
+      (2L, "the dog sat"),
+      (3L, "the cat ran")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopTerms(corpus, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+    val doc1 = out.filter(_.getLong(0) == 1L)
+    assert(doc1.head.getString(1) == "apple" && doc1.head.getInt(5) == 1)
+    assert(doc1.head.getLong(2) == 2) // tf of 'apple' in doc 1
+    // idf("the") with df = n is Okapi-negative-free under the +1 smooth:
+    // scores stay finite and ordered; tfidf of 'apple' > tfidf of 'the'
+    val byTerm = doc1.map(r => r.getString(1) -> r.getDouble(3)).toMap
+    if (byTerm.contains("the")) assert(byTerm("apple") > byTerm("the"))
+    // every doc gets at most k rows, ranks are 1..k
+    assert(out.groupBy(_.getLong(0)).forall(_._2.map(_.getInt(5)).toSeq.sorted ==
+      (1 to math.min(2, 5)).take(2)))
+  }
+
   test("fingerprint is order- and duplication-invariant") {
     val df = Seq(("b a b", "a b")).toDF("t1", "t2")
     val r = df.select(TextAnalysis.fingerprint(col("t1")),
