@@ -74,6 +74,8 @@ object Syntax {
     def describeAuto(include: Seq[String] = Seq("number"),
                      exclude: Seq[String] = Nil): DataFrame =
       Reductions.describeAuto(df, include, exclude)
+    def describeDatetime(cols: String*): DataFrame =
+      Reductions.describeDatetime(df, cols)
     def mode(c: String): DataFrame = Reductions.modeAll(df, c)
     def valueCounts(c: String, ascending: Boolean = false,
                     dropna: Boolean = true): DataFrame =
@@ -145,7 +147,7 @@ object Syntax {
                  toleranceUs: Option[Long] = None): DataFrame =
       Joins.asof(df, right, on, by, direction, toleranceUs)
 
-    // ---- dedup pipeline ----
+    // ---- dedup / curation pipeline ----
     def dedupExact(id: String, text: String): DataFrame =
       graft.pipeline.Dedup.exact(df, id, text)
     def dedupClusters(id: String, text: String,
@@ -153,5 +155,10 @@ object Syntax {
       graft.pipeline.Dedup.clusters(
         graft.pipeline.Dedup.minhashLshPairs(df, id, text,
           maxBucket = maxBucket))
+    def decontaminate(bench: DataFrame, id: String, text: String,
+                      k: Int = 3): DataFrame =
+      graft.pipeline.Curation.decontaminate(df, bench, id, text, k)
+    def bm25TopTerms(id: String, text: String, k: Int = 3): DataFrame =
+      graft.pipeline.TextAnalysis.bm25TopTerms(df, id, text, k)
   }
 }

@@ -56,4 +56,19 @@ class SyntaxSpec extends SparkSpec {
       xs.map(_ * 10))
     assert(colD(ta.orderBy("x"), "t") == Seq(10.0, 20.0, 30.0).map(Some(_)))
   }
+
+  test("round-5 surface: corrMatrix(method) / merge validate / bm25 / decontaminate") {
+    val wide = Seq((1.0, 2.0, 3.0), (2.0, 4.0, 1.0), (3.0, 5.0, 2.0))
+      .toDF("a", "b", "c")
+    val cm = wide.pp.corrMatrix("spearman", Seq("a", "b", "c"))
+    assert(cm.columns.toSeq == Seq("c1", "c2", "spearman") && cm.count() == 3)
+    intercept[IllegalArgumentException] {
+      val dup = Seq(("a", 1.0), ("a", 2.0)).toDF("k", "x")
+      dup.pp.merge(dup, on = Seq("k"), validate = Some("1:1"))
+    }
+    val corpus = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("id", "t")
+    assert(corpus.pp.bm25TopTerms("id", "t", k = 1).count() == 2)
+    assert(corpus.pp.decontaminate(
+      corpus.filter(col("id") === 1L), "id", "t", k = 1).count() == 2)
+  }
 }
