@@ -110,6 +110,55 @@ object PipelineQueries2 {
           col("rank"))
         .orderBy("doc_id", "rank")),
 
+    // ---- C4 corpus-wide line dedup, keep-first-occurrence mode.
+    //      The synthetic docs have no newlines, so "lines" are words
+    //      (sep = whitespace) — degenerate content, but it exercises the
+    //      exact machinery: global (id, pos) first-occurrence min,
+    //      content-keyed join-back, in-order reassembly ----
+    "q_line_dedup" -> ((s, d) =>
+      Curation.dedupLines(T(s, d, "documents"), "doc_id", "text",
+          sepRegex = "\\s+", joinSep = " ")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"), col("n_dropped"),
+          md5(col("text_dedup").cast("binary")).as("dedup_md5"))
+        .orderBy("doc_id")),
+
+    // ---- boilerplate removal: drop lines present in >390 of the 500
+    //      docs (splits the fixture vocabulary roughly in half) ----
+    "q_boilerplate" -> ((s, d) =>
+      Curation.dedupLines(T(s, d, "documents"), "doc_id", "text",
+          sepRegex = "\\s+", joinSep = " ", maxDocFreq = Some(390))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"), col("n_dropped"),
+          md5(col("text_dedup").cast("binary")).as("dedup_md5"))
+        .orderBy("doc_id")),
+
+    // ---- temperature-0.5 mixture resampling. The fixture's sources
+    //      are exactly uniform (rate 1.0 everywhere — nothing to test),
+    //      so stratify by a deterministic IMBALANCED tier instead:
+    //      50/30/20% of docs → rates 0.632/0.816/1.0 ----
+    "q_mixture" -> ((s, d) => {
+      val tier = when(col("doc_id") % 10 < 5, "big")
+        .when(col("doc_id") % 10 < 8, "mid").otherwise("small")
+      Curation.mixtureSample(
+          T(s, d, "documents").withColumn("tier", tier),
+          "doc_id", "tier", alpha = 0.5)
+        .select(col("doc_id"), col("tier"), col("rate"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- Gopher-style composite quality gate (thresholds tuned so the
+    //      fixture has real passes AND failures on every rule) ----
+    "q_quality_gate" -> ((s, d) =>
+      Curation.gopherFilter(T(s, d, "documents"), "doc_id", "text",
+          minWords = 30, maxWords = 90, wordLenBand = (3.0, 4.6),
+          minStopFrac = 0.05, maxDupWordFrac = 0.6, maxTopBigramFrac = 0.2)
+        .select(col("doc_id"), col("n_tokens"),
+          r(col("mean_word_len"), 6).as("mean_word_len"),
+          r(col("stop_frac"), 6).as("stop_frac"),
+          r(col("dup_word_frac"), 6).as("dup_word_frac"),
+          r(col("top_bigram_frac"), 6).as("top_bigram_frac"),
+          col("n_flags"), col("pass").cast("int").as("pass"))
+        .orderBy("doc_id")),
+
     // ---- normalization chain on deterministically-dirtied text ----
     "q_clean" -> ((s, d) => {
       val dirty = concat(lit("  "),
@@ -178,7 +227,103 @@ object PipelineQueries2 {
        c$i AS (SELECT c.cid, coalesce(g.cv, c.cv) AS cv
            FROM c${i - 1} c LEFT JOIN g$i g USING (cid))"""
 
+  /** Whitespace-split "lines" with 1-based positions (the two parallel
+    * unnests zip positionally in DuckDB) — mirrors dedupLines'
+    * posexplode over split(text, '\s+'); positions differ by base but
+    * only their ORDER is ever used. */
+  private val LinesCte =
+    """lw AS (SELECT doc_id, string_split_regex(text, '\s+') AS w0
+              FROM documents),
+       lines AS (SELECT doc_id, unnest(w0) AS l,
+                   unnest(generate_series(1, len(w0))) AS p
+                 FROM lw)"""
+
+  /** Shared reassembly tail: `agg` must be (doc_id, n_kept, txt). */
+  private val DedupTailSql =
+    """SELECT d.doc_id,
+         len(string_split_regex(d.text, '\s+')) AS n_lines,
+         coalesce(a.n_kept, 0) AS n_kept,
+         len(string_split_regex(d.text, '\s+')) - coalesce(a.n_kept, 0)
+           AS n_dropped,
+         md5(coalesce(a.txt, '')) AS dedup_md5
+       FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
+
   val oracle: Map[String, String] = Map(
+
+    "q_line_dedup" ->
+      s"""WITH $LinesCte,
+         rk AS (SELECT doc_id, l, p,
+                  row_number() OVER (PARTITION BY l ORDER BY doc_id, p) AS rn
+                FROM lines),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(l, ' ' ORDER BY p) AS txt
+                 FROM rk WHERE rn = 1 GROUP BY doc_id)
+         $DedupTailSql""",
+
+    "q_boilerplate" ->
+      s"""WITH $LinesCte,
+         freq AS (SELECT l, count(DISTINCT doc_id) AS dfq
+                  FROM lines GROUP BY l),
+         k AS (SELECT doc_id, l, p FROM lines JOIN freq USING (l)
+               WHERE dfq <= 390),
+         agg AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(l, ' ' ORDER BY p) AS txt
+                 FROM k GROUP BY doc_id)
+         $DedupTailSql""",
+
+    // identical double-op order to mixtureRates (pow quotient, +1e-9
+    // off-grid nudge, 6-digit quantization) so the keep decision and
+    // the emitted rate agree bit-for-bit
+    "q_mixture" ->
+      """WITH t AS (SELECT doc_id,
+                  CASE WHEN doc_id % 10 < 5 THEN 'big'
+                       WHEN doc_id % 10 < 8 THEN 'mid'
+                       ELSE 'small' END AS tier
+                FROM documents),
+         c AS (SELECT tier, count(*) AS n FROM t GROUP BY tier),
+         w AS (SELECT tier, pow(CAST(n AS DOUBLE), -0.5) AS wt FROM c),
+         rt AS (SELECT tier,
+                  round(wt / (SELECT max(wt) FROM w) + 1e-9, 6) AS rate
+                FROM w)
+         SELECT doc_id, tier, rate
+         FROM t JOIN rt USING (tier)
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               < rate * 65536
+         ORDER BY doc_id""",
+
+    "q_quality_gate" ->
+      s"""WITH $WordsCte,
+         base AS (SELECT doc_id, len(w) AS n, w FROM words),
+         bg AS (SELECT doc_id,
+                  unnest(list_transform(generate_series(0, len(w)-2),
+                           i -> array_to_string(w[i+1:i+2], ' '))) AS g
+                FROM words WHERE len(w) >= 2),
+         cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+         top AS (SELECT doc_id, max(c) AS topc, sum(c) AS tot
+                 FROM cnt GROUP BY 1),
+         m AS (SELECT b.doc_id, n AS n_tokens,
+                 list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w)
+                   AS mwl,
+                 len(list_filter(w, x -> list_contains(
+                   ['the','a','an','and','or','of','to','in','is','it','on',
+                    'for','with','as','at','by'], x))) * 1.0 / len(w) AS sf,
+                 1.0 - len(list_distinct(w)) * 1.0 / greatest(n, 1) AS dwf,
+                 coalesce(topc * 1.0 / tot, 0.0) AS tbf
+               FROM base b LEFT JOIN top USING (doc_id)),
+         f AS (SELECT doc_id, n_tokens, mwl, sf, dwf, tbf,
+                 (CASE WHEN n_tokens < 30 THEN 1 ELSE 0 END) +
+                 (CASE WHEN n_tokens > 90 THEN 1 ELSE 0 END) +
+                 (CASE WHEN mwl < 3.0 OR mwl > 4.6 THEN 1 ELSE 0 END) +
+                 (CASE WHEN sf < 0.05 THEN 1 ELSE 0 END) +
+                 (CASE WHEN dwf > 0.6 THEN 1 ELSE 0 END) +
+                 (CASE WHEN tbf > 0.2 THEN 1 ELSE 0 END) AS n_flags
+               FROM m)
+         SELECT doc_id, n_tokens, round(mwl + 1e-9, 6) AS mean_word_len,
+           round(sf + 1e-9, 6) AS stop_frac,
+           round(dwf + 1e-9, 6) AS dup_word_frac,
+           round(tbf + 1e-9, 6) AS top_bigram_frac, n_flags,
+           CASE WHEN n_flags = 0 THEN 1 ELSE 0 END AS pass
+         FROM f ORDER BY doc_id""",
 
     // identical double-op order to bm25TopTerms so scores (and the
     // rank tie-break) agree bit-for-bit

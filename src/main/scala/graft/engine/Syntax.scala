@@ -160,5 +160,14 @@ object Syntax {
       graft.pipeline.Curation.decontaminate(df, bench, id, text, k)
     def bm25TopTerms(id: String, text: String, k: Int = 3): DataFrame =
       graft.pipeline.TextAnalysis.bm25TopTerms(df, id, text, k)
+    def dedupLines(id: String, text: String, sepRegex: String = "\n",
+                   joinSep: String = "\n",
+                   maxDocFreq: Option[Int] = None): DataFrame =
+      graft.pipeline.Curation.dedupLines(df, id, text, sepRegex, joinSep,
+        maxDocFreq)
+    def mixtureSample(id: String, strata: String, alpha: Double): DataFrame =
+      graft.pipeline.Curation.mixtureSample(df, id, strata, alpha)
+    def gopherFilter(id: String, text: String): DataFrame =
+      graft.pipeline.Curation.gopherFilter(df, id, text)
   }
 }

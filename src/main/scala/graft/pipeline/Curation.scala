@@ -182,6 +182,127 @@ object Curation {
       "\\s+", " "))
 
   // ---------------------------------------------------------------
+  // Corpus-wide line dedup (C4-style)
+  // ---------------------------------------------------------------
+
+  /** C4-style corpus-wide line-level deduplication over `sepRegex`-split
+    * lines of `text`, in one of two modes:
+    *   - keep-first (`maxDocFreq = None`): every distinct line survives
+    *     only at its globally FIRST occurrence, ordered by (id,
+    *     position) — C4's "deduplicate lines across the corpus";
+    *   - boilerplate (`maxDocFreq = Some(n)`): drop lines that occur in
+    *     more than `n` distinct documents (headers/footers/nav chrome),
+    *     keeping every occurrence of the lines that survive.
+    *
+    * Plan shape at 100 TB: the per-line table is keyed by line CONTENT,
+    * so both the first-occurrence min and the doc-frequency count are
+    * map-side-combinable hash aggregates — a boilerplate line repeated
+    * in a billion docs partial-aggregates down to one row per map task
+    * before the shuffle. The join back to occurrences is a shuffle hash
+    * join on the same key (AQE's skew-join splitting covers a hot line
+    * on the probe side). Document reassembly is one groupBy on the doc
+    * id; per-task state is bounded by a single document's line count
+    * (`collect_list` + `array_sort`, same bound as reading the doc).
+    * Emits (id, n_lines, n_kept, n_dropped, text_dedup). */
+  def dedupLines(df: DataFrame, id: String, text: String,
+                 sepRegex: String = "\n", joinSep: String = "\n",
+                 maxDocFreq: Option[Int] = None): DataFrame = {
+    val lines = df.select(col(id),
+      posexplode(split(col(text), sepRegex)).as(Seq("__p", "__l")))
+    val kept = maxDocFreq match {
+      case Some(n) =>
+        val freq = lines.groupBy(col("__l"))
+          .agg(countDistinct(col(id)).as("__df"))
+        lines.join(freq, Seq("__l")).filter(col("__df") <= n)
+      case None =>
+        val first = lines.groupBy(col("__l"))
+          .agg(min(struct(col(id).as("__i"), col("__p").as("__q"))).as("__m"))
+        lines.join(first, Seq("__l"))
+          .filter(col(id) === col("__m.__i") && col("__p") === col("__m.__q"))
+    }
+    val rebuilt = kept.groupBy(col(id)).agg(
+      count(lit(1)).as("n_kept"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("__p"), col("__l")))),
+          x => x.getField("__l")),
+        joinSep).as("text_dedup"))
+    df.select(col(id), size(split(col(text), sepRegex)).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(id), "left")
+      .select(col(id), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
+  // ---------------------------------------------------------------
+  // Temperature mixture sampling
+  // ---------------------------------------------------------------
+
+  /** Per-stratum keep rates for temperature-`alpha` mixture sampling:
+    * target stratum probability ∝ n^alpha, so the Bernoulli keep rate
+    * is ∝ n^(alpha-1), normalized so the largest rate is 1 (pure
+    * downsampling — no row is ever duplicated). alpha=1 keeps the
+    * natural mix, alpha=0 rebalances toward uniform, in between is the
+    * standard multilingual/multi-source temperature schedule.
+    *
+    * The rate is quantized to 1e-6 so the keep decision is a stable
+    * function of (stratum counts, id) across engines and reruns — the
+    * raw pow() quotient is the one place a libm ulp could differ.
+    * Returns (stratum, n_stratum, rate). */
+  def mixtureRates(df: DataFrame, strataCol: String, alpha: Double): DataFrame = {
+    val w = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_stratum"))
+      .withColumn("__w", pow(col("n_stratum").cast("double"), lit(alpha - 1.0)))
+    w.crossJoin(broadcast(w.agg(max(col("__w")).as("__mx"))))
+      .select(col(strataCol), col("n_stratum"),
+        round(col("__w") / col("__mx") + lit(1e-9), 6).as("rate"))
+  }
+
+  /** Deterministic temperature resampling: keep a row iff
+    * hashBucket(id)/65536 < rate(stratum) with [[mixtureRates]] rates.
+    * One tiny aggregate (|strata| rows) broadcast into a map-side
+    * filter — the corpus itself is never shuffled. */
+  def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
+                    alpha: Double): DataFrame =
+    df.join(broadcast(mixtureRates(df, strataCol, alpha)
+        .drop("n_stratum")), Seq(strataCol))
+      .filter(hashBucket(col(idCol)) < col("rate") * 65536)
+
+  // ---------------------------------------------------------------
+  // Gopher-style composite quality gate
+  // ---------------------------------------------------------------
+
+  /** Composite document quality gate in the Gopher/MassiveText style:
+    * token-count band, mean-word-length band, minimum stopword
+    * fraction, and the [[repetitionMetrics]] repetition caps, each as
+    * its own flag plus an overall `pass`. Everything except the bigram
+    * metric is pure codegen over the scan; the one shuffle is
+    * repetitionMetrics' (doc, gram) aggregate. Emits per doc: the five
+    * metrics, `n_flags` (rules tripped) and `pass`. */
+  def gopherFilter(df: DataFrame, id: String, text: String,
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   wordLenBand: (Double, Double) = (3.0, 10.0),
+                   minStopFrac: Double = 0.02,
+                   maxDupWordFrac: Double = 0.5,
+                   maxTopBigramFrac: Double = 0.2): DataFrame = {
+    val m = df.select(col(id),
+      TextAnalysis.meanWordLen(col(text)).as("mean_word_len"),
+      TextAnalysis.stopwordRatio(col(text), TextAnalysis.EnStops).as("stop_frac"))
+    val flags = Seq[Column](
+      col("n_tokens") < minWords,
+      col("n_tokens") > maxWords,
+      col("mean_word_len") < wordLenBand._1 ||
+        col("mean_word_len") > wordLenBand._2,
+      col("stop_frac") < minStopFrac,
+      col("dup_word_frac") > maxDupWordFrac,
+      col("top_bigram_frac") > maxTopBigramFrac)
+    m.join(repetitionMetrics(df, id, text), Seq(id))
+      .select(col(id), col("n_tokens"), col("mean_word_len"),
+        col("stop_frac"), col("dup_word_frac"), col("top_bigram_frac"),
+        flags.map(_.cast("int")).reduce(_ + _).as("n_flags"))
+      .withColumn("pass", col("n_flags") === 0)
+  }
+
+  // ---------------------------------------------------------------
   // Greedy sequence packing
   // ---------------------------------------------------------------
 

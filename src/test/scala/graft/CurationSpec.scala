@@ -109,6 +109,62 @@ class CurationSpec extends SparkSpec {
     assert(out(2).getDouble(3) == 0.0) // < 2 tokens: no bigrams
   }
 
+  test("dedupLines keep-first: a line survives only at its global (id, pos) min") {
+    val df = Seq((1L, "a b c b"), (2L, "b c d"), (3L, "e a"))
+      .toDF("doc_id", "text")
+    val out = Curation.dedupLines(df, "doc_id", "text",
+      sepRegex = " ", joinSep = " ").orderBy("doc_id").collect()
+    // first occurrences: a@(1,0) b@(1,1) c@(1,2) d@(2,2) e@(3,0)
+    assert(out.map(_.getString(4)).toSeq == Seq("a b c", "d", "e"))
+    assert(out.map(_.getLong(1)).toSeq == Seq(4L, 3L, 2L)) // n_lines
+    assert(out.map(_.getLong(2)).toSeq == Seq(3L, 1L, 1L)) // n_kept
+    assert(out.map(_.getLong(3)).toSeq == Seq(1L, 2L, 1L)) // n_dropped
+  }
+
+  test("dedupLines boilerplate: lines in more than maxDocFreq docs are dropped") {
+    val df = Seq((1L, "a b c b"), (2L, "b c d"), (3L, "e a"))
+      .toDF("doc_id", "text")
+    val out = Curation.dedupLines(df, "doc_id", "text",
+      sepRegex = " ", joinSep = " ", maxDocFreq = Some(1))
+      .orderBy("doc_id").collect()
+    // doc freq: a=2 b=2 c=2 d=1 e=1 -> only d and e survive, in place
+    assert(out.map(_.getString(4)).toSeq == Seq("", "d", "e"))
+    assert(out.map(_.getLong(2)).toSeq == Seq(0L, 1L, 1L))
+    assert(out.map(_.getLong(3)).toSeq == Seq(4L, 2L, 1L))
+  }
+
+  test("mixtureRates: temperature rates normalize to 1 on the smallest stratum") {
+    val df = (Seq.fill(4)("big") ++ Seq("small"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "stratum")
+    val rates = Curation.mixtureRates(df, "stratum", alpha = 0.5)
+      .orderBy("stratum").collect()
+    // n=4 -> 4^-0.5 = 0.5; n=1 -> 1.0; normalized by max (=1.0)
+    assert(rates.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq == Seq(("big", 4L, 0.5), ("small", 1L, 1.0)))
+    val kept = Curation.mixtureSample(df, "id", "stratum", alpha = 0.5)
+    // rate-1.0 stratum is never downsampled
+    assert(kept.filter($"stratum" === "small").count() == 1L)
+  }
+
+  test("gopherFilter: each rule trips independently and pass = no flags") {
+    val df = Seq(
+      (1L, "the cat sat on mat"),   // clean: passes every rule
+      (2L, "the cat"),              // too short (+ its single bigram
+                                    //  is trivially 100% of bigrams)
+      (3L, "the the the the")       // dup words + repeated bigram
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherFilter(df, "doc_id", "text",
+      minWords = 3, maxWords = 10, wordLenBand = (1.0, 8.0),
+      minStopFrac = 0.1, maxDupWordFrac = 0.5, maxTopBigramFrac = 0.9)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getInt(6), r.getBoolean(7))).toSeq ==
+      Seq((0, true), (2, false), (2, false)))
+    // doc 3: dup_word_frac = 1 - 1/4 = 0.75, top bigram 3/3 = 1.0
+    assert(math.abs(out(2).getDouble(4) - 0.75) < 1e-12)
+    assert(math.abs(out(2).getDouble(5) - 1.0) < 1e-12)
+  }
+
   test("packGreedy lays docs head-to-tail and assigns start chunk") {
     val df = Seq((1L, 300), (2L, 300), (3L, 100), (4L, 50))
       .toDF("doc_id", "n_tok")
