@@ -242,8 +242,22 @@ object Corr {
       while (i < k) { data(i)(r) = rows(r).getDouble(i); i += 1 }
       r += 1
     }
-    val out = for { i <- 0 until k; j <- (i + 1) until k } yield
-      org.apache.spark.sql.Row(cols(i), cols(j), knightTau(data(i), data(j)))
+    // k(k-1)/2 independent O(n log n) sorts — run them on a bounded
+    // driver pool (same pattern as describe's per-column stats) instead
+    // of serially; at 12 columns that is 66 taus across 8 threads.
+    val pairIdx = for { i <- 0 until k; j <- (i + 1) until k } yield (i, j)
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(pairIdx.size, 8))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val out =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(pairIdx.map { case (i, j) =>
+          scala.concurrent.Future(
+            org.apache.spark.sql.Row(cols(i), cols(j),
+              knightTau(data(i), data(j))))
+        }), scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
     import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
     spark.createDataFrame(java.util.Arrays.asList(out: _*),
       StructType(Seq(StructField("c1", StringType),
