@@ -22,6 +22,23 @@ object PipelineQueries {
       Dedup.exact(T(s, d, "documents"), "doc_id", "text")
         .orderBy("keep_id")),
 
+    // ---- incremental dedup of an ingest batch against the persisted
+    //      digest state, bloom-prefiltered scale path (results are
+    //      exact at any fpp — the bloom only routes the plan). The
+    //      fixture has no exact dupes, so the batch is docs + an
+    //      id-shifted copy; "seen" is every doc_id % 5 == 0 digest ----
+    "q_dedup_incr" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val batch = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.select((col("doc_id") + 10000).as("doc_id"),
+          col("text")))
+      val seen = docs.filter(col("doc_id") % 5 === 0)
+        .select(md5(col("text").cast("binary")).as("digest"))
+      Dedup.incremental(batch, seen, "doc_id", "text",
+          bloomExpectedItems = 1000)
+        .orderBy("doc_id")
+    }),
+
     // ---- MinHash + LSH candidate pairs ----
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashLshPairs(T(s, d, "documents"), "doc_id", "text",
@@ -164,6 +181,19 @@ object PipelineQueries {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY md5(text) ORDER BY keep_id""",
+
+    "q_dedup_incr" ->
+      """WITH batch AS (SELECT doc_id, text FROM documents
+                        UNION ALL
+                        SELECT doc_id + 10000, text FROM documents),
+         d AS (SELECT doc_id, md5(text) AS digest FROM batch),
+         fst AS (SELECT digest, min(doc_id) AS keep FROM d GROUP BY digest),
+         seen AS (SELECT DISTINCT md5(text) AS digest FROM documents
+                  WHERE doc_id % 5 = 0)
+         SELECT d.doc_id, d.digest
+         FROM d JOIN fst ON d.digest = fst.digest AND d.doc_id = fst.keep
+         WHERE d.digest NOT IN (SELECT digest FROM seen)
+         ORDER BY d.doc_id""",
 
     // mirrors minhashLshPairs: one md5 per shingle, 60-bit halves a/b,
     // hash i = a + i*b, band i holds hashes (2i, 2i+1)

@@ -159,6 +159,14 @@ object PipelineQueries2 {
           col("n_flags"), col("pass").cast("int").as("pass"))
         .orderBy("doc_id")),
 
+    // ---- CCNet-style perplexity proxy: avg negative unigram logprob
+    //      under the corpus's own token distribution ----
+    "q_unigram_lp" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(T(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          r(col("avg_neg_logprob"), 6).as("avg_neg_logprob"))
+        .orderBy("doc_id")),
+
     // ---- normalization chain on deterministically-dirtied text ----
     "q_clean" -> ((s, d) => {
       val dirty = concat(lit("  "),
@@ -290,6 +298,22 @@ object PipelineQueries2 {
          WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
                < rate * 65536
          ORDER BY doc_id""",
+
+    // identical double-op order to unigramLogProb (k·ln(c/tot) sums,
+    // final negate-divide) so scores agree to the 6-digit round
+    "q_unigram_lp" ->
+      s"""WITH $WordsCte,
+         tok AS (SELECT doc_id, unnest(w) AS term FROM words),
+         dt AS (SELECT doc_id, term, count(*) AS k FROM tok
+                WHERE term <> '' GROUP BY 1, 2),
+         tf AS (SELECT term, sum(k) AS c FROM dt GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM tf),
+         sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n,
+                  -sum(k * ln(CAST(c AS DOUBLE) / tot)) / sum(k) AS nlp
+                FROM dt JOIN tf USING (term), tot GROUP BY doc_id)
+         SELECT doc_id, n AS n_tokens,
+           round(nlp + 1e-9, 6) AS avg_neg_logprob
+         FROM sc ORDER BY doc_id""",
 
     "q_quality_gate" ->
       s"""WITH $WordsCte,

@@ -158,8 +158,15 @@ object Syntax {
     def decontaminate(bench: DataFrame, id: String, text: String,
                       k: Int = 3): DataFrame =
       graft.pipeline.Curation.decontaminate(df, bench, id, text, k)
+    def dedupIncremental(seen: DataFrame, id: String, text: String,
+                         bloomExpectedItems: Long = 0L,
+                         bloomFpp: Double = 0.01): DataFrame =
+      graft.pipeline.Dedup.incremental(df, seen, id, text,
+        bloomExpectedItems, bloomFpp)
     def bm25TopTerms(id: String, text: String, k: Int = 3): DataFrame =
       graft.pipeline.TextAnalysis.bm25TopTerms(df, id, text, k)
+    def unigramLogProb(id: String, text: String): DataFrame =
+      graft.pipeline.TextAnalysis.unigramLogProb(df, id, text)
     def dedupLines(id: String, text: String, sepRegex: String = "\n",
                    joinSep: String = "\n",
                    maxDocFreq: Option[Int] = None): DataFrame =

@@ -161,6 +161,56 @@ object Dedup {
       .drop("__h")
   }
 
+  /** Incremental exact dedup of an ingest batch against the persisted
+    * digest table of everything already in the corpus: keep one doc per
+    * distinct digest within the batch (min id, like [[exact]]) and drop
+    * digests already in `seen` (a frame with a `digest` column — the
+    * state a daily 100 TB pipeline carries between runs).
+    *
+    * Result is EXACT regardless of the bloom setting. With
+    * `bloomExpectedItems > 0`, a bloom filter over xxhash64(seen.digest)
+    * is built (one pass over the 16-byte digest table — never the
+    * corpus) and applied map-side as a native
+    * `BloomFilterMightContain` expression: "definitely new" digests
+    * bypass the anti-join entirely (bloom has no false negatives), and
+    * only the ~fpp "maybe seen" residue shuffles into the exact
+    * anti-join. Size the bloom to the SEEN cardinality — at ~1.2 MB per
+    * million items (fpp 1%) a billion-digest state is ~1.2 GB, past
+    * broadcast comfort; above that, leave the default plain
+    * shuffle anti-join (16-byte keys, perfectly balanced).
+    * Returns (id, digest) of the surviving batch rows. */
+  def incremental(newDocs: DataFrame, seen: DataFrame, id: String,
+                  text: String, bloomExpectedItems: Long = 0L,
+                  bloomFpp: Double = 0.01): DataFrame = {
+    val withDigest = newDocs
+      .select(col(id), md5(col(text).cast("binary")).as("digest"))
+    val firstInBatch = withDigest
+      .join(withDigest.groupBy(col("digest")).agg(min(col(id)).as("__keep")),
+        Seq("digest"))
+      .filter(col(id) === col("__keep"))
+      .select(col(id), col("digest"))
+    val seenD = seen.select(col("digest"))
+    if (bloomExpectedItems > 0) {
+      import org.apache.spark.sql.GraftSqlShim
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.types.BinaryType
+      val bf = seenD.select(xxhash64(col("digest")).as("__h"))
+        .stat.bloomFilter("__h", bloomExpectedItems, bloomFpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val maybeSeen = GraftSqlShim.column(BloomFilterMightContain(
+        Literal(bos.toByteArray, BinaryType),
+        GraftSqlShim.expression(xxhash64(col("digest")))))
+      val flagged = firstInBatch.withColumn("__maybe", maybeSeen)
+      flagged.filter(!col("__maybe")).drop("__maybe")
+        .unionByName(flagged.filter(col("__maybe")).drop("__maybe")
+          .join(seenD, Seq("digest"), "left_anti"))
+        .select(col(id), col("digest"))
+    } else
+      firstInBatch.join(seenD, Seq("digest"), "left_anti")
+        .select(col(id), col("digest"))
+  }
+
   /** LSH candidate pairs: docs sharing any band signature.
     *
     * Hash family: ONE md5 per distinct shingle, split into two 60-bit

@@ -130,6 +130,34 @@ object TextAnalysis {
         col("tfidf"), col("bm25"), col("rank"))
   }
 
+  /** CCNet-style perplexity proxy: score each document by the average
+    * negative log-probability of its tokens under the corpus's own
+    * unigram distribution. Low = made of common words (boilerplate-ish),
+    * high = rare-token-heavy (noise, mojibake, tables) — the standard
+    * head/middle/tail quality split is quantiles of this score.
+    *
+    * Plan shape at 100 TB: per-(doc, term) counts hash-aggregate
+    * map-side-combinably; the vocabulary join is hash-partitioned
+    * (never broadcast — vocabularies are corpus-sized); the corpus
+    * total rides a broadcast 1-row aggregate; one final doc-keyed
+    * aggregate. No OOV smoothing is needed: every token is by
+    * construction in the vocabulary it is scored against. */
+  def unigramLogProb(df: DataFrame, id: String, text: String): DataFrame = {
+    val dt = df
+      .select(col(id), explode(tokens(col(text))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("__k"))
+    val tf = dt.groupBy(col("term")).agg(sum(col("__k")).as("__c"))
+    val tot = tf.agg(sum(col("__c")).cast("double").as("__tot"))
+    dt.join(tf, Seq("term"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col(id))
+      .agg(sum(col("__k")).as("n_tokens"),
+        (-sum(col("__k") * log(col("__c").cast("double") / col("__tot"))) /
+          sum(col("__k"))).as("avg_neg_logprob"))
+  }
+
   /** Order-sensitive rolling-hash fingerprint (Rabin-Karp-style
     * polynomial fold over the token stream) — distinguishes documents
     * that are permutations of the same token bag, which [[fingerprint]]

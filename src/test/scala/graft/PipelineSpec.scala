@@ -20,6 +20,30 @@ class PipelineSpec extends SparkSpec {
     assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L) // ids 1,2 grouped
   }
 
+  test("incremental dedup: in-batch min-id, seen digests dropped, bloom exact") {
+    val batch = Seq((5L, "aa"), (6L, "bb"), (7L, "aa"), (8L, "cc"))
+      .toDF("doc_id", "text")
+    val seen = Seq("bb").toDF("t")
+      .select(md5(col("t").cast("binary")).as("digest"))
+    // 7 is an in-batch dup of 5; 6 is already in the corpus
+    val plain = Dedup.incremental(batch, seen, "doc_id", "text")
+    assert(plain.orderBy("doc_id").collect().map(_.getLong(0)).toSeq ==
+      Seq(5L, 8L))
+    // bloom-prefiltered plan: same rows, and the plan forks into the
+    // definitely-new union branch
+    val bloom = Dedup.incremental(batch, seen, "doc_id", "text",
+      bloomExpectedItems = 10)
+    assert(bloom.orderBy("doc_id").collect().map(_.getLong(0)).toSeq ==
+      Seq(5L, 8L))
+    assert(bloom.queryExecution.executedPlan.toString.contains("Union"))
+    // a deliberately tiny, collision-heavy bloom must still be exact:
+    // false positives are resolved by the anti-join, negatives can't occur
+    val noisy = Dedup.incremental(batch, seen, "doc_id", "text",
+      bloomExpectedItems = 1, bloomFpp = 0.5)
+    assert(noisy.orderBy("doc_id").collect().map(_.getLong(0)).toSeq ==
+      Seq(5L, 8L))
+  }
+
   test("shingles: sliding k-grams, short-text fallback") {
     val out = Seq("a b c d", "a b").toDF("t")
       .select(Dedup.shingles(col("t"), 3)).collect()
@@ -140,6 +164,19 @@ class PipelineSpec extends SparkSpec {
     assertApprox(optD(r, 2), Some(1.0 / 20))
     assertApprox(optD(r, 3), Some(3.0 / 5)) // the, and, the
     assert(r.getString(4) == "en")
+  }
+
+  test("unigramLogProb: rare-token docs score higher than common-token docs") {
+    val corpus = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // counts: a=2 b=2 c=1, total 5
+    // doc1: -(2·ln(2/5) + ln(2/5))/3 = -ln(0.4); doc2: -(ln(0.4)+ln(0.2))/2
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 2L))
+    assertApprox(optD(out(0), 2), Some(-math.log(0.4)))
+    assertApprox(optD(out(1), 2),
+      Some(-(math.log(0.4) + math.log(0.2)) / 2))
+    assert(out(1).getDouble(2) > out(0).getDouble(2))
   }
 
   test("bm25/tfidf top terms: rarer term outranks common term") {

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Scale-killer guard: walks the physical plan of EVERY registered query
+  * and fails if a partition-less WindowExec (all rows to one task) shows
+  * up outside the documented-bounded allowlist. A global window is only
+  * acceptable over an intermediate whose size is bounded by construction
+  * (stats tables, centroid lists, recall gates) — never over a frame
+  * that grows with the corpus. This turns the per-round plan audit into
+  * a regression test: adding a query with an unbounded global window
+  * breaks the build, not the 100 TB run. */
+class PlanGuardSpec extends SparkSpec {
+
+  /** Queries where a global WindowExec is bounded by construction; the
+    * bound is the justification. Everything else (describe shapes, mode
+    * ties, recall gates, …) already avoids WindowExec entirely. */
+  private val BoundedGlobalWindow: Map[String, String] = Map(
+    "q_cumsum_global" -> "window runs over the per-bucket partials AGGREGATE of globalCumsumBucketed — exactly `buckets` (~defaultParallelism) rows",
+    "q_pack" -> "same bounded partials window via packGreedy's globalCumsumBucketed prefix sum")
+
+  private def globalWindows(p: SparkPlan): Seq[WindowExec] = {
+    val self = p match {
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w)
+      case _ => Seq.empty
+    }
+    val kids = p.children ++ (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)
+      case _ => Seq.empty
+    }) ++ p.subqueries
+    self ++ kids.flatMap(globalWindows)
+  }
+
+  test("no query plan has an undocumented partition-less WindowExec") {
+    val sfDir = "/root/testdata/sf0.001"
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan
+        if (globalWindows(plan).nonEmpty && !BoundedGlobalWindow.contains(name))
+          Some(name)
+        else None
+    }
+    assert(offenders.isEmpty,
+      s"queries with undocumented global windows: ${offenders.mkString(", ")} — " +
+        "either repartition the plan or add a justified allowlist entry")
+  }
+}
