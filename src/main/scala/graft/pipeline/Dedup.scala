@@ -182,13 +182,11 @@ object Dedup {
   def incremental(newDocs: DataFrame, seen: DataFrame, id: String,
                   text: String, bloomExpectedItems: Long = 0L,
                   bloomFpp: Double = 0.01): DataFrame = {
-    val withDigest = newDocs
+    // min(id) IS the surviving row — no join-back needed, so the batch
+    // is scanned once per plan branch, not twice.
+    val firstInBatch = newDocs
       .select(col(id), md5(col(text).cast("binary")).as("digest"))
-    val firstInBatch = withDigest
-      .join(withDigest.groupBy(col("digest")).agg(min(col(id)).as("__keep")),
-        Seq("digest"))
-      .filter(col(id) === col("__keep"))
-      .select(col(id), col("digest"))
+      .groupBy(col("digest")).agg(min(col(id)).as(id))
     val seenD = seen.select(col("digest"))
     if (bloomExpectedItems > 0) {
       import org.apache.spark.sql.GraftSqlShim
