@@ -52,6 +52,15 @@ object PipelineQueries {
           k = 3, bands = 4, rowsPerBand = 2))
         .orderBy("doc")),
 
+    // ---- end-to-end fuzzy dedup: pairs -> clusters -> canonical
+    //      survivor per cluster, one row per corpus doc ----
+    "q_dedup_fuzzy" -> ((s, d) =>
+      Dedup.fuzzy(T(s, d, "documents"), "doc_id", "text",
+          k = 3, bands = 4, rowsPerBand = 2)
+        .select(col("doc_id"), col("cluster_rep"),
+          col("keep").cast("int").as("keep"))
+        .orderBy("doc_id")),
+
     // ---- SimHash fingerprints ----
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhash32(T(s, d, "documents"), "doc_id", "text")
@@ -177,6 +186,32 @@ object PipelineQueries {
                      AS BIGINT) AS simhash
               FROM bits GROUP BY 1)"""
 
+  /** MinHash-LSH pairs + symmetric edge set + recursive reachability —
+    * the shared core of the q_dedup_clusters / q_dedup_fuzzy oracles
+    * (callers must open WITH RECURSIVE). */
+  private val ClustersCte =
+    s"""$ShingleCte,
+       hh AS (SELECT doc_id,
+                ('0x' || substr(md5(s), 1, 15))::BIGINT AS a,
+                ('0x' || substr(md5(s), 17, 15))::BIGINT AS b
+              FROM sh),
+       mh AS (SELECT doc_id, bb.band,
+                min(a + (bb.band*2) * b) AS h0,
+                min(a + (bb.band*2+1) * b) AS h1
+              FROM hh, (SELECT unnest(generate_series(0, 3)) AS band) bb
+              GROUP BY 1, 2),
+       prs AS (SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
+               FROM mh a JOIN mh c
+                 ON a.band = c.band AND a.h0 = c.h0 AND a.h1 = c.h1
+                AND a.doc_id < c.doc_id),
+       edges AS (SELECT doc1 AS a, doc2 AS b FROM prs
+                 UNION ALL SELECT doc2, doc1 FROM prs),
+       reach(doc, r) AS (
+         SELECT a, a FROM edges
+         UNION
+         SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.doc
+       )"""
+
   val oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
@@ -217,29 +252,18 @@ object PipelineQueries {
     // transitive closure of the minhash candidate graph; min reachable id
     // per doc mirrors Dedup.clusters' min-label propagation fixpoint
     "q_dedup_clusters" ->
-      s"""WITH RECURSIVE $ShingleCte,
-         hh AS (SELECT doc_id,
-                  ('0x' || substr(md5(s), 1, 15))::BIGINT AS a,
-                  ('0x' || substr(md5(s), 17, 15))::BIGINT AS b
-                FROM sh),
-         mh AS (SELECT doc_id, bb.band,
-                  min(a + (bb.band*2) * b) AS h0,
-                  min(a + (bb.band*2+1) * b) AS h1
-                FROM hh, (SELECT unnest(generate_series(0, 3)) AS band) bb
-                GROUP BY 1, 2),
-         prs AS (SELECT DISTINCT a.doc_id AS doc1, c.doc_id AS doc2
-                 FROM mh a JOIN mh c
-                   ON a.band = c.band AND a.h0 = c.h0 AND a.h1 = c.h1
-                  AND a.doc_id < c.doc_id),
-         edges AS (SELECT doc1 AS a, doc2 AS b FROM prs
-                   UNION ALL SELECT doc2, doc1 FROM prs),
-         reach(doc, r) AS (
-           SELECT a, a FROM edges
-           UNION
-           SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.doc
-         )
+      s"""WITH RECURSIVE $ClustersCte
          SELECT doc, min(r) AS cluster_rep FROM reach GROUP BY doc
          ORDER BY doc""",
+
+    "q_dedup_fuzzy" ->
+      s"""WITH RECURSIVE $ClustersCte,
+         cl AS (SELECT doc, min(r) AS rep FROM reach GROUP BY doc)
+         SELECT d.doc_id, coalesce(cl.rep, d.doc_id) AS cluster_rep,
+           CASE WHEN coalesce(cl.rep, d.doc_id) = d.doc_id
+                THEN 1 ELSE 0 END AS keep
+         FROM documents d LEFT JOIN cl ON cl.doc = d.doc_id
+         ORDER BY d.doc_id""",
 
     "q_dedup_simhash" ->
       s"""WITH $SimhashCte

@@ -155,6 +155,8 @@ object Syntax {
       graft.pipeline.Dedup.clusters(
         graft.pipeline.Dedup.minhashLshPairs(df, id, text,
           maxBucket = maxBucket))
+    def dedupFuzzy(id: String, text: String): DataFrame =
+      graft.pipeline.Dedup.fuzzy(df, id, text)
     def decontaminate(bench: DataFrame, id: String, text: String,
                       k: Int = 3): DataFrame =
       graft.pipeline.Curation.decontaminate(df, bench, id, text, k)

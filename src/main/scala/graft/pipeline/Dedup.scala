@@ -463,6 +463,31 @@ object Dedup {
     mapping.select(col("doc"), resolve(col("lbl")).as("cluster_rep"))
   }
 
+  /** End-to-end fuzzy dedup: MinHash-LSH candidate pairs →
+    * connected-component clusters → keep the canonical (minimum-id)
+    * member of every near-dup cluster; docs in no cluster keep
+    * themselves. One call from corpus to keep/drop decision — the
+    * composition a user would otherwise hand-wire from
+    * [[minhashLshPairs]] + [[clusters]].
+    *
+    * Returns one row per input doc: (id, cluster_rep, keep). The final
+    * join back to the corpus is on the doc id against the cluster table
+    * (|clustered docs| rows — only docs with at least one near-dup),
+    * which AQE broadcasts when small; everything upstream keeps the
+    * single-shuffle LSH shape documented on [[minhashLshPairs]]. */
+  def fuzzy(df: DataFrame, id: String, text: String, k: Int = 3,
+            bands: Int = 4, rowsPerBand: Int = 2,
+            maxBucket: Int = 100000): DataFrame = {
+    val cl = clusters(
+      minhashLshPairs(df, id, text, k, bands, rowsPerBand, maxBucket))
+      .withColumnRenamed("doc", "__doc")
+    df.select(col(id))
+      .join(cl, col(id) === col("__doc"), "left")
+      .select(col(id),
+        coalesce(col("cluster_rep"), col(id)).as("cluster_rep"),
+        (coalesce(col("cluster_rep"), col(id)) === col(id)).as("keep"))
+  }
+
   /** Min-rooted union-find with path compression (smaller id wins, so
     * every root is its component's minimum member). */
   private[pipeline] final class UnionFind {

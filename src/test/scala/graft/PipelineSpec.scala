@@ -20,6 +20,16 @@ class PipelineSpec extends SparkSpec {
     assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L) // ids 1,2 grouped
   }
 
+  test("fuzzy dedup end-to-end: cluster members collapse to the min-id survivor") {
+    val out = Dedup.fuzzy(docs, "doc_id", "text", k = 3, bands = 4,
+      rowsPerBand = 2).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // 1 and 2 are identical -> same cluster, 1 survives; 4 is alone
+    assert(out.contains((1L, 1L, true)) && out.contains((2L, 1L, false)))
+    assert(out.contains((4L, 4L, true)))
+    assert(out.length == 4)
+  }
+
   test("incremental dedup: in-batch min-id, seen digests dropped, bloom exact") {
     val batch = Seq((5L, "aa"), (6L, "bb"), (7L, "aa"), (8L, "cc"))
       .toDF("doc_id", "text")
