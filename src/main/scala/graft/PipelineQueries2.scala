@@ -177,7 +177,18 @@ object PipelineQueries2 {
         length(Curation.cleanText(dirty)).as("clean_len"),
         md5(Curation.cleanText(dirty).cast("binary")).as("clean_md5"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // ---- exact duplicated-substring spans (suffix-array dedup,
+    //      distributed rolling-window form; natural dups in the corpus) ----
+    "q_substring_dedup" -> ((s, d) =>
+      Dedup.substringSpans(T(s, d, "documents"), "doc_id", "text", win = 30)
+        .orderBy("doc_id", "span_start")),
+
+    // ---- per-doc duplicated-char fraction (cleaning priority signal) ----
+    "q_substring_stats" -> ((s, d) =>
+      Dedup.substringDupStats(T(s, d, "documents"), "doc_id", "text", win = 30)
+        .orderBy("doc_id"))
   )
 
   private val WordsCte =
@@ -473,6 +484,55 @@ object PipelineQueries2 {
            CAST(cum - nt AS BIGINT) AS start_offset,
            CAST(floor((cum - nt) / 512.0) AS BIGINT) AS chunk_id,
            CAST(cum - nt AS BIGINT) % 512 AS chunk_offset
-         FROM c ORDER BY doc_id"""
+         FROM c ORDER BY doc_id""",
+
+    "q_substring_dedup" ->
+      s"""WITH $SubstringSpanCte
+         SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+           max(e) - min(pos) + 1 AS span_len
+         FROM isl GROUP BY doc_id, i ORDER BY doc_id, span_start""",
+
+    "q_substring_stats" ->
+      s"""WITH $SubstringSpanCte,
+         sp AS (SELECT doc_id, min(pos) AS s, max(e) AS e2
+                FROM isl GROUP BY doc_id, i),
+         agg AS (SELECT doc_id, count(*) AS n_spans,
+                   sum(e2 - s + 1) AS dup_chars
+                 FROM sp GROUP BY doc_id)
+         SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+           coalesce(n_spans, 0) AS n_spans,
+           CAST(coalesce(dup_chars, 0) AS BIGINT) AS dup_chars,
+           round(coalesce(dup_chars, 0) * 1.0
+                 / greatest(length(d.text), 1) + 1e-9, 6) AS dup_frac
+         FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         ORDER BY d.doc_id"""
   )
+
+  /** Duplicated 30-char-window islands CTE shared by the substring-dedup
+    * oracles — mirrors [[graft.pipeline.Dedup.substringSpans]] (win=30,
+    * stride=1) but groups by the RAW window text (the Spark side groups
+    * by md5(window); any md5 collision would surface here as a diff). */
+  // (def, not val: referenced from the `oracle` map above — a val here
+  // would still be null during that map's initialization)
+  private def SubstringSpanCte =
+    """d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 30),
+       w AS (SELECT doc_id, unnest(generate_series(1, length(text) - 29)) AS pos,
+                    text
+             FROM d),
+       w2 AS (SELECT doc_id, pos, substr(text, pos, 30) AS win FROM w),
+       dup AS (SELECT win FROM w2 GROUP BY win HAVING count(*) > 1),
+       h AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                    CAST(pos + 29 AS BIGINT) AS e
+             FROM w2 WHERE win IN (SELECT win FROM dup)),
+       b AS (SELECT doc_id, pos, e,
+               CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id
+                      ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) + 1
+                    THEN 1 ELSE 0 END AS brk
+             FROM h),
+       isl AS (SELECT doc_id, pos, e,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i
+               FROM b)"""
 }

@@ -178,5 +178,11 @@ object Syntax {
       graft.pipeline.Curation.mixtureSample(df, id, strata, alpha)
     def gopherFilter(id: String, text: String): DataFrame =
       graft.pipeline.Curation.gopherFilter(df, id, text)
+    def substringSpans(id: String, text: String, win: Int = 30,
+                       stride: Int = 1): DataFrame =
+      graft.pipeline.Dedup.substringSpans(df, id, text, win, stride)
+    def substringDupStats(id: String, text: String, win: Int = 30,
+                          stride: Int = 1): DataFrame =
+      graft.pipeline.Dedup.substringDupStats(df, id, text, win, stride)
   }
 }

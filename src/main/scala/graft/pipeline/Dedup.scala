@@ -564,4 +564,83 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select("doc1", "doc2", "jaccard")
   }
+
+  // ---------------------------------------------------------------
+  // Exact duplicated-substring spans (suffix-array dedup, distributed)
+  // ---------------------------------------------------------------
+
+  /** Exact duplicated-substring spans — the operation behind
+    * suffix-array substring dedup of training corpora (Lee et al. 2022,
+    * arXiv:2107.06499; no analogue in the reference — training-pipeline
+    * superset). A monolithic suffix array does not distribute; the
+    * equivalent map-reduce form slides a `win`-char window with stride
+    * `stride` over every doc, keeps windows whose CONTENT occurs more
+    * than once in the corpus, and merges each doc's duplicated window
+    * positions into maximal spans (gaps-and-islands). Guarantee: every
+    * duplicated run of length >= win + stride - 1 contains a
+    * stride-aligned full window, so it is detected; boundaries are
+    * exact at stride=1 and conservative by < stride chars otherwise.
+    *
+    * Plan shape at 100 TB: the exploded (hash, doc, pos) table has
+    * ~|corpus chars| / stride rows — `stride` is the knob trading
+    * boundary precision for explode volume. The duplicate-window count
+    * is a map-side-combinable hash aggregate on a 128-bit content hash
+    * (a boilerplate window repeated a billion times collapses to one
+    * row per map task before the shuffle); the join back is LEFT SEMI
+    * on the same key, so hot windows cause no row multiplication. The
+    * span merge is one window pass partitioned by doc, state bounded by
+    * one doc's window count. Two shuffles + the per-doc sort, total.
+    *
+    * Windows travel as md5(window) (16 bytes on the wire instead of
+    * `win` chars); a false merge needs an in-corpus md5 collision
+    * (~n²/2^128 — negligible, and the DuckDB oracle groups by the raw
+    * window text, so a collision would surface as a correctness diff).
+    * Emits (id, span_start, span_end, span_len), 1-based inclusive. */
+  def substringSpans(df: DataFrame, id: String, text: String,
+                     win: Int = 30, stride: Int = 1): DataFrame = {
+    require(win >= 2 && stride >= 1, s"need win>=2, stride>=1; got $win, $stride")
+    import org.apache.spark.sql.expressions.Window
+    val pos = df.select(col(id), col(text).as("__t"))
+      .filter(length(col("__t")) >= win)
+      .select(col(id),
+        explode(sequence(lit(1), length(col("__t")) - (win - 1), lit(stride)))
+          .as("__p"),
+        col("__t"))
+      .select(col(id), col("__p").cast("long").as("__p"),
+        md5(col("__t").substr(col("__p"), lit(win)).cast("binary")).as("__h"))
+    val dup = pos.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select(col("__h"))
+    val hits = pos.join(dup, Seq("__h"), "left_semi")
+      .select(col(id), col("__p"), (col("__p") + (win - 1)).as("__e"))
+    val byDoc = Window.partitionBy(col(id)).orderBy(col("__p"))
+    val prevEnd = max(col("__e"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val brk = when(col("__p") > coalesce(prevEnd, lit(-1L)) + 1, 1).otherwise(0)
+    hits
+      .withColumn("__i", sum(brk)
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(id), col("__i"))
+      .agg(min(col("__p")).as("span_start"), max(col("__e")).as("span_end"))
+      .select(col(id), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
+  /** Per-doc roll-up of [[substringSpans]]: how much of each doc is
+    * duplicated elsewhere in the corpus (the signal used to rank docs
+    * for substring-level cleaning). Docs with no duplicated span report
+    * 0. One extra broadcast-friendly left join over the span output. */
+  def substringDupStats(df: DataFrame, id: String, text: String,
+                        win: Int = 30, stride: Int = 1): DataFrame = {
+    val spans = substringSpans(df, id, text, win, stride)
+      .groupBy(col(id)).agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("span_len")).as("dup_chars"))
+    df.select(col(id), length(col(text)).cast("long").as("n_chars"))
+      .join(spans, Seq(id), "left")
+      .select(col(id), col("n_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        round(coalesce(col("dup_chars"), lit(0L)).cast("double") /
+          greatest(col("n_chars"), lit(1L)) + lit(1e-9), 6).as("dup_frac"))
+  }
 }

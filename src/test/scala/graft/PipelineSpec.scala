@@ -250,4 +250,41 @@ class PipelineSpec extends SparkSpec {
     assert(topk.head.getLong(1) == 2L)
     assertApprox(Some(topk.head.getDouble(2)), Some(1.0), 1e-9)
   }
+
+  test("substring spans: cross-doc run found with exact bounds, flanks excluded") {
+    val d = Seq(
+      (1L, "XXXXABCDEFGHIJKLMNOPYYYY"),   // shared 16-char run at pos 5
+      (2L, "ZZZZABCDEFGHIJKLMNOPWWWW"),
+      (3L, "no duplicates in here at all!")).toDF("doc_id", "text")
+    val out = Dedup.substringSpans(d, "doc_id", "text", win = 10)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 5L, 20L, 16L), (2L, 5L, 20L, 16L)))
+  }
+
+  test("substring spans: within-doc repeat merges adjacent islands") {
+    // window(1) == window(11) -> hits at pos 1 and 11; [1,10] and [11,20]
+    // are adjacent and must merge into one [1,20] span
+    val d = Seq((1L, "abcdefghijabcdefghij"), (2L, "unrelated text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringSpans(d, "doc_id", "text", win = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 1L, 20L, 20L)))
+  }
+
+  test("substring dup stats: frac of duplicated chars, zero for clean docs") {
+    val d = Seq(
+      (1L, "XXXXABCDEFGHIJKLMNOPYYYY"),
+      (2L, "ZZZZABCDEFGHIJKLMNOPWWWW"),
+      (3L, "short"),                      // below win -> no windows at all
+      (4L, "no duplicates in here at all!")).toDF("doc_id", "text")
+    val out = Dedup.substringDupStats(d, "doc_id", "text", win = 10)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out(0) == ((1L, 24L, 1L, 16L, 0.666667)))
+    assert(out(1) == ((2L, 24L, 1L, 16L, 0.666667)))
+    assert(out(2) == ((3L, 5L, 0L, 0L, 0.0)))
+    assert(out(3) == ((4L, 29L, 0L, 0L, 0.0)))
+  }
 }
