@@ -188,6 +188,14 @@ object PipelineQueries2 {
     // ---- per-doc duplicated-char fraction (cleaning priority signal) ----
     "q_substring_stats" -> ((s, d) =>
       Dedup.substringDupStats(T(s, d, "documents"), "doc_id", "text", win = 30)
+        .orderBy("doc_id")),
+
+    // ---- per-stratum quota cap: lang is skewed (en 43%), cap=70 puts
+    //      en/es/zh through the salted top-k path and fr/de through the
+    //      under-cap bypass ----
+    "q_source_cap" -> ((s, d) =>
+      Curation.capPerStratum(T(s, d, "documents"), "doc_id", "lang", cap = 70)
+        .select(col("doc_id"), col("lang"), col("n_stratum"))
         .orderBy("doc_id"))
   )
 
@@ -505,7 +513,17 @@ object PipelineQueries2 {
            round(coalesce(dup_chars, 0) * 1.0
                  / greatest(length(d.text), 1) + 1e-9, 6) AS dup_frac
          FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+
+    "q_source_cap" ->
+      """WITH c AS (SELECT lang, count(*) AS n_stratum
+                    FROM documents GROUP BY 1),
+         r AS (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+               FROM documents)
+         SELECT doc_id, lang, n_stratum FROM r JOIN c USING (lang)
+         WHERE rn <= 70 ORDER BY doc_id"""
   )
 
   /** Duplicated 30-char-window islands CTE shared by the substring-dedup

@@ -184,5 +184,8 @@ object Syntax {
     def substringDupStats(id: String, text: String, win: Int = 30,
                           stride: Int = 1): DataFrame =
       graft.pipeline.Dedup.substringDupStats(df, id, text, win, stride)
+    def capPerStratum(id: String, strata: String, cap: Int,
+                      salts: Int = 32): DataFrame =
+      graft.pipeline.Curation.capPerStratum(df, id, strata, cap, salts)
   }
 }

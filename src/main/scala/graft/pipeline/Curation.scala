@@ -140,6 +140,46 @@ object Curation {
     df.filter(hashBucket(col(idCol)) < rate * 65536)
   }
 
+  /** Keep at most `cap` rows per stratum (the per-domain / per-source
+    * quota of CommonCrawl-style pipelines), priority = md5(id) — a pure
+    * function of the id, so the kept set is stable under repartition,
+    * retries, and ingest order, and exactly reproducible by the oracle.
+    *
+    * Skew-aware two-phase selection:
+    *   1. per-stratum count probe (tiny aggregate, broadcast back).
+    *      Strata already within cap — the long tail of domains —
+    *      bypass ALL ranking work: no sort, no extra shuffle beyond
+    *      the broadcast-join probe.
+    *   2. over-cap strata do distributed top-k: row_number per
+    *      (stratum, salt) keeps `cap` rows per salt, then the final
+    *      per-stratum row_number ranks <= salts*cap survivors. A row in
+    *      the true top-cap is necessarily in its salt bucket's top-cap,
+    *      so phase 1 never drops a winner; no task ever sorts a whole
+    *      hot stratum (max task state ~ |stratum|/salts).
+    * Emits the kept rows + n_stratum (pre-cap stratum size). */
+  def capPerStratum(df: DataFrame, idCol: String, strataCol: String,
+                    cap: Int, salts: Int = 32): DataFrame = {
+    require(cap >= 1 && salts >= 1, s"need cap>=1, salts>=1; got $cap, $salts")
+    val pr = md5(col(idCol).cast("string").cast("binary"))
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_stratum"))
+    val joined = df.join(broadcast(counts), Seq(strataCol))
+    val under = joined.filter(col("n_stratum") <= cap)
+    val salted = joined.filter(col("n_stratum") > cap)
+      .withColumn("__salt", hashBucket(col(idCol)) % salts)
+    val phase1 = salted
+      .withColumn("__rs", row_number().over(
+        Window.partitionBy(col(strataCol), col("__salt"))
+          .orderBy(pr, col(idCol))))
+      .filter(col("__rs") <= cap)
+    val phase2 = phase1
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(strataCol)).orderBy(pr, col(idCol))))
+      .filter(col("__rn") <= cap)
+      .drop("__salt", "__rs", "__rn")
+    under.unionByName(phase2)
+  }
+
   // ---------------------------------------------------------------
   // Repetition / boilerplate metrics (Gopher-style quality signals)
   // ---------------------------------------------------------------

@@ -600,7 +600,10 @@ object Dedup {
                      win: Int = 30, stride: Int = 1): DataFrame = {
     require(win >= 2 && stride >= 1, s"need win>=2, stride>=1; got $win, $stride")
     import org.apache.spark.sql.expressions.Window
-    val pos = df.select(col(id), col(text).as("__t"))
+    // spread BEFORE the explode: a compact doc table reads as a handful
+    // of input splits, and without this every window hash is computed on
+    // those few tasks (the explode inflates rows ~|text|/stride-fold)
+    val pos = graft.engine.Core.spread(df.select(col(id), col(text).as("__t")))
       .filter(length(col("__t")) >= win)
       .select(col(id),
         explode(sequence(lit(1), length(col("__t")) - (win - 1), lit(stride)))

@@ -175,4 +175,25 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_.getLong(3)).toSeq == Seq(0L, 0L, 1L, 1L))
     assert(out.map(_.getLong(4)).toSeq == Seq(0L, 300L, 88L, 188L))
   }
+
+  test("capPerStratum: under-cap strata pass whole, over-cap ranked by md5(id)") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val df = ((1L to 10L).map(i => (i, "big")) ++ Seq((11L, "small")))
+      .toDF("id", "stratum")
+    val out = Curation.capPerStratum(df, "id", "stratum", cap = 3, salts = 4)
+      .orderBy("id").collect().map(r => (r.getLong(1), r.getString(0)))
+    // "small" (1 row <= cap) passes untouched with its stratum size
+    assert(out.contains((11L, "small")))
+    assert(out.count(_._2 == "big") == 3 && out.length == 4)
+    // the kept "big" ids are exactly the 3 smallest md5 priorities
+    val expect = (1L to 10L).sortBy(i => (md5hex(i.toString), i)).take(3).toSet
+    assert(out.filter(_._2 == "big").map(_._1).toSet == expect)
+    // n_stratum reports the PRE-cap size
+    val n = Curation.capPerStratum(df, "id", "stratum", cap = 3, salts = 4)
+      .filter(col("stratum") === "big").select("n_stratum").head().getLong(0)
+    assert(n == 10L)
+  }
 }
