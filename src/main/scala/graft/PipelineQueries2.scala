@@ -196,7 +196,20 @@ object PipelineQueries2 {
     "q_source_cap" -> ((s, d) =>
       Curation.capPerStratum(T(s, d, "documents"), "doc_id", "lang", cap = 70)
         .select(col("doc_id"), col("lang"), col("n_stratum"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- DSIR importance weights: en is the "target domain", every
+    //      non-en doc gets its hashed-unigram log-likelihood ratio ----
+    "q_dsir" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      Curation.dsirWeights(
+        docs.filter(col("lang") =!= "en"),
+        docs.filter(col("lang") === "en"),
+        "doc_id", "text")
+        .select(col("doc_id"), col("n_tokens"),
+          r(col("dsir_score"), 6).as("dsir_score"))
+        .orderBy("doc_id")
+    })
   )
 
   private val WordsCte =
@@ -523,7 +536,33 @@ object PipelineQueries2 {
                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
                FROM documents)
          SELECT doc_id, lang, n_stratum FROM r JOIN c USING (lang)
-         WHERE rn <= 70 ORDER BY doc_id"""
+         WHERE rn <= 70 ORDER BY doc_id""",
+
+    "q_dsir" ->
+      """WITH w AS (SELECT doc_id, lang,
+                      string_split_regex(lower(trim(text)), '\s+') AS ws
+                    FROM documents),
+         tok AS (SELECT doc_id, lang, unnest(ws) AS t FROM w),
+         tok2 AS (SELECT doc_id, lang,
+                    ('0x' || substr(md5(t), 1, 8))::BIGINT % 4096 AS b
+                  FROM tok WHERE t <> ''),
+         tc AS (SELECT b, count(*) AS ct FROM tok2 WHERE lang = 'en'
+                GROUP BY 1),
+         rc AS (SELECT b, count(*) AS cr FROM tok2 WHERE lang <> 'en'
+                GROUP BY 1),
+         tt AS (SELECT CAST(sum(ct) AS DOUBLE) AS t_total FROM tc),
+         tr AS (SELECT CAST(sum(cr) AS DOUBLE) AS r_total FROM rc),
+         model AS (SELECT coalesce(tc.b, rc.b) AS b,
+                     ln((coalesce(ct, 0) + 0.5) / (t_total + 0.5 * 4096))
+                   - ln((coalesce(cr, 0) + 0.5) / (r_total + 0.5 * 4096)) AS lr
+                   FROM tc FULL OUTER JOIN rc ON tc.b = rc.b, tt, tr),
+         dt AS (SELECT doc_id, b, count(*) AS k FROM tok2
+                WHERE lang <> 'en' GROUP BY 1, 2),
+         sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+                  sum(k * lr) / sum(k) AS s
+                FROM dt JOIN model USING (b) GROUP BY 1)
+         SELECT doc_id, n_tokens, round(s + 1e-9, 6) AS dsir_score
+         FROM sc ORDER BY doc_id"""
   )
 
   /** Duplicated 30-char-window islands CTE shared by the substring-dedup

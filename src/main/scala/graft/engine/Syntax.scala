@@ -187,5 +187,8 @@ object Syntax {
     def capPerStratum(id: String, strata: String, cap: Int,
                       salts: Int = 32): DataFrame =
       graft.pipeline.Curation.capPerStratum(df, id, strata, cap, salts)
+    def dsirWeights(target: DataFrame, id: String, text: String,
+                    buckets: Int = 4096, alpha: Double = 0.5): DataFrame =
+      graft.pipeline.Curation.dsirWeights(df, target, id, text, buckets, alpha)
   }
 }

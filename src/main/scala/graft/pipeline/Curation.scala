@@ -181,6 +181,55 @@ object Curation {
   }
 
   // ---------------------------------------------------------------
+  // DSIR importance weights (data selection for language models)
+  // ---------------------------------------------------------------
+
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * per raw doc, the mean hashed-unigram log-likelihood ratio
+    * avg_tok log( p_target(b(tok)) / p_raw(b(tok)) ), where b hashes
+    * words into `buckets` buckets (md5-based — engine-agnostic, which
+    * is what makes the oracle exact) and both unigram models get
+    * add-`alpha` smoothing over the bucket vocabulary. Docs that look
+    * like the target domain score high; resample raw by this weight.
+    *
+    * Scale shape: both models are (bucket, count) tables bounded at
+    * `buckets` rows — they partial-aggregate map-side, and the joined
+    * log-ratio model BROADCASTS (buckets ~ 10k-1M rows regardless of
+    * corpus size). The raw corpus is shuffled once, keyed (doc,
+    * bucket); the scoring join is map-side against the broadcast
+    * model. Emits (id, n_tokens, dsir_score). */
+  def dsirWeights(raw: DataFrame, target: DataFrame, id: String,
+                  text: String, buckets: Int = 4096,
+                  alpha: Double = 0.5): DataFrame = {
+    require(buckets >= 2 && alpha > 0, s"need buckets>=2, alpha>0; got $buckets, $alpha")
+    val bucket = (c: Column) =>
+      conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long") % buckets
+    def toks(df: DataFrame, keep: Seq[Column]) =
+      df.select(keep :+ explode(Dedup.words(col(text))).as("__w"): _*)
+        .filter(col("__w") =!= "")
+        .select(keep :+ bucket(col("__w")).as("__b"): _*)
+    val tCnt = toks(target, Nil).groupBy(col("__b"))
+      .agg(count(lit(1)).as("__ct"))
+    val rCnt = toks(raw, Nil).groupBy(col("__b"))
+      .agg(count(lit(1)).as("__cr"))
+    val model = tCnt.join(rCnt, Seq("__b"), "full_outer")
+      .crossJoin(broadcast(tCnt.agg(sum("__ct").cast("double").as("__tT"))))
+      .crossJoin(broadcast(rCnt.agg(sum("__cr").cast("double").as("__tR"))))
+      .select(col("__b"),
+        (log((coalesce(col("__ct"), lit(0L)) + alpha)
+             / (col("__tT") + alpha * buckets))
+         - log((coalesce(col("__cr"), lit(0L)) + alpha)
+               / (col("__tR") + alpha * buckets))).as("__lr"))
+    toks(raw, Seq(col(id))).groupBy(col(id), col("__b"))
+      .agg(count(lit(1)).as("__k"))
+      .join(broadcast(model), Seq("__b"))
+      .groupBy(col(id)).agg(
+        sum(col("__k")).as("n_tokens"),
+        (sum(col("__k") * col("__lr")) / sum(col("__k"))).as("dsir_score"))
+  }
+
+  // ---------------------------------------------------------------
   // Repetition / boilerplate metrics (Gopher-style quality signals)
   // ---------------------------------------------------------------
 

@@ -196,4 +196,23 @@ class CurationSpec extends SparkSpec {
       .filter(col("stratum") === "big").select("n_stratum").head().getLong(0)
     assert(n == 10L)
   }
+
+  test("dsirWeights: target-like raw docs score above off-domain ones") {
+    val target = Seq((100L, "alpha beta alpha beta gamma"))
+      .toDF("id", "text")
+    val raw = Seq(
+      (1L, "alpha beta alpha"),            // pure target vocabulary
+      (2L, "zulu yankee xray whiskey"),    // disjoint vocabulary
+      (3L, "alpha zulu")).toDF("id", "text") // mixed
+    val out = Curation.dsirWeights(raw, target, "id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out.map(_._2) == Seq(3L, 4L, 2L)) // token counts
+    val score = out.map(t => t._1 -> t._3).toMap
+    assert(score(1L) > score(3L) && score(3L) > score(2L))
+    // deterministic: same input -> bit-identical scores
+    val again = Curation.dsirWeights(raw, target, "id", "text")
+      .orderBy("id").collect().map(_.getDouble(2)).toSeq
+    assert(again == out.map(_._3))
+  }
 }
