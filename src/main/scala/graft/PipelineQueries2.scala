@@ -198,6 +198,13 @@ object PipelineQueries2 {
         .select(col("doc_id"), col("lang"), col("n_stratum"))
         .orderBy("doc_id")),
 
+    // ---- per-lang token budget: md5-priority fill until 10k chars ----
+    "q_token_budget" -> ((s, d) =>
+      Curation.tokenBudget(T(s, d, "documents"), "doc_id", "lang",
+        "n_chars", budget = 10000L)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("cum_tokens"))
+        .orderBy("doc_id")),
+
     // ---- DSIR importance weights: en is the "target domain", every
     //      non-en doc gets its hashed-unigram log-likelihood ratio ----
     "q_dsir" -> ((s, d) => {
@@ -537,6 +544,15 @@ object PipelineQueries2 {
                FROM documents)
          SELECT doc_id, lang, n_stratum FROM r JOIN c USING (lang)
          WHERE rn <= 70 ORDER BY doc_id""",
+
+    "q_token_budget" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+                 sum(n_chars) OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM documents)
+         SELECT doc_id, lang, n_chars, CAST(cum AS BIGINT) AS cum_tokens
+         FROM r WHERE cum <= 10000 ORDER BY doc_id""",
 
     "q_dsir" ->
       """WITH w AS (SELECT doc_id, lang,

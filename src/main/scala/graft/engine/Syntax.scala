@@ -190,5 +190,8 @@ object Syntax {
     def dsirWeights(target: DataFrame, id: String, text: String,
                     buckets: Int = 4096, alpha: Double = 0.5): DataFrame =
       graft.pipeline.Curation.dsirWeights(df, target, id, text, buckets, alpha)
+    def tokenBudget(id: String, strata: String, tokenCol: String,
+                    budget: Long): DataFrame =
+      graft.pipeline.Curation.tokenBudget(df, id, strata, tokenCol, budget)
   }
 }

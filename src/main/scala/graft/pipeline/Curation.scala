@@ -180,6 +180,47 @@ object Curation {
     under.unionByName(phase2)
   }
 
+  /** Fill a per-stratum token budget: keep docs in md5(id)-priority
+    * order until the next doc would push the stratum's token total past
+    * `budget` — the "give me N billion tokens per language/source" cut,
+    * deterministic and stable under repartition/retry/ingest order.
+    * A kept doc is never truncated (cum <= budget rule).
+    *
+    * Scale shape — NO per-stratum global sort: the priority is an md5,
+    * so its first byte partitions each stratum into 256 uniformly-sized
+    * buckets whose ORDER IS THE SORT ORDER (value-bucketed prefix sum,
+    * same machinery as the global cumsum / packing plans):
+    *   1. per-(stratum, bucket) token sums — tiny aggregate;
+    *   2. running bucket offsets via a window over that 256·|strata|-row
+    *      table, broadcast back;
+    *   3. within-bucket cumsum windows on (stratum, bucket) — max task
+    *      state is ~|stratum|/256 rows.
+    * Emits kept rows + cum_tokens (stratum running total incl. self). */
+  def tokenBudget(df: DataFrame, idCol: String, strataCol: String,
+                  tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"need budget>0, got $budget")
+    val pr = md5(col(idCol).cast("string").cast("binary"))
+    val b = conv(substring(pr, 1, 2), 16, 10).cast("int")
+    val rows = df.withColumn("__b", b)
+    val perBucket = rows.groupBy(col(strataCol), col("__b"))
+      .agg(sum(col(tokenCol)).cast("long").as("__bs"))
+    val offsets = perBucket
+      .withColumn("__off",
+        coalesce(sum(col("__bs")).over(
+          Window.partitionBy(col(strataCol)).orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(strataCol), col("__b"), col("__off"))
+    rows.join(broadcast(offsets), Seq(strataCol, "__b"))
+      .withColumn("__cum",
+        col("__off") + sum(col(tokenCol)).over(
+          Window.partitionBy(col(strataCol), col("__b"))
+            .orderBy(pr, col(idCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__cum") <= budget)
+      .withColumn("cum_tokens", col("__cum"))
+      .drop("__b", "__off", "__cum")
+  }
+
   // ---------------------------------------------------------------
   // DSIR importance weights (data selection for language models)
   // ---------------------------------------------------------------

@@ -591,11 +591,14 @@ object Dedup {
     * span merge is one window pass partitioned by doc, state bounded by
     * one doc's window count. Two shuffles + the per-doc sort, total.
     *
-    * Windows travel as md5(window) (16 bytes on the wire instead of
-    * `win` chars); a false merge needs an in-corpus md5 collision
-    * (~n²/2^128 — negligible, and the DuckDB oracle groups by the raw
-    * window text, so a collision would surface as a correctness diff).
-    * Emits (id, span_start, span_end, span_len), 1-based inclusive. */
+    * Windows travel as TWO independent xxhash64 values (16 bytes on
+    * the wire instead of `win` chars, and ~5x cheaper than md5 — this
+    * hash never has to match the oracle's, so the fast codegen hash is
+    * safe here); a false dup needs a simultaneous 128-bit collision
+    * inside the corpus (~n²/2^128 — negligible, and the DuckDB oracle
+    * groups by the raw window text, so a collision would surface as a
+    * correctness diff). Emits (id, span_start, span_end, span_len),
+    * 1-based inclusive. */
   def substringSpans(df: DataFrame, id: String, text: String,
                      win: Int = 30, stride: Int = 1): DataFrame = {
     require(win >= 2 && stride >= 1, s"need win>=2, stride>=1; got $win, $stride")
@@ -610,10 +613,12 @@ object Dedup {
           .as("__p"),
         col("__t"))
       .select(col(id), col("__p").cast("long").as("__p"),
-        md5(col("__t").substr(col("__p"), lit(win)).cast("binary")).as("__h"))
-    val dup = pos.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
-      .filter(col("__c") > 1).select(col("__h"))
-    val hits = pos.join(dup, Seq("__h"), "left_semi")
+        col("__t").substr(col("__p"), lit(win)).as("__w"))
+      .select(col(id), col("__p"),
+        xxhash64(col("__w")).as("__h"), xxhash64(lit(1), col("__w")).as("__h2"))
+    val dup = pos.groupBy(col("__h"), col("__h2")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select(col("__h"), col("__h2"))
+    val hits = pos.join(dup, Seq("__h", "__h2"), "left_semi")
       .select(col(id), col("__p"), (col("__p") + (win - 1)).as("__e"))
     val byDoc = Window.partitionBy(col(id)).orderBy(col("__p"))
     val prevEnd = max(col("__e"))

@@ -197,6 +197,25 @@ class CurationSpec extends SparkSpec {
     assert(n == 10L)
   }
 
+  test("tokenBudget: bucketed prefix sum equals the single-window reference") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 200L).map(i => (i, if (i % 3 == 0) "a" else "b", 7L + i % 5))
+      .toDF("id", "stratum", "n_tok")
+    val out = Curation.tokenBudget(df, "id", "stratum", "n_tok", budget = 150L)
+      .select("id", "cum_tokens")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pr = md5(col("id").cast("string").cast("binary"))
+    val ref = df.withColumn("cum", sum(col("n_tok")).over(
+        Window.partitionBy(col("stratum")).orderBy(pr, col("id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= 150L)
+      .select("id", "cum")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.nonEmpty && out == ref)
+    // never exceeds the budget, never truncates a doc
+    assert(out.map(_._2).max <= 150L)
+  }
+
   test("dsirWeights: target-like raw docs score above off-domain ones") {
     val target = Seq((100L, "alpha beta alpha beta gamma"))
       .toDF("id", "text")
