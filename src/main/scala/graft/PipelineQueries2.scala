@@ -92,6 +92,13 @@ object PipelineQueries2 {
         .orderBy("doc_id")
     }),
 
+    // ---- SemDeDup: k-means partition + in-cluster cosine, min-id
+    //      survivor (same trained centroids as q_kmeans) ----
+    "q_semdedup" -> ((s, d) =>
+      Similarity.semDedup(T(s, d, "embeddings"), "vec_id", "embedding",
+          k = 4, iters = 2, tau = 0.4)
+        .orderBy("vec_id")),
+
     // ---- distributed k-means over embeddings (IVF coarse-quantizer
     //      trainer): 2 Lloyd iterations, k=4, deterministic id init ----
     "q_kmeans" -> ((s, d) =>
@@ -408,6 +415,36 @@ object PipelineQueries2 {
          SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
            round(tfidf + 1e-9, 6) AS tfidf, round(bm25 + 1e-9, 6) AS bm25, rank
          FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""",
+
+    "q_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+                     FROM embeddings),
+         c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                    AS cid, x AS cv
+                FROM (SELECT vec_id, x FROM e ORDER BY vec_id LIMIT 4)),
+         ${kmeansIter(1)},
+         ${kmeansIter(2)},
+         df AS (SELECT e.vec_id, c.cid,
+                  list_sum(list_transform(generate_series(1, 64),
+                    j -> (x[j]-cv[j])*(x[j]-cv[j]))) AS d
+                FROM e, c2 c),
+         af AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+                  FROM df) WHERE rn = 1),
+         m AS (SELECT e.vec_id, af.cid AS cluster, e.x,
+                 sqrt(list_sum(list_transform(generate_series(1, 64),
+                   j -> x[j]*x[j]))) AS nn
+               FROM e JOIN af USING (vec_id)),
+         p AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+               FROM m a JOIN m b
+                 ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+               WHERE round(list_sum(list_transform(generate_series(1, 64),
+                       j -> a.x[j]*b.x[j])) / (a.nn * b.nn) + 1e-9, 6) >= 0.4
+               GROUP BY 1)
+         SELECT m.vec_id, m.cluster,
+           CASE WHEN p.dup_of IS NULL THEN 1 ELSE 0 END AS keep, p.dup_of
+         FROM m LEFT JOIN p USING (vec_id) ORDER BY vec_id""",
 
     "q_kmeans" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x

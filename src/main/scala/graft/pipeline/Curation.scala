@@ -345,10 +345,34 @@ object Curation {
           .agg(countDistinct(col(id)).as("__df"))
         lines.join(freq, Seq("__l")).filter(col("__df") <= n)
       case None =>
-        val first = lines.groupBy(col("__l"))
-          .agg(min(struct(col(id).as("__i"), col("__p").as("__q"))).as("__m"))
-        lines.join(first, Seq("__l"))
-          .filter(col(id) === col("__m.__i") && col("__p") === col("__m.__q"))
+        val integralId = df.schema(id).dataType match {
+          case org.apache.spark.sql.types.ByteType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType => true
+          case _ => false
+        }
+        if (integralId) {
+          // min(struct) has no hash-aggregate implementation, so the
+          // generic path below is a SortAggregate — a per-partition sort
+          // over the exploded lines. For integral ids, encode (id, pos)
+          // into ONE decimal(38,0): lexicographic because 0 <= pos <
+          // 10^10 > any posexplode index, exact because |id|*10^10 +
+          // pos < 10^38. min over it is a plain hash aggregate with
+          // map-side partials (same shuffle volume, no sort CPU).
+          def enc(i: Column, p: Column): Column =
+            i.cast(org.apache.spark.sql.types.DecimalType(38, 0)) *
+              lit(10000000000L) + p
+          val first = lines.groupBy(col("__l"))
+            .agg(min(enc(col(id), col("__p"))).as("__m"))
+          lines.join(first, Seq("__l"))
+            .filter(enc(col(id), col("__p")) === col("__m"))
+        } else {
+          val first = lines.groupBy(col("__l"))
+            .agg(min(struct(col(id).as("__i"), col("__p").as("__q"))).as("__m"))
+          lines.join(first, Seq("__l"))
+            .filter(col(id) === col("__m.__i") && col("__p") === col("__m.__q"))
+        }
     }
     val rebuilt = kept.groupBy(col(id)).agg(
       count(lit(1)).as("n_kept"),

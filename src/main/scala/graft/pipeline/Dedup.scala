@@ -606,16 +606,24 @@ object Dedup {
     // spread BEFORE the explode: a compact doc table reads as a handful
     // of input splits, and without this every window hash is computed on
     // those few tasks (the explode inflates rows ~|text|/stride-fold)
+    // Window identity = TWO independent Rabin-Karp hashes (128 bits
+    // combined — collision-immune at corpus scale), each computed for
+    // ALL positions of a doc in one O(|text|) rolling pass
+    // (graft.functions.WindowHashes, native codegen). The previous form
+    // (substr + xxhash64 per position) re-read every char `win` times
+    // and allocated a window string per position — O(|text|·win) CPU
+    // and ~|text| short-lived allocations per doc; this is O(|text|).
+    import graft.functions.WindowHashes
     val pos = graft.engine.Core.spread(df.select(col(id), col(text).as("__t")))
       .filter(length(col("__t")) >= win)
       .select(col(id),
-        explode(sequence(lit(1), length(col("__t")) - (win - 1), lit(stride)))
-          .as("__p"),
-        col("__t"))
-      .select(col(id), col("__p").cast("long").as("__p"),
-        col("__t").substr(col("__p"), lit(win)).as("__w"))
-      .select(col(id), col("__p"),
-        xxhash64(col("__w")).as("__h"), xxhash64(lit(1), col("__w")).as("__h2"))
+        posexplode(arrays_zip(
+          WindowHashes(col("__t"), win, stride, WindowHashes.Base1).as("__h"),
+          WindowHashes(col("__t"), win, stride, WindowHashes.Base2).as("__h2")))
+          .as(Seq("__i", "__z")))
+      .select(col(id),
+        (col("__i").cast("long") * stride + 1).as("__p"),
+        col("__z.__h").as("__h"), col("__z.__h2").as("__h2"))
     val dup = pos.groupBy(col("__h"), col("__h2")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).select(col("__h"), col("__h2"))
     val hits = pos.join(dup, Seq("__h", "__h2"), "left_semi")

@@ -360,24 +360,41 @@ object Similarity {
     * Returns (vec_id, cluster, dist): final assignment against the
     * post-iteration centroids, dist = Euclidean. */
   def kmeans(df: DataFrame, idCol: String, vecCol: String,
-             k: Int, iters: Int): DataFrame = {
+             k: Int, iters: Int): DataFrame =
+    kmeansAssign(df, idCol, vecCol,
+        kmeansCentroids(df, idCol, vecCol, k, iters))
+      .select(col("vec_id"), col("__best.c").as("cluster"),
+        sqrt(col("__best.d")).as("dist"))
+
+  /** Map-side argmin assignment against literal centroids (see
+    * [[kmeans]]'s scale note): zero shuffle, pure codegen projection.
+    * Keeps `x` and `__best.{d,c}` so callers can continue the plan. */
+  private def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                           cents: Array[Array[Double]]): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("vec_id"),
+      asDouble(col(vecCol)).as("x"))
+    def sqDist(cv: Array[Double]): Column =
+      aggregate(
+        zip_with(col("x"), array(cv.map(lit): _*), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, v) => acc + v)
+    base.withColumn("__best",
+      array_min(array(cents.zipWithIndex.map { case (cv, i) =>
+        struct(sqDist(cv).as("d"), lit(i).as("c"))
+      }: _*)))
+  }
+
+  /** The Lloyd loop of [[kmeans]], returning the trained k × dim
+    * centroid matrix (driver-sized by construction). */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): Array[Array[Double]] = {
     require(k > 0 && iters >= 0, s"kmeans: need k>0, iters>=0")
     val base = df.select(col(idCol).cast("long").as("vec_id"),
       asDouble(col(vecCol)).as("x"))
     var cents: Array[Array[Double]] = base.orderBy("vec_id").limit(k)
       .select("x").collect().map(_.getSeq[Double](0).toArray)
     require(cents.length == k, s"kmeans: k=$k but only ${cents.length} rows")
-    val dim = cents(0).length
-    def sqDist(cv: Array[Double]): Column =
-      aggregate(
-        zip_with(col("x"), array(cv.map(lit): _*), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, v) => acc + v)
-    def assigned(): DataFrame = base.withColumn("__best",
-      array_min(array(cents.zipWithIndex.map { case (cv, i) =>
-        struct(sqDist(cv).as("d"), lit(i).as("c"))
-      }: _*)))
     for (_ <- 0 until iters) {
-      val sums = assigned()
+      val sums = kmeansAssign(df, idCol, vecCol, cents)
         .select(col("__best.c").as("cid"), posexplode(col("x")).as(Seq("p", "v")))
         .groupBy("cid", "p")
         .agg(sum("v").as("s"), count("v").as("n"))
@@ -388,7 +405,53 @@ object Similarity {
       }
       cents = next
     }
-    assigned().select(col("vec_id"), col("__best.c").as("cluster"),
-      sqrt(col("__best.d")).as("dist"))
+    cents
+  }
+
+  // ---------------------------------------------------------------
+  // SemDeDup — semantic dedup: k-means partition + in-cluster cosine
+  // ---------------------------------------------------------------
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    * embedding space with k-means, then compare vectors ONLY within
+    * their own cluster — a vector is a semantic duplicate iff some
+    * same-cluster vector has cosine >= `tau` and a smaller id
+    * (deterministic min-id survivor, the same rule as
+    * [[Dedup.fuzzy]]'s cluster representative).
+    *
+    * Scale shape: assignment is the zero-shuffle literal-centroid
+    * projection from [[kmeans]] — no n×n join-back by id — and the
+    * pair generation keys its ONE shuffle on the cluster id, so pair
+    * work is Σ|c|², never corpus-wide O(n²). At 100 TB pick k ∝ n
+    * (the paper runs ~n/200 clusters) to bound cluster sizes; norms
+    * are computed once per vector map-side; each surviving pair costs
+    * one native codegen dot ([[graft.functions.DotProduct]]).
+    *
+    * The threshold is applied to round(cos + 1e-9, 6) so a libm ulp
+    * can never flip a keep decision across engines or reruns (same
+    * convention as [[graft.pipeline.Curation.mixtureRates]]).
+    *
+    * Returns one row per vector: (vec_id, cluster, keep, dup_of) with
+    * dup_of = the smallest qualifying same-cluster id (null ⇒ keep=1). */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int, tau: Double): DataFrame = {
+    val cents = kmeansCentroids(df, idCol, vecCol, k, iters)
+    val m = kmeansAssign(df, idCol, vecCol, cents)
+      .select(col("vec_id"), col("__best.c").as("cluster"), col("x").as("__v"))
+      .withColumn("__n", l2norm(col("__v")))
+    val a = m.select(col("cluster"), col("vec_id").as("__a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = m.select(col("cluster"), col("vec_id").as("__b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    val dups = a.join(b, Seq("cluster"))
+      .filter(col("__a") < col("__b"))
+      .filter(round(pairCos(col("__va"), col("__na"), col("__vb"), col("__nb"))
+        + lit(1e-9), 6) >= tau)
+      .groupBy(col("__b").as("vec_id"))
+      .agg(min(col("__a")).as("dup_of"))
+    m.select(col("vec_id"), col("cluster"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("dup_of").isNull.cast("int").as("keep"), col("dup_of"))
   }
 }

@@ -121,6 +121,22 @@ class CurationSpec extends SparkSpec {
     assert(out.map(_.getLong(3)).toSeq == Seq(1L, 2L, 1L)) // n_dropped
   }
 
+  test("dedupLines keep-first: non-integral ids take the struct-min path, same result") {
+    val df = Seq(("d1", "a b c b"), ("d2", "b c d"), ("d3", "e a"))
+      .toDF("doc_id", "text")
+    val out = Curation.dedupLines(df, "doc_id", "text",
+      sepRegex = " ", joinSep = " ").orderBy("doc_id").collect()
+    assert(out.map(_.getString(4)).toSeq == Seq("a b c", "d", "e"))
+  }
+
+  test("dedupLines keep-first: integral ids hash-aggregate (no SortAggregate)") {
+    val df = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val plan = Curation.dedupLines(df, "doc_id", "text", sepRegex = " ")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"),
+      "first-occurrence min should be a hash aggregate via the decimal (id,pos) encoding")
+  }
+
   test("dedupLines boilerplate: lines in more than maxDocFreq docs are dropped") {
     val df = Seq((1L, "a b c b"), (2L, "b c d"), (3L, "e a"))
       .toDF("doc_id", "text")

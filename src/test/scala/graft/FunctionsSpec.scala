@@ -101,6 +101,27 @@ class FunctionsSpec extends SparkSpec {
     assert(got(0).getLong(1) != got(1).getLong(1)) // order matters
   }
 
+  test("window hashes: rolled values equal direct polynomial recompute") {
+    import graft.functions.WindowHashes
+    val df = Seq("abcabcab").toDF("t")
+    val out = df.select(WindowHashes(col("t"), 3, 1, WindowHashes.Base1))
+      .collect()(0).getSeq[Long](0)
+    def direct(s: String): Long =
+      s.foldLeft(0L)((h, c) => h * WindowHashes.Base1 + c)
+    assert(out == "abcabcab".sliding(3).map(direct).toSeq)
+    // equal window content -> equal hash (abc@0==abc@3, bca@1==bca@4)
+    assert(out(0) == out(3) && out(1) == out(4) && out(0) != out(1))
+    // stride=2 emits every other position's hash
+    val s2 = df.select(WindowHashes(col("t"), 3, 2, WindowHashes.Base1))
+      .collect()(0).getSeq[Long](0)
+    assert(s2 == Seq(out(0), out(2), out(4)))
+    // shorter than win -> empty, never null
+    val e = Seq("ab").toDF("t")
+      .select(WindowHashes(col("t"), 3, 1, WindowHashes.Base1))
+      .collect()(0).getSeq[Long](0)
+    assert(e.isEmpty)
+  }
+
   test("SQL surface: graft_dot/graft_l2norm usable after register()") {
     VectorFunctions.register(spark)
     vecs.createOrReplaceTempView("fs_vecs")

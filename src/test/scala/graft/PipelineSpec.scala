@@ -161,6 +161,21 @@ class PipelineSpec extends SparkSpec {
     assert(out == Set((0L, 1L)))
   }
 
+  test("semDedup: in-cluster min-id survivor under cosine tau") {
+    // init: c0=vec0 (1,0), c1=vec1 (-1,.1) -> {0,2,4} vs {1,3}; every
+    // non-seed vector is within cos 0.99 of its cluster's seed
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(-1.0f, 0.1f)),
+      (2L, Array(1.0f, 0.02f)), (3L, Array(-1.0f, 0.12f)),
+      (4L, Array(0.9f, 0.01f))).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, "vec_id", "embedding",
+        k = 2, iters = 1, tau = 0.99)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(out(0L) == ((1, -1L)) && out(1L) == ((1, -1L)))
+    assert(out(2L) == ((0, 0L)) && out(3L) == ((0, 1L)) && out(4L) == ((0, 0L)))
+  }
+
   test("text analysis: token counts, ratios, quality, fingerprint") {
     val df = Seq("The cat and the dog!").toDF("t")
     val r = df.select(
