@@ -16,28 +16,47 @@ object Bench {
     // not charged for session startup (~4s otherwise).
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
-    // Deterministic order; a GC between queries lets the ContextCleaner
-    // reap the previous query's broadcast/checkpoint blocks so later
-    // queries aren't timed under accumulated memory pressure.
     // Optional comma-separated filter for targeted local iteration
     // (driver leaves it unset -> full set).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    val rt = Runtime.getRuntime
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Deterministic order. Between queries: drop any cached plans, then
+    // two GC passes so the ContextCleaner reaps the previous query's
+    // broadcast/shuffle blocks and a brief pause lets the async cleanup
+    // drain — round 5 showed in-suite times inflating up to 7x over
+    // isolated runs purely from accumulated JVM/Spark state, and the
+    // post-GC heap line below makes any remaining inflation diagnosable
+    // from the driver's record alone.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          errors(name) = e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300)
+          System.err.println(s"[bench] FAILED $name")
+          e.printStackTrace()
+      }
       val dt = (System.nanoTime() - t0) / 1e9
-      System.gc()
-      name -> dt
+      spark.catalog.clearCache()
+      System.gc(); System.gc()
+      Thread.sleep(50)
+      val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+      System.err.println(f"[bench] $name%-28s ${dt}%8.3fs  postGcHeap=${heapMb}MB")
+      // a failed query reports -1, never its partial wall time: a broken
+      // query must not masquerade as a fast bench row
+      name -> (if (errors.contains(name)) -1.0 else dt)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The per-query map is ~90 entries and outgrew the driver's tail
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // The per-query map is ~100 entries and outgrew the driver's tail
     // capture in round 4 (BENCH_r04.json: parsed null). Emit the full
     // record first (and persist it to BENCH.json for the repo), then the
     // SHORT machine-parseable summary as the LAST line so any tail-based
@@ -47,7 +66,8 @@ object Bench {
       val w = new java.io.PrintWriter("BENCH.json")
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"nerrors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

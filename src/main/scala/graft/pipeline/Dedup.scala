@@ -591,14 +591,20 @@ object Dedup {
     * span merge is one window pass partitioned by doc, state bounded by
     * one doc's window count. Two shuffles + the per-doc sort, total.
     *
-    * Windows travel as TWO independent xxhash64 values (16 bytes on
-    * the wire instead of `win` chars, and ~5x cheaper than md5 — this
-    * hash never has to match the oracle's, so the fast codegen hash is
-    * safe here); a false dup needs a simultaneous 128-bit collision
-    * inside the corpus (~n²/2^128 — negligible, and the DuckDB oracle
-    * groups by the raw window text, so a collision would surface as a
-    * correctness diff). Emits (id, span_start, span_end, span_len),
-    * 1-based inclusive. */
+    * Windows travel as a pair of Rabin-Karp polynomial hashes with
+    * distinct odd bases (16 bytes on the wire instead of `win` chars),
+    * both produced by ONE O(|text|) rolling pass
+    * ([[graft.functions.WindowHashPairs]], native codegen). The two
+    * wrapping mod-2^64 hashes are not fully independent the way two
+    * seeded universal hashes would be (difference polynomials can share
+    * roots mod a composite 2^64), but a simultaneous collision on
+    * non-adversarial text is negligible at corpus scale — and the
+    * DuckDB oracle groups by the raw window text, so any collision
+    * would surface as a correctness diff, not silent data loss.
+    * Positions and window units are UTF-16 code units (== characters
+    * for all BMP text; for supplementary-plane text, span offsets index
+    * UTF-16 units, not code points). Emits
+    * (id, span_start, span_end, span_len), 1-based inclusive. */
   def substringSpans(df: DataFrame, id: String, text: String,
                      win: Int = 30, stride: Int = 1): DataFrame = {
     require(win >= 2 && stride >= 1, s"need win>=2, stride>=1; got $win, $stride")
@@ -606,24 +612,23 @@ object Dedup {
     // spread BEFORE the explode: a compact doc table reads as a handful
     // of input splits, and without this every window hash is computed on
     // those few tasks (the explode inflates rows ~|text|/stride-fold)
-    // Window identity = TWO independent Rabin-Karp hashes (128 bits
-    // combined — collision-immune at corpus scale), each computed for
-    // ALL positions of a doc in one O(|text|) rolling pass
-    // (graft.functions.WindowHashes, native codegen). The previous form
-    // (substr + xxhash64 per position) re-read every char `win` times
-    // and allocated a window string per position — O(|text|·win) CPU
-    // and ~|text| short-lived allocations per doc; this is O(|text|).
-    import graft.functions.WindowHashes
+    // Window identity = a PAIR of Rabin-Karp hashes with distinct odd
+    // bases, both computed for ALL positions of a doc in ONE O(|text|)
+    // rolling pass (graft.functions.WindowHashPairs, native codegen)
+    // emitting array<struct<h1,h2>> directly. The previous shape —
+    // arrays_zip over two single-base WindowHashes calls — read the
+    // string twice, materialized two long arrays, and allocated a zip
+    // struct per element on top (a GC storm at ~1.5M windows per task
+    // that made the in-suite bench 7x slower than isolated); this form
+    // allocates exactly one small struct per emitted window.
+    import graft.functions.WindowHashPairs
     val pos = graft.engine.Core.spread(df.select(col(id), col(text).as("__t")))
       .filter(length(col("__t")) >= win)
       .select(col(id),
-        posexplode(arrays_zip(
-          WindowHashes(col("__t"), win, stride, WindowHashes.Base1).as("__h"),
-          WindowHashes(col("__t"), win, stride, WindowHashes.Base2).as("__h2")))
-          .as(Seq("__i", "__z")))
+        posexplode(WindowHashPairs(col("__t"), win, stride)).as(Seq("__i", "__z")))
       .select(col(id),
         (col("__i").cast("long") * stride + 1).as("__p"),
-        col("__z.__h").as("__h"), col("__z.__h2").as("__h2"))
+        col("__z.h1").as("__h"), col("__z.h2").as("__h2"))
     val dup = pos.groupBy(col("__h"), col("__h2")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).select(col("__h"), col("__h2"))
     val hits = pos.join(dup, Seq("__h", "__h2"), "left_semi")

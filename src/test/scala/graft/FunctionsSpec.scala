@@ -122,6 +122,27 @@ class FunctionsSpec extends SparkSpec {
     assert(e.isEmpty)
   }
 
+  test("window hash pairs: fused one-pass emission equals two single-base passes") {
+    import graft.functions.{WindowHashes, WindowHashPairs}
+    val df = Seq("abcabcabxy", "zz").toDF("t")
+    for (stride <- Seq(1, 2)) {
+      val fused = df.select(WindowHashPairs(col("t"), 3, stride).as("p"))
+        .collect().map(_.getSeq[org.apache.spark.sql.Row](0))
+      val h1 = df.select(WindowHashes(col("t"), 3, stride, WindowHashes.Base1))
+        .collect().map(_.getSeq[Long](0))
+      val h2 = df.select(WindowHashes(col("t"), 3, stride, WindowHashes.Base2))
+        .collect().map(_.getSeq[Long](0))
+      for (r <- df.collect().indices) {
+        assert(fused(r).map(_.getLong(0)) == h1(r))
+        assert(fused(r).map(_.getLong(1)) == h2(r))
+      }
+    }
+    // shorter than win -> empty array, never null
+    assert(df.filter(col("t") === "zz")
+      .select(WindowHashPairs(col("t"), 3, 1))
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0).isEmpty)
+  }
+
   test("SQL surface: graft_dot/graft_l2norm usable after register()") {
     VectorFunctions.register(spark)
     vecs.createOrReplaceTempView("fs_vecs")
