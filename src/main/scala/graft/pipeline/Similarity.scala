@@ -431,20 +431,28 @@ object Similarity {
     * can never flip a keep decision across engines or reruns (same
     * convention as [[graft.pipeline.Curation.mixtureRates]]).
     *
+    * `maxCluster` bounds the quadratic: a skewed k-means (one
+    * mega-cluster — common on the near-duplicate-heavy corpora SemDeDup
+    * is run on) would otherwise make the in-cluster join Σ|c|² in its
+    * hottest cluster. Clusters over the cap degrade to the STAR
+    * fallback ([[graft.pipeline.Dedup.minhashLshPairs]]'s pattern):
+    * each member is compared only against the cluster's min-id hub —
+    * O(|c|) pairs, and dup_of stays the deterministic min-id survivor
+    * (members similar to each other but not to the hub are missed;
+    * that is the documented approximation, exactly as in the LSH
+    * bucket cap). Size the cap so Σ|c|²·dim fits the stage budget —
+    * with the paper's k ∝ n/200 the cap never fires on a balanced fit.
+    *
     * Returns one row per vector: (vec_id, cluster, keep, dup_of) with
     * dup_of = the smallest qualifying same-cluster id (null ⇒ keep=1). */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-               k: Int, iters: Int, tau: Double): DataFrame = {
+               k: Int, iters: Int, tau: Double,
+               maxCluster: Int = 100000): DataFrame = {
     val cents = kmeansCentroids(df, idCol, vecCol, k, iters)
     val m = kmeansAssign(df, idCol, vecCol, cents)
       .select(col("vec_id"), col("__best.c").as("cluster"), col("x").as("__v"))
       .withColumn("__n", l2norm(col("__v")))
-    val a = m.select(col("cluster"), col("vec_id").as("__a"),
-      col("__v").as("__va"), col("__n").as("__na"))
-    val b = m.select(col("cluster"), col("vec_id").as("__b"),
-      col("__v").as("__vb"), col("__n").as("__nb"))
-    val dups = a.join(b, Seq("cluster"))
-      .filter(col("__a") < col("__b"))
+    val dups = semDedupCandidates(m, maxCluster)
       .filter(round(pairCos(col("__va"), col("__na"), col("__vb"), col("__nb"))
         + lit(1e-9), 6) >= tau)
       .groupBy(col("__b").as("vec_id"))
@@ -453,5 +461,37 @@ object Similarity {
       .join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         col("dup_of").isNull.cast("int").as("keep"), col("dup_of"))
+  }
+
+  /** Candidate pair stream of [[semDedup]]: all in-cluster (a < b)
+    * pairs for clusters within `maxCluster`, hub-star pairs (min-id
+    * member vs everyone else) for clusters over it. Cluster sizes ride
+    * a ≤k-row broadcast, so the cold/hot split is a map-side filter and
+    * the hot path adds no shuffle of the frame (hubs are ≤k rows,
+    * broadcast). Package-visible so the spec can assert the O(|c|)
+    * degradation directly. */
+  private[graft] def semDedupCandidates(m: DataFrame,
+                                        maxCluster: Int): DataFrame = {
+    val sizes = m.groupBy(col("cluster")).agg(count(lit(1)).as("__cn"))
+    val mm = m.join(broadcast(sizes), Seq("cluster"))
+    val cold = mm.filter(col("__cn") <= maxCluster)
+    val coldPairs = cold
+      .select(col("cluster"), col("vec_id").as("__a"),
+        col("__v").as("__va"), col("__n").as("__na"))
+      .join(cold.select(col("cluster"), col("vec_id").as("__b"),
+        col("__v").as("__vb"), col("__n").as("__nb")), Seq("cluster"))
+      .filter(col("__a") < col("__b"))
+    val hot = mm.filter(col("__cn") > maxCluster)
+    // hub = the min-id member WITH its vector: struct min orders by the
+    // leading vec_id field, so one hash aggregate carries the payload
+    val hubs = hot.groupBy(col("cluster"))
+      .agg(min(struct(col("vec_id"), col("__v"), col("__n"))).as("__h"))
+      .select(col("cluster"), col("__h.vec_id").as("__a"),
+        col("__h.__v").as("__va"), col("__h.__n").as("__na"))
+    val hotPairs = hot.join(broadcast(hubs), Seq("cluster"))
+      .filter(col("vec_id") =!= col("__a"))
+      .select(col("cluster"), col("__a"), col("__va"), col("__na"),
+        col("vec_id").as("__b"), col("__v").as("__vb"), col("__n").as("__nb"))
+    coldPairs.unionByName(hotPairs)
   }
 }

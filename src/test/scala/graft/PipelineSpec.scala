@@ -176,6 +176,31 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L) == ((0, 0L)) && out(3L) == ((0, 1L)) && out(4L) == ((0, 0L)))
   }
 
+  test("semDedup: mega-cluster degrades to O(|c|) star pairs under maxCluster") {
+    // 12 near-identical vectors -> one cluster (k=1). Uncapped the
+    // candidate join is |c|(|c|-1)/2 = 66 pairs; capped at 10 the star
+    // fallback emits exactly |c|-1 = 11 hub pairs, and every non-hub
+    // member resolves dup_of = hub (min-id survivor preserved).
+    val emb = (0L until 12L).map(i => (i, Array(1.0f, i.toFloat * 1e-4f)))
+      .toDF("vec_id", "embedding")
+    def pairsWithCap(cap: Int): Long = {
+      Similarity.semDedupCandidates(
+        emb.select(col("vec_id").cast("long").as("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("__v"))
+          .withColumn("cluster", lit(0))
+          .withColumn("__n", sqrt(aggregate(col("__v"), lit(0.0),
+            (acc, v) => acc + v * v))), cap).count()
+    }
+    assert(pairsWithCap(100) == 66L)
+    assert(pairsWithCap(10) == 11L)
+    val out = Similarity.semDedup(emb, "vec_id", "embedding",
+        k = 1, iters = 1, tau = 0.999, maxCluster = 10)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out(0L) == -1L)
+    assert((1L until 12L).forall(i => out(i) == 0L))
+  }
+
   test("text analysis: token counts, ratios, quality, fingerprint") {
     val df = Seq("The cat and the dog!").toDF("t")
     val r = df.select(
