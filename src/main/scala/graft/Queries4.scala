@@ -60,6 +60,29 @@ object Queries4 {
         .orderBy("c1", "c2")
     }),
 
+    // ---- §2.6 PAIRWISE-complete corr matrix — pandas df.corr()
+    //      semantics on NaN-laden frames (reference
+    //      parallel_dataframe.py:266-275 and its 10%-NaN fixture
+    //      tests/test_apply_corr.py): each cell masks ITS OWN pair of
+    //      columns, so cells see different row subsets. The frame is
+    //      the q_corr_matrix bounded slice with deterministic hash
+    //      holes punched per column (testdata is null-free); all 6
+    //      pearson cells + pair counts ride ONE aggregate, spearman
+    //      re-ranks inside each pair's mask exactly as pandas does. ----
+    "q_corr_pairwise" -> ((s, d) => {
+      val li = T(s, d, "lineitem").filter(col("l_partkey") < 200)
+      val holed = li.select(
+        when(col("l_orderkey") % 7 =!= 0, col("l_quantity")).as("l_quantity"),
+        when(col("l_orderkey") % 5 =!= 1, col("l_extendedprice")).as("l_extendedprice"),
+        when(col("l_partkey") % 6 =!= 2, col("l_discount")).as("l_discount"),
+        when(col("l_suppkey") % 4 =!= 3, col("l_tax")).as("l_tax"))
+      Corr.corrMatrixPairwise(holed, MatCols)
+        .select(col("c1"), col("c2"),
+          r(col("pearson"), 6).as("pearson"),
+          r(col("spearman"), 6).as("spearman"), col("n"))
+        .orderBy("c1", "c2")
+    }),
+
     // ---- §2.5 describe() on DATETIME columns (pandas ≥2 shape):
     //      count/mean/min/quartiles/max over epoch-micros, exact
     //      integer mean, distributed quantile sort — via the
@@ -133,6 +156,29 @@ object Queries4 {
           rk AS (SELECT $rk FROM base),
           pe AS (SELECT $pe FROM base),
           sp AS (SELECT $sp FROM rk)
+          SELECT * FROM ($rows) ORDER BY c1, c2"""
+    },
+
+    "q_corr_pairwise" -> {
+      // per-pair mask + per-pair re-rank: each UNION ALL branch filters
+      // to ITS pair's non-null rows, midranks inside that mask, and
+      // aggregates — literally pandas' pairwise deletion.
+      val holes = Seq(
+        "CASE WHEN l_orderkey % 7 <> 0 THEN l_quantity END AS a0",
+        "CASE WHEN l_orderkey % 5 <> 1 THEN l_extendedprice END AS a1",
+        "CASE WHEN l_partkey % 6 <> 2 THEN l_discount END AS a2",
+        "CASE WHEN l_suppkey % 4 <> 3 THEN l_tax END AS a3").mkString(", ")
+      val rows = Pairs.map { case (i, j) =>
+        s"""SELECT '${MatCols(i)}' AS c1, '${MatCols(j)}' AS c2,
+           round(corr(a$i, a$j) + 1e-9, 6) AS pearson,
+           round(corr(r$i, r$j) + 1e-9, 6) AS spearman,
+           count(*) AS n
+           FROM (SELECT a$i, a$j,
+             rank() OVER (ORDER BY a$i) + (count(*) OVER (PARTITION BY a$i)-1)/2.0 AS r$i,
+             rank() OVER (ORDER BY a$j) + (count(*) OVER (PARTITION BY a$j)-1)/2.0 AS r$j
+             FROM base WHERE a$i IS NOT NULL AND a$j IS NOT NULL)"""
+      }.mkString(" UNION ALL ")
+      s"""WITH base AS (SELECT $holes FROM lineitem WHERE l_partkey < 200)
           SELECT * FROM ($rows) ORDER BY c1, c2"""
     },
 

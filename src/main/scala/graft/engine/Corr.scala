@@ -214,6 +214,56 @@ object Corr {
     else ps
   }
 
+  /** PAIRWISE-complete pearson + spearman matrix — pandas `df.corr()`
+    * semantics on NaN-laden frames (`parallel_dataframe.py:266-275`,
+    * mirrored by the reference's own NaN test
+    * `tests/test_apply_corr.py:43-48`): every cell (i, j) is computed
+    * over the rows where BOTH columns are non-null/non-NaN, and nulled
+    * when that pair count is below `minPeriods`. The listwise matrix
+    * forms ([[corrMatrixAll]]/[[spearmanMatrix]]) are identical on
+    * null-free frames and ~k× cheaper — use them there; this is the
+    * exact form for data with holes.
+    *
+    * Scale shape: all k(k-1)/2 pearson cells AND their pair counts ride
+    * ONE aggregate pass (Spark's `corr` masks null pairs natively, so
+    * per-pair masking costs nothing extra — map-side combinable, no
+    * shuffle of the frame). Spearman cells are inherently per-pair:
+    * pandas re-ranks each column inside each pair's mask, so each pair
+    * runs the single-pair [[spearman]] prestep (one bounded stats probe
+    * + distributed rank, no global sort) — k(k-1)/2 bounded jobs, the
+    * honest distributed form of the reference's per-pair pool fan-out
+    * (`parallel_dataframe.py:279`). Long form (c1, c2, pearson,
+    * spearman, n), upper triangle. */
+  def corrMatrixPairwise(df: DataFrame, cols: Seq[String],
+                         minPeriods: Int = 1): DataFrame = {
+    val k = cols.size
+    require(k >= 2, "corr matrix: need at least two columns")
+    val base = df.select(cols.zipWithIndex.map { case (c, i) =>
+      val d = col(c).cast("double")
+      when(!isnan(d), d).as(s"__c$i")
+    }: _*)
+    val pairs = for { i <- 0 until k; j <- (i + 1) until k } yield (i, j)
+    val aggs = pairs.flatMap { case (i, j) => Seq(
+      corr(col(s"__c$i"), col(s"__c$j")).as(s"p${i}_$j"),
+      count(when(col(s"__c$i").isNotNull && col(s"__c$j").isNotNull, 1))
+        .as(s"n${i}_$j")) }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (i, j) =>
+      s"'${cols(i)}', '${cols(j)}', `p${i}_$j`, `n${i}_$j`" }
+      .mkString(s"stack(${pairs.size}, ", ", ", ") as (c1, c2, __p, n)")
+    val pe = one.select(expr(stacked))
+    val sp = pairs.map { case (i, j) =>
+      spearman(base, s"__c$i", s"__c$j")
+        .select(lit(cols(i)).as("c1"), lit(cols(j)).as("c2"),
+          col("spearman").as("__s"))
+    }.reduce(_ unionByName _)
+    pe.join(sp, Seq("c1", "c2"), "left")
+      .select(col("c1"), col("c2"),
+        when(col("n") >= minPeriods, col("__p")).as("pearson"),
+        when(col("n") >= minPeriods, col("__s")).as("spearman"),
+        col("n"))
+  }
+
   /** Full kendall tau-b matrix over `cols`, long form (c1, c2, kendall),
     * upper triangle — pandas `p_corr(method='kendall')`. ONE bounded
     * listwise-complete collect shared by all pairs, then Knight's

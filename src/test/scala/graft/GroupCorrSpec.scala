@@ -192,6 +192,41 @@ class GroupCorrSpec extends SparkSpec {
       assertApprox(got, d1(Corr.spearman(df, a, b)), 1e-9)
   }
 
+  test("corrMatrixPairwise: per-pair masks, not listwise; minPeriods gates cells") {
+    import spark.implicits._
+    // x is null exactly where z is large, so the (x,y) cell must be
+    // computed over a DIFFERENT row subset than the (y,z) cell —
+    // listwise deletion would force them onto the same rows.
+    val df = (1 to 200).map { i =>
+      (if (i % 3 == 0) None else Some(i.toDouble),
+       (i * 53 % 7).toDouble,
+       if (i % 5 == 0) None else Some(math.sin(i) * 1000))
+    }.toDF("x", "y", "z")
+    val m = Corr.corrMatrixPairwise(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((optD(r, 2), optD(r, 3), r.getLong(4)))).toMap
+    assert(m.size == 3)
+    // per-pair n: 200 minus that pair's own holes (and only its own)
+    assert(m(("x", "y"))._3 == 200 - 200 / 3)
+    assert(m(("y", "z"))._3 == 200 - 200 / 5)
+    assert(m(("x", "z"))._3 == 200 - 200 / 3 - 200 / 5 + 200 / 15)
+    // each cell equals the single-pair form on that pair's masked frame
+    for ((a, b) <- Seq(("x", "y"), ("x", "z"), ("y", "z"))) {
+      val masked = df.filter(col(a).isNotNull && col(b).isNotNull)
+      assertApprox(m((a, b))._1,
+        d1(masked.agg(corr(col(a), col(b)).as("c"))), 1e-9)
+      assertApprox(m((a, b))._2, d1(Corr.spearman(masked, a, b)), 1e-9)
+    }
+    // minPeriods above a pair's n nulls that cell but keeps its count
+    val gated = Corr.corrMatrixPairwise(df, Seq("x", "y", "z"),
+        minPeriods = 200 - 200 / 3 - 200 / 5 + 200 / 15 + 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((optD(r, 2), r.getLong(4)))).toMap
+    assert(gated(("x", "z"))._1.isEmpty)
+    assert(gated(("x", "z"))._2 == 200 - 200 / 3 - 200 / 5 + 200 / 15)
+    assert(gated(("x", "y"))._1.nonEmpty)
+  }
+
   test("kendallMatrix: every pair equals kendallFast; corrMatrix dispatches") {
     import spark.implicits._
     val df = (1 to 300).map { i =>
