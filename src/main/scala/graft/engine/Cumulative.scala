@@ -141,19 +141,31 @@ object Cumulative {
       .drop("__bkt" +: values.indices.map(i => s"__off$i"): _*)
   }
 
-  /** pct_change(periods, fill_method='pad'): forward-fill then lag.
-    * `x/lag(x) - 1` over the given ordering.
+  /** pct_change(periods, fill_method='pad', limit=): forward-fill then
+    * lag. `x/lag(x) - 1` over the given ordering. `limit=n` caps the
+    * pad at n consecutive nulls, exactly pandas' ffill(limit=): a null
+    * more than n rows past the last valid value stays null — which is
+    * just `last(ignoreNulls)` over a BOUNDED trailing frame of n+1
+    * rows (the nearest valid value, when within reach, is inside that
+    * frame and is its last non-null). Bounded frame ⇒ bounded state at
+    * any scale. The reference also forwards `freq=` (a resample-style
+    * re-index); that is resampling, not a window op — unsupported here,
+    * use a time-bucketed groupBy instead.
     *
     * Zero denominator -> null via try_divide (Spark's ANSI mode would
     * otherwise THROW, and it matches the DuckDB oracle's NULL; pandas
     * yields +/-inf here — documented deviation, the only disagreement
     * in the family). */
   def pctChange(c: Column, w: WindowSpec, periods: Int = 1,
-                fillMethod: Option[String] = Some("pad")): Column = {
+                fillMethod: Option[String] = Some("pad"),
+                limit: Option[Int] = None): Column = {
     val filled = fillMethod match {
       case Some("pad") =>
-        last(c, ignoreNulls = true)
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        val frame = limit match {
+          case Some(n) => w.rowsBetween(-n.toLong, Window.currentRow)
+          case None => w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        }
+        last(c, ignoreNulls = true).over(frame)
       case _ => c
     }
     try_divide(filled, lag(filled, periods).over(w)) - 1

@@ -333,11 +333,19 @@ object Curation {
     * on the probe side). Document reassembly is one groupBy on the doc
     * id; per-task state is bounded by a single document's line count
     * (`collect_list` + `array_sort`, same bound as reading the doc).
-    * Emits (id, n_lines, n_kept, n_dropped, text_dedup). */
+    * Emits (id, n_lines, n_kept, n_dropped, text_dedup).
+    *
+    * Null-id docs take no part in dedup (uniformly across BOTH
+    * first-occurrence encodings — previously the decimal-encoded path
+    * dropped their lines via null arithmetic while the struct-min path
+    * kept them, so the output silently depended on the id's type): a
+    * doc without an identity has no deterministic first-occurrence
+    * order. Such docs still emit an output row, with every line
+    * dropped (n_kept=0, text_dedup=""). */
   def dedupLines(df: DataFrame, id: String, text: String,
                  sepRegex: String = "\n", joinSep: String = "\n",
                  maxDocFreq: Option[Int] = None): DataFrame = {
-    val lines = df.select(col(id),
+    val lines = df.filter(col(id).isNotNull).select(col(id),
       posexplode(split(col(text), sepRegex)).as(Seq("__p", "__l")))
     val kept = maxDocFreq match {
       case Some(n) =>

@@ -159,6 +159,41 @@ class StrDtSpec extends SparkSpec {
     assert(m("2024-03-31") == ((false, false, true, true)))
   }
 
+  test("str tranche 5: findall / translate / isalnum / get_dummies") {
+    import spark.implicits._
+    val df = Seq("a1 b22 c3", "none here", "x9").toDF("s")
+    val fa = df.select(array_join(StrDt.strFindall(col("s"), "[0-9]+"), ",").as("m"))
+      .orderBy("m").collect().map(_.getString(0))
+    assert(fa.toSeq == Seq("", "1,22,3", "9"))
+    assert(df.select(StrDt.strTranslate(lit("abcabc"), "ab", "xy"))
+      .head().getString(0) == "xycxyc")
+    assert(df.select(StrDt.strIsAlnum(lit("a1B2")), StrDt.strIsAlnum(lit("a 1")))
+      .head() == org.apache.spark.sql.Row(true, false))
+    val gd = Seq("red ring", "blue ring", "red bolt").toDF("n")
+    val cols = StrDt.strGetDummies(gd, "n", " ")
+    // sorted category columns: blue, bolt, red, ring
+    val rows = gd.select(col("n") +: cols: _*).orderBy("n").collect()
+    assert(rows.head.schema.fieldNames.toSeq == Seq("n", "blue", "bolt", "red", "ring"))
+    assert(rows.map(r => r.getString(0) -> (1 to 4).map(r.getInt)).toMap ==
+      Map("blue ring" -> Seq(1, 0, 0, 1), "red bolt" -> Seq(0, 1, 1, 0),
+          "red ring" -> Seq(0, 0, 1, 1)))
+  }
+
+  test("dt tranche 5: to_period labels for Y/Q/M/D/W") {
+    val df = Seq(Timestamp.valueOf("2024-03-15 10:30:00")).toDF("t")
+    val r = df.select(
+      StrDt.dtToPeriod(col("t"), "Y"), StrDt.dtToPeriod(col("t"), "Q"),
+      StrDt.dtToPeriod(col("t"), "M"), StrDt.dtToPeriod(col("t"), "D"),
+      StrDt.dtToPeriod(col("t"), "W")).head()
+    assert(r.getString(0) == "2024")
+    assert(r.getString(1) == "2024Q1")
+    assert(r.getString(2) == "2024-03")
+    assert(r.getString(3) == "2024-03-15")
+    // 2024-03-15 is a Friday; its Mon..Sun period is 03-11/03-17
+    assert(r.getString(4) == "2024-03-11/2024-03-17")
+    intercept[IllegalArgumentException] { StrDt.dtToPeriod(col("t"), "H") }
+  }
+
   test("str.extract with several groups: one column each, null on no match") {
     import spark.implicits._
     val df = Seq("ab-12", "xy-99", "nope").toDF("s")

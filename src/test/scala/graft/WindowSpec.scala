@@ -212,6 +212,21 @@ class WindowSpec extends SparkSpec {
     assertSeqApprox(colD(out, "p"), Seq(None, Some(0.0), Some(2.0)))
   }
 
+  test("pct_change limit= caps the pad at n consecutive nulls") {
+    // v: 1, null, null, 4 — limit=1 fills row 1 from row 0 but leaves
+    // row 2 null (2 nulls deep), so row 2 is null/over-null and row 3
+    // divides by a null lag -> null (pandas: 4/NaN -> NaN).
+    val df = Seq(Some(1.0), None, None, Some(4.0)).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("i", "v")
+    val out = df.select(col("i"),
+      Cumulative.pctChange(col("v"), byI, limit = Some(1)).as("p")).orderBy("i")
+    assertSeqApprox(colD(out, "p"), Seq(None, Some(0.0), None, None))
+    // limit=2 reaches the deeper null: row 2 fills to 1.0 as well
+    val out2 = df.select(col("i"),
+      Cumulative.pctChange(col("v"), byI, limit = Some(2)).as("p")).orderBy("i")
+    assertSeqApprox(colD(out2, "p"), Seq(None, Some(0.0), Some(0.0), Some(3.0)))
+  }
+
   test("global cumsum: two-pass prefix sum equals a sequential running sum") {
     val df = (1 to 100).map(i => (i.toLong, i * 0.5)).toDF("i", "v")
       .repartition(7) // scatter rows so offsets actually matter
