@@ -19,6 +19,12 @@ object Queries5 {
 
   private val byUser = Window.partitionBy("user_id").orderBy("event_id")
 
+  /** Same matrix columns as [[Queries4]]'s corr family. */
+  private val MatCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  private val Pairs: Seq[(Int, Int)] =
+    for { i <- MatCols.indices; j <- (i + 1) until MatCols.size } yield (i, j)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- §2.10 str accessor, tranche 5: findall / translate /
@@ -48,6 +54,25 @@ object Queries5 {
         StrDt.dtToPeriod(ts, "Y").as("per_y"),
         StrDt.dtToPeriod(ts, "W").as("per_w"))
         .orderBy("o_orderkey")
+    }),
+
+    // ---- §2.6 PAIRWISE-complete kendall matrix — completes the
+    //      pairwise family (q_corr_pairwise covers pearson+spearman):
+    //      pandas df.corr(method='kendall') on NaN-laden frames. Same
+    //      bounded slice + deterministic holes; ONE bounded collect,
+    //      each cell compacts its own pair mask before Knight's
+    //      O(n log n) tau on the driver pool. ----
+    "q_kendall_pairwise" -> ((s, d) => {
+      val li = T(s, d, "lineitem").filter(col("l_partkey") < 200)
+      val holed = li.select(
+        when(col("l_orderkey") % 7 =!= 0, col("l_quantity")).as("l_quantity"),
+        when(col("l_orderkey") % 5 =!= 1, col("l_extendedprice")).as("l_extendedprice"),
+        when(col("l_partkey") % 6 =!= 2, col("l_discount")).as("l_discount"),
+        when(col("l_suppkey") % 4 =!= 3, col("l_tax")).as("l_tax"))
+      Corr.kendallMatrixPairwise(holed, MatCols)
+        .select(col("c1"), col("c2"),
+          r(col("kendall"), 6).as("kendall"), col("n"))
+        .orderBy("c1", "c2")
     }),
 
     // ---- §2.7 pct_change(fill_method='pad', limit=1) — the pad stops
@@ -92,6 +117,35 @@ object Queries5 {
          strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') || '/' ||
            strftime(date_trunc('week', o_orderdate) + INTERVAL 6 DAY, '%Y-%m-%d') AS per_w
          FROM orders ORDER BY o_orderkey""",
+
+    "q_kendall_pairwise" -> {
+      // per-pair mask -> rid -> one self-join aggregate per pair
+      // (sign-product sum + per-column tie-pair counts = tau-b).
+      val holes = Seq(
+        "CASE WHEN l_orderkey % 7 <> 0 THEN l_quantity END AS a0",
+        "CASE WHEN l_orderkey % 5 <> 1 THEN l_extendedprice END AS a1",
+        "CASE WHEN l_partkey % 6 <> 2 THEN l_discount END AS a2",
+        "CASE WHEN l_suppkey % 4 <> 3 THEN l_tax END AS a3").mkString(", ")
+      val ctes = Pairs.map { case (i, j) =>
+        s"""b$i$j AS (SELECT row_number() OVER () AS rid, a$i AS x, a$j AS y
+              FROM base WHERE a$i IS NOT NULL AND a$j IS NOT NULL),
+            k$i$j AS (SELECT sum(sign(q.x - p.x) * sign(q.y - p.y)) AS cd,
+              sum(CASE WHEN p.x = q.x THEN 1 ELSE 0 END) AS tx,
+              sum(CASE WHEN p.y = q.y THEN 1 ELSE 0 END) AS ty,
+              count(*) AS np
+              FROM b$i$j p JOIN b$i$j q ON p.rid < q.rid),
+            n$i$j AS (SELECT count(*) AS nn FROM b$i$j)"""
+      }.mkString(", ")
+      val rows = Pairs.map { case (i, j) =>
+        s"""SELECT '${MatCols(i)}' AS c1, '${MatCols(j)}' AS c2,
+           round(cd / sqrt((np - tx) * (np - ty)) + 1e-9, 6) AS kendall,
+           nn AS n
+           FROM k$i$j, n$i$j"""
+      }.mkString(" UNION ALL ")
+      s"""WITH base AS (SELECT $holes FROM lineitem WHERE l_partkey < 200),
+          $ctes
+          SELECT * FROM ($rows) ORDER BY c1, c2"""
+    },
 
     "q_pct_change_limit" ->
       """WITH holed AS (

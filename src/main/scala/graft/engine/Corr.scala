@@ -264,6 +264,71 @@ object Corr {
         col("n"))
   }
 
+  /** PAIRWISE-complete kendall tau-b matrix — pandas
+    * `df.corr(method='kendall')` semantics on NaN-laden frames
+    * (companion to [[corrMatrixPairwise]]): each cell (i, j) masks ITS
+    * OWN pair of columns and is nulled when its pair count is below
+    * `minPeriods`. Same scale shape as [[kendallMatrix]] — ONE bounded
+    * collect + the 8-thread driver Knight pool — but rows with ANY
+    * complete pair are kept (nulls travel as NaN) and each pair
+    * compacts its own mask before the O(n log n) tau. Long form
+    * (c1, c2, kendall, n), upper triangle. */
+  def kendallMatrixPairwise(df: DataFrame, cols: Seq[String],
+                            maxRows: Long = 10000000L,
+                            minPeriods: Int = 1): DataFrame = {
+    val spark = df.sparkSession
+    val k = cols.size
+    require(k >= 2, "kendallMatrixPairwise: need at least two columns")
+    val nonNull = cols.map(c =>
+      when(col(c).isNotNull && !isnan(col(c).cast("double")), 1).otherwise(0))
+      .reduce(_ + _)
+    val rows = df.filter(nonNull >= 2)
+      .select(cols.map(c =>
+        coalesce(col(c).cast("double"), lit(Double.NaN))): _*)
+      .limit((maxRows + 1).min(Int.MaxValue).toInt).collect()
+    require(rows.length <= maxRows,
+      s"kendallMatrixPairwise collects the projected columns; input " +
+        s"exceeds maxRows=$maxRows — use kendallApprox per pair")
+    val n = rows.length
+    val data = Array.ofDim[Double](k, n)
+    var r = 0
+    while (r < n) {
+      var i = 0
+      while (i < k) { data(i)(r) = rows(r).getDouble(i); i += 1 }
+      r += 1
+    }
+    val pairIdx = for { i <- 0 until k; j <- (i + 1) until k } yield (i, j)
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(pairIdx.size, 8))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val out =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(pairIdx.map { case (i, j) =>
+          scala.concurrent.Future {
+            // compact this pair's mask once; NaN marks a hole
+            val xs = new scala.collection.mutable.ArrayBuffer[Double](n)
+            val ys = new scala.collection.mutable.ArrayBuffer[Double](n)
+            var t = 0
+            while (t < n) {
+              val x = data(i)(t); val y = data(j)(t)
+              if (!x.isNaN && !y.isNaN) { xs += x; ys += y }
+              t += 1
+            }
+            val tau: Any =
+              if (xs.length < minPeriods) null
+              else knightTau(xs.toArray, ys.toArray)
+            org.apache.spark.sql.Row(cols(i), cols(j), tau, xs.length.toLong)
+          }
+        }), scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    spark.createDataFrame(java.util.Arrays.asList(out: _*),
+      StructType(Seq(StructField("c1", StringType),
+        StructField("c2", StringType), StructField("kendall", DoubleType),
+        StructField("n", LongType))))
+  }
+
   /** Full kendall tau-b matrix over `cols`, long form (c1, c2, kendall),
     * upper triangle — pandas `p_corr(method='kendall')`. ONE bounded
     * listwise-complete collect shared by all pairs, then Knight's

@@ -227,6 +227,30 @@ class GroupCorrSpec extends SparkSpec {
     assert(gated(("x", "y"))._1.nonEmpty)
   }
 
+  test("kendallMatrixPairwise: each cell equals kendallFast on its own mask") {
+    import spark.implicits._
+    val df = (1 to 200).map { i =>
+      (if (i % 3 == 0) None else Some(i.toDouble),
+       (i * 53 % 7).toDouble,
+       if (i % 5 == 0) None else Some(math.sin(i) * 1000))
+    }.toDF("x", "y", "z")
+    val m = Corr.kendallMatrixPairwise(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((optD(r, 2), r.getLong(3)))).toMap
+    assert(m.size == 3)
+    assert(m(("x", "y"))._2 == 200 - 200 / 3)
+    assert(m(("x", "z"))._2 == 200 - 200 / 3 - 200 / 5 + 200 / 15)
+    for ((a, b) <- Seq(("x", "y"), ("x", "z"), ("y", "z"))) {
+      val masked = df.filter(col(a).isNotNull && col(b).isNotNull)
+      assertApprox(m((a, b))._1, d1(Corr.kendallFast(masked, a, b)), 1e-9)
+    }
+    // minPeriods above the thinnest pair nulls that cell only
+    val gated = Corr.kendallMatrixPairwise(df, Seq("x", "y", "z"),
+        minPeriods = 200 - 200 / 3 - 200 / 5 + 200 / 15 + 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> optD(r, 2)).toMap
+    assert(gated(("x", "z")).isEmpty && gated(("x", "y")).nonEmpty)
+  }
+
   test("kendallMatrix: every pair equals kendallFast; corrMatrix dispatches") {
     import spark.implicits._
     val df = (1 to 300).map { i =>
