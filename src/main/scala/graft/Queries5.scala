@@ -75,6 +75,35 @@ object Queries5 {
         .orderBy("c1", "c2")
     }),
 
+    // ---- fill family: ffill(limit)/bfill(limit) are single bounded-
+    //      frame window exprs; interpolate('linear') is two stacked
+    //      selects over ONE user_id shuffle (row index can't nest
+    //      inside another window expr). Deterministic holes again. ----
+    "q_fill_interp" -> ((s, d) => {
+      val holed = when(col("event_id") % 4 =!= 1, col("value"))
+      val ev = T(s, d, "events")
+        .select(col("event_id"), col("user_id"), holed.as("v"))
+      Fill.interpolate(ev, "v", "vi", byUser)
+        .select(col("event_id"), col("user_id"),
+          r(Fill.ffill(col("v"), byUser, Some(1)), 6).as("ff"),
+          r(Fill.bfill(col("v"), byUser, Some(2)), 6).as("bf"),
+          r(col("vi"), 6).as("vi"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- resample('M').agg(...): one map-side-combinable hash
+    //      aggregate on the period label; gap periods ride a generated
+    //      calendar spine joined broadcast (bucket-sized both sides,
+    //      the corpus shuffles exactly once) ----
+    "q_resample" -> ((s, d) => {
+      Resample.resampleAgg(T(s, d, "events"), "ts", "M",
+        Seq(("value", "sum"), ("value", "mean"), ("value", "count")))
+        .select(col("period"),
+          r(col("value_sum"), 6).as("value_sum"),
+          r(col("value_mean"), 6).as("value_mean"),
+          col("value_count"))
+    }),
+
     // ---- §2.7 pct_change(fill_method='pad', limit=1) — the pad stops
     //      propagating after `limit` consecutive nulls (a BOUNDED
     //      trailing frame, so state stays bounded at any scale). Holes
@@ -146,6 +175,61 @@ object Queries5 {
           $ctes
           SELECT * FROM ($rows) ORDER BY c1, c2"""
     },
+
+    "q_fill_interp" ->
+      """WITH holed AS (
+           SELECT event_id, user_id,
+             CASE WHEN event_id % 4 <> 1 THEN value END AS v
+           FROM events),
+         s1 AS (SELECT *, row_number() OVER
+                  (PARTITION BY user_id ORDER BY event_id) AS rn
+                FROM holed),
+         s2 AS (SELECT *,
+           last_value(v IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS ff,
+           first_value(v IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS bf,
+           last_value(v IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+           first_value(v IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+           FROM s1)
+         SELECT event_id, user_id,
+           round(ff + 1e-9, 6) AS ff,
+           round(bf + 1e-9, 6) AS bf,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN NULL
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) * (rn - pi) / (ni - pi)
+                 END + 1e-9, 6) AS vi
+         FROM s2 ORDER BY user_id, event_id""",
+
+    "q_resample" ->
+      """WITH agg AS (
+           SELECT strftime(ts, '%Y-%m') AS period,
+             sum(value) AS s, avg(value) AS m, count(value) AS c
+           FROM events GROUP BY 1),
+         mm AS (SELECT min(ts) AS mn, max(ts) AS mx FROM events),
+         spine AS (
+           SELECT strftime(unnest(generate_series(
+             date_trunc('month', mn), date_trunc('month', mx),
+             INTERVAL 1 MONTH)), '%Y-%m') AS period
+           FROM mm)
+         SELECT spine.period,
+           round(coalesce(s, 0) + 1e-9, 6) AS value_sum,
+           round(m + 1e-9, 6) AS value_mean,
+           coalesce(c, 0) AS value_count
+         FROM spine LEFT JOIN agg USING (period) ORDER BY period""",
 
     "q_pct_change_limit" ->
       """WITH holed AS (

@@ -119,6 +119,17 @@ object Syntax {
     def pctChange(c: String, w: WindowSpec): DataFrame =
       df.withColumn(s"${c}_pct_change", Cumulative.pctChange(col(c), w))
 
+    // ---- fill family + resample (round 6) ----
+    def ffill(c: String, w: WindowSpec, limit: Option[Int] = None): DataFrame =
+      df.withColumn(c, Fill.ffill(col(c), w, limit))
+    def bfill(c: String, w: WindowSpec, limit: Option[Int] = None): DataFrame =
+      df.withColumn(c, Fill.bfill(col(c), w, limit))
+    def interpolate(c: String, w: WindowSpec): DataFrame =
+      Fill.interpolate(df, c, c, w)
+    def resample(ts: String, freq: String,
+                 aggs: Seq[(String, String)]): DataFrame =
+      Resample.resampleAgg(df, ts, freq, aggs)
+
     // ---- §2.3 cumulative (order given by the caller's window) ----
     def cumsum(c: String, w: WindowSpec): DataFrame =
       df.withColumn(s"${c}_cumsum", Cumulative.cumsum(col(c), w))
