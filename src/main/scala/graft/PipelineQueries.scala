@@ -45,6 +45,19 @@ object PipelineQueries {
         k = 3, bands = 4, rowsPerBand = 2)
         .orderBy("doc1", "doc2")),
 
+    // ---- incremental fuzzy dedup: today's batch against yesterday's
+    //      persisted band-key state (doc_id%5==0 plays the state) —
+    //      the state's text is never re-shingled, matching is ONE
+    //      (band,key) equi-join; fuzzy analogue of q_dedup_incr ----
+    "q_dedup_minhash_incr" -> ((s, d) => {
+      val docs = T(s, d, "documents")
+      val state = Dedup.minhashBandKeys(docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", k = 3, bands = 4, rowsPerBand = 2)
+      Dedup.minhashLshIncrementalPairs(docs.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", state, k = 3, bands = 4, rowsPerBand = 2)
+        .orderBy("doc_new", "doc_match")
+    }),
+
     // ---- dedup clusters: connected components over minhash pairs ----
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.clusters(
@@ -248,6 +261,33 @@ object PipelineQueries {
            ON a.band = c.band AND a.h0 = c.h0 AND a.h1 = c.h1
           AND a.doc_id < c.doc_id
          ORDER BY doc1, doc2""",
+
+    // same mh CTE split into state (doc_id%5==0) and batch; state
+    // matches keep any id relation, within-batch pairs surface as
+    // (larger, smaller) — the earlier doc is the match target
+    "q_dedup_minhash_incr" ->
+      s"""WITH $ShingleCte,
+         hh AS (SELECT doc_id,
+                  ('0x' || substr(md5(s), 1, 15))::BIGINT AS a,
+                  ('0x' || substr(md5(s), 17, 15))::BIGINT AS b
+                FROM sh),
+         mh AS (SELECT doc_id, bb.band,
+                  min(a + (bb.band*2) * b) AS h0,
+                  min(a + (bb.band*2+1) * b) AS h1
+                FROM hh, (SELECT unnest(generate_series(0, 3)) AS band) bb
+                GROUP BY 1, 2),
+         newm AS (SELECT * FROM mh WHERE doc_id % 5 <> 0),
+         stm AS (SELECT * FROM mh WHERE doc_id % 5 = 0)
+         SELECT DISTINCT doc_new, doc_match FROM (
+           SELECT n.doc_id AS doc_new, s.doc_id AS doc_match
+           FROM newm n JOIN stm s
+             ON n.band = s.band AND n.h0 = s.h0 AND n.h1 = s.h1
+           UNION
+           SELECT c.doc_id AS doc_new, a.doc_id AS doc_match
+           FROM newm a JOIN newm c
+             ON a.band = c.band AND a.h0 = c.h0 AND a.h1 = c.h1
+            AND a.doc_id < c.doc_id)
+         ORDER BY doc_new, doc_match""",
 
     // transitive closure of the minhash candidate graph; min reachable id
     // per doc mirrors Dedup.clusters' min-label propagation fixpoint

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine._
 import graft.engine.Core.r
+import graft.pipeline.Similarity
 
 /** Fifth tranche (round 6): the judge's round-5 fine-print list — str/dt
   * accessor tranche 5 (findall / translate / isalnum / get_dummies /
@@ -102,6 +103,27 @@ object Queries5 {
           r(col("value_sum"), 6).as("value_sum"),
           r(col("value_mean"), 6).as("value_mean"),
           col("value_count"))
+    }),
+
+    // ---- product-quantized ANN (ADC): the compressed scale path —
+    //      codes are m small ints per vector (64x smaller than the
+    //      float vectors), encode is zero-shuffle literal-centroid
+    //      argmin, scoring reads ONLY (id, codes). Codebooks are
+    //      PINNED to sub-slices of vec_id<16 so the oracle can
+    //      replicate them verbatim (the Lloyd trainer itself is
+    //      oracled by q_kmeans and spec-tested for PQ). ----
+    "q_pq_topk" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val src = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      val books = Array.tabulate(4)(sub =>
+        src.map(v => v.slice(sub * 16, sub * 16 + 16)))
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      Similarity.pqTopK(emb.filter(col("vec_id") < 10), codes, books, 5)
+        .select(col("query_id"), col("neighbor_id"),
+          r(col("dist"), 6).as("dist"), col("rank"))
+        .orderBy("query_id", "rank")
     }),
 
     // ---- §2.7 pct_change(fill_method='pad', limit=1) — the pad stops
@@ -230,6 +252,53 @@ object Queries5 {
            round(m + 1e-9, 6) AS value_mean,
            coalesce(c, 0) AS value_count
          FROM spine LEFT JOIN agg USING (period) ORDER BY period""",
+
+    "q_pq_topk" -> {
+      // same pinned codebooks: sub-slices of vec_id<16. enc0's argmin
+      // tie-break (dist, then code) mirrors the engine's lexicographic
+      // struct-min. Precision: slices are cast to DOUBLE[] and squared
+      // distances use the engine's EXACT left-fold order — an indexed
+      // lambda + list_reduce, then an explicit ((d0+d1)+d2)+d3 chain —
+      // because sqrt-then-square (list_distance^2) or a reordered sum
+      // differs by an ulp, which can straddle a round-to-6 boundary.
+      def sq(a: String, b: String) =
+        s"list_reduce(list_transform($a, (x, i) -> (x - $b[i]) * (x - $b[i])), (p, q) -> p + q)"
+      s"""WITH cb AS (
+           SELECT e.vec_id AS c, t.s,
+             list_slice(e.embedding, t.s*16 + 1, t.s*16 + 16)::DOUBLE[] AS cv
+           FROM embeddings e, range(4) t(s) WHERE e.vec_id < 16),
+         ds AS (
+           SELECT e.vec_id AS id, t.s,
+             list_slice(e.embedding, t.s*16 + 1, t.s*16 + 16)::DOUBLE[] AS dv
+           FROM embeddings e, range(4) t(s)),
+         enc0 AS (
+           SELECT id, ds.s, c, cv,
+             row_number() OVER (PARTITION BY id, ds.s
+               ORDER BY ${sq("dv", "cv")}, c) AS rn
+           FROM ds JOIN cb ON ds.s = cb.s),
+         enc AS (SELECT id, s, c, cv FROM enc0 WHERE rn = 1),
+         qs AS (
+           SELECT e.vec_id AS qid, t.s,
+             list_slice(e.embedding, t.s*16 + 1, t.s*16 + 16)::DOUBLE[] AS qv
+           FROM embeddings e, range(4) t(s) WHERE e.vec_id < 10),
+         subd AS (
+           SELECT qid, id, enc.s, ${sq("qv", "cv")} AS sd
+           FROM enc JOIN qs ON qs.s = enc.s WHERE qid <> id),
+         scored AS (
+           SELECT qid, id,
+             ((max(CASE WHEN s = 0 THEN sd END)
+               + max(CASE WHEN s = 1 THEN sd END))
+               + max(CASE WHEN s = 2 THEN sd END))
+               + max(CASE WHEN s = 3 THEN sd END) AS dist
+           FROM subd GROUP BY qid, id),
+         ranked AS (
+           SELECT qid, id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+           FROM scored)
+         SELECT qid AS query_id, id AS neighbor_id,
+           round(dist + 1e-9, 6) AS dist, rank
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+    },
 
     "q_pct_change_limit" ->
       """WITH holed AS (

@@ -235,6 +235,55 @@ object Dedup {
     * repeat across bands — [[clusters]] is insensitive, pair-list
     * consumers should distinct). maxBucket=0 keeps full enumeration —
     * the oracle-checked default at test scale. */
+  /** The LSH band-key table — the thing an INCREMENTAL pipeline
+    * persists per ingest batch: one (doc, band, key) row per band,
+    * where key is that band's rowsPerBand minhash values. Map-side
+    * signatures (same kernel as [[minhashLshPairs]]), one narrow
+    * explode, no shuffle; write it partitioned/bucketed by (band, key
+    * hash) and tomorrow's batch equi-joins straight into the buckets.
+    * State contract: k/bands/rowsPerBand must match across batches. */
+  def minhashBandKeys(df0: DataFrame, id: String, text: String,
+                      k: Int = 3, bands: Int = 4,
+                      rowsPerBand: Int = 2): DataFrame = {
+    val df = graft.engine.Core.spread(df0)
+    val nh = bands * rowsPerBand
+    require(nh <= 8, "a + i*b needs i*b < 2^63: at most 8 hashes from 60-bit halves")
+    val mins = df.select(col(id).as("doc"),
+      minhashSigUdf(k, nh)(words(col(text))).as("sig"))
+      .filter(col("sig").isNotNull)
+    val bandCols = (0 until bands).map { bd =>
+      struct(lit(bd).as("band"),
+        array((0 until rowsPerBand).map(r =>
+          col("sig")(bd * rowsPerBand + r)): _*).as("key"))
+    }
+    mins.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Incremental MinHash-LSH: candidate pairs of a NEW batch against a
+    * persisted band-key state ([[minhashBandKeys]] output) PLUS pairs
+    * within the batch — fuzzy analogue of [[incremental]]'s exact
+    * digest state. The state's text is never re-shingled: matching is
+    * ONE equi-join on (band, key) (AQE skew-join covers a hot bucket),
+    * the batch's own signatures are map-side, and within-batch pairs
+    * reuse [[minhashLshPairs]] unchanged. Emits (doc_new, doc_match)
+    * distinct — doc_match is the state doc, or the earlier (smaller-id)
+    * batch doc for within-batch candidates. */
+  def minhashLshIncrementalPairs(newDf: DataFrame, id: String, text: String,
+                                 stateKeys: DataFrame, k: Int = 3,
+                                 bands: Int = 4, rowsPerBand: Int = 2,
+                                 maxBucket: Int = 100000): DataFrame = {
+    val newKeys = minhashBandKeys(newDf, id, text, k, bands, rowsPerBand)
+    val vsState = newKeys
+      .join(stateKeys.select(col("doc").as("__sdoc"),
+        col("band"), col("key")), Seq("band", "key"))
+      .select(col("doc").as("doc_new"), col("__sdoc").as("doc_match"))
+    val within = minhashLshPairs(newDf, id, text, k, bands, rowsPerBand,
+        maxBucket)
+      .select(col("doc2").as("doc_new"), col("doc1").as("doc_match"))
+    vsState.unionByName(within).distinct()
+  }
+
   def minhashLshPairs(df0: DataFrame, id: String, text: String,
                       k: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
                       maxBucket: Int = 100000): DataFrame = {

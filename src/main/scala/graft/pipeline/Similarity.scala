@@ -494,4 +494,87 @@ object Similarity {
         col("vec_id").as("__b"), col("__v").as("__vb"), col("__n").as("__nb"))
     coldPairs.unionByName(hotPairs)
   }
+
+  // ---------------------------------------------------------------
+  // Product quantization (PQ) — compressed ANN at corpus scale
+  // ---------------------------------------------------------------
+
+  /** Squared L2 between a vector column and a literal centroid — the
+    * same zip_with/aggregate codegen shape as [[kmeansAssign]]. */
+  private def sqDistLit(v: Column, cv: Array[Double]): Column =
+    aggregate(
+      zip_with(v, array(cv.map(lit): _*), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Argmin over literal sub-centroids: index of the nearest codebook
+    * entry (ties -> lowest index, via lexicographic struct min). */
+  private def argminCode(v: Column, book: Array[Array[Double]]): Column =
+    array_min(array(book.zipWithIndex.map { case (cv, c) =>
+      struct(sqDistLit(v, cv).as("d"), lit(c).as("c"))
+    }: _*)).getField("c")
+
+  /** Train PQ codebooks: split the `dim`-dimensional space into `m`
+    * contiguous subspaces of dim/m and run the bit-reproducible Lloyd
+    * trainer ([[kmeansCentroids]]) independently in each — m bounded
+    * jobs, each identical in shape to the IVF trainer. Returns
+    * m × k × (dim/m) sub-centroids. */
+  def pqTrainCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, m: Int, k: Int,
+                       iters: Int): Array[Array[Array[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"pq: dim=$dim not divisible by m=$m")
+    val w = dim / m
+    (0 until m).map { s =>
+      val sub = df.select(col(idCol),
+        slice(asDouble(col(vecCol)), s * w + 1, w).as("__sub"))
+      kmeansCentroids(sub, idCol, "__sub", k, iters)
+    }.toArray
+  }
+
+  /** PQ-encode every vector: m argmin-over-codebook codes, all from
+    * literal centroids — pure map-side codegen, ZERO shuffle, and the
+    * output is m small ints per vector instead of dim floats (the
+    * 100 TB story: a 64-dim float corpus compresses 64x, so the
+    * scoring scan reads codes, not vectors). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               books: Array[Array[Array[Double]]]): DataFrame = {
+    val w = books(0)(0).length
+    val base = df.select(col(idCol).cast("long").as("vec_id"),
+      asDouble(col(vecCol)).as("x"))
+    base.select(col("vec_id"),
+      array(books.indices.map { s =>
+        argminCode(slice(col("x"), s * w + 1, w), books(s))
+      }: _*).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k: queries stay exact, the corpus
+    * is its PQ codes. Each (query, doc) score is
+    * sum_s ||q_sub_s - centroid[s][code_s]||² — element_at into the
+    * literal codebook arrays, all inside codegen; the corpus-side scan
+    * touches only (id, codes). Broadcast queries, one WindowGroupLimit
+    * top-k per query; self-matches excluded like [[bruteForceTopK]].
+    * Returns (query_id, neighbor_id, dist, rank), rank by ascending
+    * approximate squared distance. */
+  def pqTopK(queries: DataFrame, codes: DataFrame,
+             books: Array[Array[Array[Double]]], k: Int,
+             qId: String = "vec_id", qVec: String = "embedding"): DataFrame = {
+    val w = books(0)(0).length
+    val q = queries.select(col(qId).cast("long").as("query_id"),
+      asDouble(col(qVec)).as("qv"))
+    val scored = codes.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("dist", books.indices.map { s =>
+        val qsub = slice(col("qv"), s * w + 1, w)
+        val cent = element_at(
+          array(books(s).map(cv => array(cv.map(lit): _*)): _*),
+          col("codes").getItem(s) + 1)
+        aggregate(zip_with(qsub, cent, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)
+      }.reduce(_ + _))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("dist"), col("rank"))
+  }
 }

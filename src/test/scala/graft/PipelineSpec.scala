@@ -201,6 +201,59 @@ class PipelineSpec extends SparkSpec {
     assert((1L until 12L).forall(i => out(i) == 0L))
   }
 
+  test("minhash incremental: batch joins persisted band keys + within-batch pairs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),   // batch, dup of state 2
+      (2L, "alpha beta gamma delta"),   // state
+      (3L, "alpha beta gamma delta"),   // batch, dup of 2 AND of 1
+      (4L, "p q r s"),                  // state, unique
+      (5L, "unique text here now")      // batch, unique
+    ).toDF("doc_id", "text")
+    val state = Dedup.minhashBandKeys(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    // the persisted shape: one row per (doc, band), key = band minhashes
+    assert(state.columns.toSeq == Seq("doc", "band", "key"))
+    assert(state.count() == 2 * 4)
+    val out = Dedup.minhashLshIncrementalPairs(
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", state)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1 and 3 match state doc 2; 3 also pairs with earlier batch doc 1;
+    // 5 and state doc 4 match nothing
+    assert(out == Set((1L, 2L), (3L, 2L), (3L, 1L)))
+  }
+
+  test("pq: encode range, trained codebooks, ADC blob precision + rank monotonicity") {
+    // 60 vectors in 3 well-separated gaussian-ish blobs, dim 8, m=2
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 60L).map { i =>
+      val c = (i % 3).toInt
+      (i, Array.tabulate(8)(j =>
+        (c * 10.0 + rnd.nextGaussian() * 0.3 + j * 0.01).toFloat))
+    }.toDF("vec_id", "embedding")
+    val books = Similarity.pqTrainCodebooks(emb, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, iters = 3)
+    assert(books.length == 2 && books.forall(_.length == 4) &&
+      books.forall(_.forall(_.length == 4)))
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    val cs = codes.collect().map(_.getSeq[Int](1))
+    assert(cs.forall(c => c.length == 2 && c.forall(x => x >= 0 && x < 4)))
+    // Quantization intentionally COLLAPSES in-blob geometry (same-blob
+    // vectors share codes, in-blob ranking is the id tiebreak), so the
+    // deterministic property is blob PRECISION, not exact-L2 recall:
+    // every ADC top-5 neighbor must come from the query's own blob
+    // (inter-blob ADC distance ~100x intra-blob).
+    val q = emb.filter(col("vec_id") < 6)
+    val pq = Similarity.pqTopK(q, codes, books, 5).collect()
+    assert(pq.length == 6 * 5)
+    assert(pq.forall(r => r.getLong(1) % 3 == r.getLong(0) % 3),
+      "an ADC neighbor crossed blobs")
+    // and scores are monotone in rank per query
+    pq.groupBy(_.getLong(0)).values.foreach { rs =>
+      val byRank = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
   test("text analysis: token counts, ratios, quality, fingerprint") {
     val df = Seq("The cat and the dog!").toDF("t")
     val r = df.select(
