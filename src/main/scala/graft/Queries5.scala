@@ -126,6 +126,28 @@ object Queries5 {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- measured recall@5 of the PQ path vs the exact-L2 baseline —
+    //      the approximation is a FIRST-CLASS measured output, same
+    //      gate shape as q_ann_ivf_recall. Values are modest (~0.2-0.8
+    //      per query at sf0.01) BECAUSE the codebooks are pinned
+    //      untrained for oracle-ability; the trained path's quality is
+    //      spec-asserted (PipelineSpec blob precision). ----
+    "q_pq_recall" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val src = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      val books = Array.tabulate(4)(sub =>
+        src.map(v => v.slice(sub * 16, sub * 16 + 16)))
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+          Similarity.pqTopK(q, codes, books, 5),
+          Similarity.bruteForceTopKL2(q, emb, 5), 5)
+        .select(col("query_id"), r(col("recall"), 6).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // ---- §2.7 pct_change(fill_method='pad', limit=1) — the pad stops
     //      propagating after `limit` consecutive nulls (a BOUNDED
     //      trailing frame, so state stays bounded at any scale). Holes
@@ -139,6 +161,51 @@ object Queries5 {
         .orderBy("user_id", "event_id")
     })
   )
+
+  /** PQ encode + ADC scoring in SQL, mirroring q_pq_topk's pinned
+    * codebooks (sub-slices of vec_id<16, m=4, w=16). enc0's argmin
+    * tie-break (dist, then code) mirrors the engine's lexicographic
+    * struct-min. Precision: slices are cast to DOUBLE[] and squared
+    * distances use the engine's EXACT left-fold order — an indexed
+    * lambda + list_reduce, then an explicit ((d0+d1)+d2)+d3 chain —
+    * because sqrt-then-square (list_distance^2) or a reordered sum
+    * differs by an ulp, which can straddle a round-to-6 boundary. */
+  private val PqCte: String = {
+    def sq(a: String, b: String) =
+      s"list_reduce(list_transform($a, (x, i) -> (x - $b[i]) * (x - $b[i])), (p, q) -> p + q)"
+    s"""cb AS (
+           SELECT e.vec_id AS c, t.s,
+             list_slice(e.embedding, t.s*16 + 1, t.s*16 + 16)::DOUBLE[] AS cv
+           FROM embeddings e, range(4) t(s) WHERE e.vec_id < 16),
+         ds AS (
+           SELECT e.vec_id AS id, t.s,
+             list_slice(e.embedding, t.s*16 + 1, t.s*16 + 16)::DOUBLE[] AS dv
+           FROM embeddings e, range(4) t(s)),
+         enc0 AS (
+           SELECT id, ds.s, c, cv,
+             row_number() OVER (PARTITION BY id, ds.s
+               ORDER BY ${sq("dv", "cv")}, c) AS rn
+           FROM ds JOIN cb ON ds.s = cb.s),
+         enc AS (SELECT id, s, c, cv FROM enc0 WHERE rn = 1),
+         qs AS (
+           SELECT e.vec_id AS qid, t.s,
+             list_slice(e.embedding, t.s*16 + 1, t.s*16 + 16)::DOUBLE[] AS qv
+           FROM embeddings e, range(4) t(s) WHERE e.vec_id < 10),
+         subd AS (
+           SELECT qid, id, enc.s, ${sq("qv", "cv")} AS sd
+           FROM enc JOIN qs ON qs.s = enc.s WHERE qid <> id),
+         scored AS (
+           SELECT qid, id,
+             ((max(CASE WHEN s = 0 THEN sd END)
+               + max(CASE WHEN s = 1 THEN sd END))
+               + max(CASE WHEN s = 2 THEN sd END))
+               + max(CASE WHEN s = 3 THEN sd END) AS dist
+           FROM subd GROUP BY qid, id),
+         ranked AS (
+           SELECT qid, id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+           FROM scored)"""
+  }
 
   /** The 16 p_name tokens — fixed by the synthetic generator at every
     * SF (verified sf0.001/0.01/0.1); the oracle enumerates them because
@@ -253,52 +320,31 @@ object Queries5 {
            coalesce(c, 0) AS value_count
          FROM spine LEFT JOIN agg USING (period) ORDER BY period""",
 
-    "q_pq_topk" -> {
-      // same pinned codebooks: sub-slices of vec_id<16. enc0's argmin
-      // tie-break (dist, then code) mirrors the engine's lexicographic
-      // struct-min. Precision: slices are cast to DOUBLE[] and squared
-      // distances use the engine's EXACT left-fold order — an indexed
-      // lambda + list_reduce, then an explicit ((d0+d1)+d2)+d3 chain —
-      // because sqrt-then-square (list_distance^2) or a reordered sum
-      // differs by an ulp, which can straddle a round-to-6 boundary.
-      def sq(a: String, b: String) =
-        s"list_reduce(list_transform($a, (x, i) -> (x - $b[i]) * (x - $b[i])), (p, q) -> p + q)"
-      s"""WITH cb AS (
-           SELECT e.vec_id AS c, t.s,
-             list_slice(e.embedding, t.s*16 + 1, t.s*16 + 16)::DOUBLE[] AS cv
-           FROM embeddings e, range(4) t(s) WHERE e.vec_id < 16),
-         ds AS (
-           SELECT e.vec_id AS id, t.s,
-             list_slice(e.embedding, t.s*16 + 1, t.s*16 + 16)::DOUBLE[] AS dv
-           FROM embeddings e, range(4) t(s)),
-         enc0 AS (
-           SELECT id, ds.s, c, cv,
-             row_number() OVER (PARTITION BY id, ds.s
-               ORDER BY ${sq("dv", "cv")}, c) AS rn
-           FROM ds JOIN cb ON ds.s = cb.s),
-         enc AS (SELECT id, s, c, cv FROM enc0 WHERE rn = 1),
-         qs AS (
-           SELECT e.vec_id AS qid, t.s,
-             list_slice(e.embedding, t.s*16 + 1, t.s*16 + 16)::DOUBLE[] AS qv
-           FROM embeddings e, range(4) t(s) WHERE e.vec_id < 10),
-         subd AS (
-           SELECT qid, id, enc.s, ${sq("qv", "cv")} AS sd
-           FROM enc JOIN qs ON qs.s = enc.s WHERE qid <> id),
-         scored AS (
-           SELECT qid, id,
-             ((max(CASE WHEN s = 0 THEN sd END)
-               + max(CASE WHEN s = 1 THEN sd END))
-               + max(CASE WHEN s = 2 THEN sd END))
-               + max(CASE WHEN s = 3 THEN sd END) AS dist
-           FROM subd GROUP BY qid, id),
-         ranked AS (
-           SELECT qid, id, dist,
-             row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
-           FROM scored)
+    "q_pq_topk" ->
+      s"""WITH $PqCte
          SELECT qid AS query_id, id AS neighbor_id,
            round(dist + 1e-9, 6) AS dist, rank
-         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
-    },
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_pq_recall" ->
+      // measured approximation quality of the compressed path vs the
+      // exact-L2 baseline (same gate shape as q_ann_ivf_recall)
+      s"""WITH $PqCte,
+         ann AS (SELECT qid, id AS nid FROM ranked WHERE rank <= 5),
+         qfull AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 10),
+         bf AS (SELECT qid, nid FROM (
+                  SELECT q.qid, c.vec_id AS nid,
+                    row_number() OVER (PARTITION BY q.qid ORDER BY
+                      list_distance(qv, c.embedding::DOUBLE[]), c.vec_id) AS rank
+                  FROM qfull q, embeddings c WHERE c.vec_id <> q.qid)
+                WHERE rank <= 5),
+         hits AS (SELECT a.qid, count(*) AS h
+                  FROM ann a JOIN bf b ON a.qid = b.qid AND a.nid = b.nid
+                  GROUP BY 1)
+         SELECT b.qid AS query_id, round(coalesce(h, 0) / 5.0 + 1e-9, 6) AS recall
+         FROM (SELECT DISTINCT qid FROM bf) b
+         LEFT JOIN hits USING (qid) ORDER BY query_id""",
 
     "q_pct_change_limit" ->
       """WITH holed AS (

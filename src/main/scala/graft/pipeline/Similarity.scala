@@ -546,6 +546,29 @@ object Similarity {
       }: _*).as("codes"))
   }
 
+  /** Exact squared-L2 top-k — the baseline [[pqTopK]] approximates
+    * (cosine companion: [[bruteForceTopK]]). Same broadcast-queries
+    * cross join + WindowGroupLimit shape. */
+  def bruteForceTopKL2(queries: DataFrame, corpus: DataFrame, k: Int,
+                       qId: String = "vec_id", qVec: String = "embedding",
+                       cId: String = "vec_id",
+                       cVec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(qId).cast("long").as("query_id"),
+      asDouble(col(qVec)).as("qv"))
+    val c = corpus.select(col(cId).cast("long").as("neighbor_id"),
+      asDouble(col(cVec)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist",
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "dist", "rank")
+  }
+
   /** Asymmetric-distance (ADC) top-k: queries stay exact, the corpus
     * is its PQ codes. Each (query, doc) score is
     * sum_s ||q_sub_s - centroid[s][code_s]||² — element_at into the
