@@ -40,10 +40,13 @@ object Reshape {
   def crosstab(df: DataFrame, a: String, b: String): DataFrame = {
     val vals = df.select(col(b).cast("string")).distinct()
       .collect().map(_.getString(0)).filter(_ != null).sorted
-    df.groupBy(col(a))
+    val piv = df.groupBy(col(a))
       .pivot(col(b).cast("string"), vals.toSeq)
       .agg(count(lit(1)))
-      .na.fill(0, vals)
+    // explicit backticked coalesce, not na.fill: a category value with
+    // a dot ("2.0") would otherwise be parsed as a nested field path
+    piv.select(col(a) +:
+      vals.toSeq.map(v => coalesce(col(s"`$v`"), lit(0L)).as(v)): _*)
   }
 
   /** pandas cut(x, bins, labels=False): right-closed intervals

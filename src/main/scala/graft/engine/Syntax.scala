@@ -130,6 +130,18 @@ object Syntax {
                  aggs: Seq[(String, String)]): DataFrame =
       Resample.resampleAgg(df, ts, freq, aggs)
 
+    // ---- reshape / binning / positional (round 6) ----
+    def melt(idVars: Seq[String], valueVars: Seq[String]): DataFrame =
+      Reshape.melt(df, idVars, valueVars)
+    def crosstab(a: String, b: String): DataFrame = Reshape.crosstab(df, a, b)
+    def qcut(c: String, q: Int, out: String = "code"): DataFrame =
+      Reshape.qcut(df, c, q, out)
+    def dropDuplicates(subset: Seq[String], ordCol: String,
+                       keep: String = "first"): DataFrame =
+      Reshape.dropDuplicates(df, subset, ordCol, keep)
+    def groupbyHead(keys: Seq[String], ordCol: String, n: Int): DataFrame =
+      Reshape.headPerGroup(df, keys, ordCol, n)
+
     // ---- §2.3 cumulative (order given by the caller's window) ----
     def cumsum(c: String, w: WindowSpec): DataFrame =
       df.withColumn(s"${c}_cumsum", Cumulative.cumsum(col(c), w))

@@ -71,4 +71,25 @@ class SyntaxSpec extends SparkSpec {
     assert(corpus.pp.decontaminate(
       corpus.filter(col("id") === 1L), "id", "t", k = 1).count() == 2)
   }
+
+  test("round-6 surface: fill / resample / reshape / positional") {
+    val ev = Seq((1L, "u1", Some(1.0)), (2L, "u1", None), (3L, "u1", Some(3.0)))
+      .toDF("i", "u", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy("i")
+    assert(ev.pp.ffill("v", w).where(col("v").isNull).count() == 0)
+    assert(ev.pp.bfill("v", w, limit = Some(1)).where(col("v").isNull).count() == 0)
+    assert(ev.pp.interpolate("v", w).collect()
+      .map(r => r.getDouble(2)).sorted.toSeq == Seq(1.0, 2.0, 3.0))
+    val ts = Seq((java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 1.0))
+      .toDF("ts", "v")
+    assert(ts.pp.resample("ts", "M", Seq(("v", "sum"))).count() == 1)
+    val wide = Seq((1L, 2.0, 3.0)).toDF("id", "a", "b")
+    assert(wide.pp.melt(Seq("id"), Seq("a", "b")).count() == 2)
+    assert(wide.pp.crosstab("id", "a").columns.length == 2)
+    assert(ev.pp.dropDuplicates(Seq("u"), "i").count() == 1)
+    assert(ev.pp.groupbyHead(Seq("u"), "i", 2).count() == 2)
+    assert((1 to 8).map(_.toDouble).toDF("x").pp.qcut("x", 2, "c")
+      .where(col("c") === 0).count() == 4)
+  }
 }
