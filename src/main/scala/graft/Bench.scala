@@ -22,6 +22,27 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val rt = Runtime.getRuntime
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Bench-only rows (no oracle; never part of the Verify contract).
+    // bench_dedup_fuzzy_10x: q_dedup_fuzzy on a synthetic 10-copy union
+    // of documents (~50k docs at sf0.1) so the dedup family has one
+    // measurement that is data- rather than plan-overhead-bound — a
+    // silent quadratic regression in the LSH pair join or the CC
+    // contraction shows up here first (VERDICT r5 stretch item).
+    val benchOnly: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      Map("bench_dedup_fuzzy_10x" -> { (s, d) =>
+        import org.apache.spark.sql.functions._
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        // 10 exact copies with distinct ids: every true cluster gains 10
+        // members, so pair volume and cluster diameter both scale, while
+        // the id arithmetic keeps the synthesis deterministic.
+        val big = docs
+          .select(explode(sequence(lit(0), lit(9))).as("__c"),
+            col("doc_id"), col("text"))
+          .select((col("doc_id") * 10 + col("__c")).as("doc_id"), col("text"))
+        graft.pipeline.Dedup.fuzzy(big, "doc_id", "text",
+          k = 3, bands = 4, rowsPerBand = 2)
+      })
     // Deterministic order. Between queries: drop any cached plans, then
     // two GC passes so the ContextCleaner reaps the previous query's
     // broadcast/shuffle blocks and a brief pause lets the async cleanup
@@ -29,7 +50,7 @@ object Bench {
     // isolated runs purely from accumulated JVM/Spark state, and the
     // post-GC heap line below makes any remaining inflation diagnosable
     // from the driver's record alone.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = (SparkEntry.queries ++ benchOnly).toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
