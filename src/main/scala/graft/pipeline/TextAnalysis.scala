@@ -90,36 +90,44 @@ object TextAnalysis {
     *   - bm25  = idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
     *     idf = ln((N−df+0.5)/(df+0.5) + 1)           (Okapi, Lucene form)
     *
-    * Plan shape at 100 TB: the corpus is tokenized ONCE — doc length
-    * is a map-side `size(filter(tokens))` carried through the (doc,
-    * term) hash aggregate as a functionally-dependent group key (never
-    * a second pass, never a window), and the tf table is
-    * `localCheckpoint`ed so document frequency (a vocabulary-sized
-    * re-aggregate on the term — hash-partitioned, never broadcast) and
-    * the scoring join both consume one materialization instead of each
-    * re-running the explode (the round-5 plan evaluated it 3x). The
-    * top-k ranking is the single doc-id window (WindowGroupLimit
-    * bounds per-doc state); the two global scalars (N, avg doc length)
-    * ride a broadcast 1-row aggregate computed straight from the doc
-    * table. Everything is a pure function of the corpus —
+    * Plan shape at 100 TB: the corpus is tokenized ONCE — the (doc,
+    * term) explode + hash aggregate is a single exchange subtree that
+    * every downstream consumer (document frequency, the corpus-scalar
+    * probe, the scoring join) references verbatim, so ReuseExchange
+    * materializes its shuffle files once; no checkpoint, no second
+    * tokenizer pass. Doc length is the sum of term counts over the
+    * SAME doc-id partitioning the top-k ranking already shuffles on
+    * (two Window ops, one shuffle), never a recomputed higher-order
+    * filter over the raw text — the round-5 form carried
+    * `size(filter(tokens))` through the aggregate as a group key,
+    * which falls out of whole-stage codegen AND re-evaluates per
+    * exploded row. Document frequency is a vocabulary-sized
+    * re-aggregate on the term (hash-partitioned, never broadcast);
+    * the two global scalars (N, avg doc length) derive from the same
+    * tf table (distinct docs, total tokens) and ride a broadcast
+    * 1-row aggregate. Everything is a pure function of the corpus —
     * rerun-stable and oracle-exact. */
   def bm25TopTerms(df: DataFrame, id: String, text: String, k: Int = 3,
                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val dlExpr = size(filter(tokens(col(text)), t => t =!= "")).cast("double")
-    val tf = df
-      .select(col(id), dlExpr.as("__dl"), explode(tokens(col(text))).as("term"))
+    val tf = graft.engine.Core.spread(df.select(col(id), col(text)))
+      .select(col(id), explode(tokens(col(text))).as("term"))
       .filter(col("term") =!= "")
-      .groupBy(col(id), col("__dl"), col("term"))
+      .groupBy(col(id), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
-      .localCheckpoint(false)
     val dfTab = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("__df"))
-    val stats = df.select(dlExpr.as("__dl0")).filter(col("__dl0") > 0)
-      .agg(count(lit(1)).cast("double").as("__n"),
-        avg(col("__dl0")).as("__avgdl"))
+    // N = docs with >= 1 token, avgdl = total tokens / N — same values
+    // the doc-table scan produced, but derived from tf so the explode's
+    // exchange is reused instead of a second tokenizer pass
+    val stats = tf.agg(
+      countDistinct(col(id)).cast("double").as("__n"),
+      sum(col("tf")).as("__tok"))
+      .select(col("__n"), (col("__tok") / col("__n")).as("__avgdl"))
+    val wDoc = Window.partitionBy(col(id))
     val scored = tf
       .join(dfTab, Seq("term"))
       .crossJoin(broadcast(stats))
+      .withColumn("__dl", sum(col("tf")).over(wDoc))
     val idf = log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0)
     val tfidf = col("tf") * (log((col("__n") + 1.0) / (col("__df") + 1.0)) + 1.0)
     val bm25 = idf * (col("tf") * (k1 + 1)) /
@@ -147,14 +155,14 @@ object TextAnalysis {
     * aggregate. No OOV smoothing is needed: every token is by
     * construction in the vocabulary it is scored against. */
   def unigramLogProb(df: DataFrame, id: String, text: String): DataFrame = {
-    val dt = df
+    val dt = graft.engine.Core.spread(df.select(col(id), col(text)))
       .select(col(id), explode(tokens(col(text))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col(id), col("term"))
       .agg(count(lit(1)).as("__k"))
-      // one tokenize+aggregate materialization feeds both the vocabulary
-      // roll-up and the scoring join (same reuse pattern as bm25TopTerms)
-      .localCheckpoint(false)
+    // the vocabulary roll-up and the scoring join reference this exact
+    // aggregate subtree, so ReuseExchange materializes its shuffle once
+    // (same pattern as bm25TopTerms — no checkpoint needed)
     val tf = dt.groupBy(col("term")).agg(sum(col("__k")).as("__c"))
     val tot = tf.agg(sum(col("__c")).cast("double").as("__tot"))
     dt.join(tf, Seq("term"))
