@@ -1,0 +1,152 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.WindowSpec
+import org.apache.spark.sql.functions._
+
+/** pandas frame-alignment / selection ops the reference proxies
+  * wholesale and no other module covers: shift/diff, nlargest /
+  * nsmallest, corrwith, groupby.filter, combine_first, concat
+  * (axis=0, join='outer'), Series.explode, get_dummies, and the
+  * row-wise (axis=1) rank / idx-extrema pair.
+  *
+  * Scale shapes: shift/diff are one window shuffle on the explicit
+  * order; nlargest/nsmallest compile to TakeOrderedAndProject (each
+  * task keeps n rows, the driver merges n·partitions — never a full
+  * sort); corrwith is ONE equi-join + ONE aggregate for all pairs;
+  * groupFilter aggregates to a |groups|-row table that AQE broadcasts
+  * back; combine_first is a single full-outer join; concatOuter and
+  * the row-wise family are zero-shuffle; get_dummies does the same
+  * bounded distinct-collect schema discovery as crosstab. */
+object Frame {
+
+  /** pandas shift(periods): value `periods` rows back (negative =
+    * forward) under the explicit order; null beyond the edge. */
+  def shift(c: Column, periods: Int, w: WindowSpec): Column =
+    if (periods >= 0) lag(c, periods).over(w) else lead(c, -periods).over(w)
+
+  /** pandas diff(periods): c - shift(c, periods). */
+  def diff(c: Column, periods: Int, w: WindowSpec): Column =
+    c - shift(c, periods, w)
+
+  /** pandas nlargest(n, column): top n by `c` descending. The
+    * `tiebreak` column makes the cut deterministic (pandas keep='first'
+    * relies on input order; a distributed frame has none). Plans as
+    * TakeOrderedAndProject: per-task top-n, driver merge — no global
+    * sort at any scale. */
+  def nlargest(df: DataFrame, n: Int, c: String, tiebreak: String): DataFrame =
+    df.orderBy(col(c).desc, col(tiebreak)).limit(n)
+
+  /** pandas nsmallest(n, column) — see [[nlargest]]. */
+  def nsmallest(df: DataFrame, n: Int, c: String, tiebreak: String): DataFrame =
+    df.orderBy(col(c).asc, col(tiebreak)).limit(n)
+
+  /** pandas corrwith(other): Pearson correlation per aligned column
+    * pair, rows (column, corr) — the Series pandas returns. pandas
+    * aligns on the index; here the join key is explicit. ONE inner
+    * equi-join then ONE aggregate computes every pair (no per-pair
+    * jobs); nulls are pairwise-skipped by `corr` exactly as pandas
+    * skips NaNs. */
+  def corrwith(left: DataFrame, right: DataFrame, on: Seq[String],
+               pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "corrwith: need at least one column pair")
+    val j = left.join(right, on, "inner")
+    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"$a") }
+    val one = j.agg(aggs.head, aggs.tail: _*)
+    val stack = pairs.map { case (a, _) => s"'$a', `$a`" }.mkString(", ")
+    one.select(expr(s"stack(${pairs.size}, $stack) AS (colname, corr)")
+      .as(Seq("colname", "corr")))
+  }
+
+  /** pandas groupby(keys).filter(pred): keep the rows of every group
+    * whose aggregate satisfies the predicate. The group table is
+    * |groups| rows (partial-aggregated map-side), so AQE broadcasts
+    * the LEFT SEMI join back — the frame itself is never shuffled
+    * when the group count is small. */
+  def groupFilter(df: DataFrame, keys: Seq[String], agg: Column,
+                  pred: Column => Column): DataFrame = {
+    val g = df.groupBy(keys.map(col): _*).agg(agg.as("__a"))
+      .filter(pred(col("__a"))).select(keys.map(col): _*)
+    df.join(g, keys, "left_semi")
+  }
+
+  /** pandas combine_first(right): left's nulls filled from right,
+    * aligned on `on`; right-only rows appended, left-only and
+    * right-only columns pass through. ONE full-outer join; the
+    * using-column join form coalesces the keys. */
+  def combineFirst(left: DataFrame, right: DataFrame,
+                   on: Seq[String]): DataFrame = {
+    val shared = left.columns.filterNot(on.contains)
+      .filter(right.columns.contains).toSeq
+    val leftOnly = left.columns.filterNot(on.contains)
+      .filterNot(right.columns.contains).toSeq
+    val rightOnly = right.columns.filterNot(on.contains)
+      .filterNot(left.columns.contains).toSeq
+    val rr = shared.foldLeft(right)((d, c) =>
+      d.withColumnRenamed(c, s"__r_$c"))
+    left.join(rr, on, "full_outer")
+      .select(on.map(col) ++
+        shared.map(c => coalesce(col(c), col(s"__r_$c")).as(c)) ++
+        leftOnly.map(col) ++ rightOnly.map(col): _*)
+  }
+
+  /** pandas concat(axis=0, join='outer'): stack frames, null-filling
+    * columns absent from a side — unionByName(allowMissingColumns),
+    * zero shuffle. */
+  def concatOuter(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "concat: need at least one frame")
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** pandas Series.explode: one output row per array element; null or
+    * empty arrays keep one row with a null value (explode_outer) —
+    * pandas emits NaN for those. A Generate over the scan, zero
+    * shuffle. */
+  def explodeCol(df: DataFrame, c: String, out: String): DataFrame =
+    df.withColumn(out, explode_outer(col(c))).drop(c)
+
+  /** pandas get_dummies: one 0/1 column per observed category of `c`
+    * (sorted), named `prefix_<value>`. The column set is a bounded
+    * distinct collect — the same data-dependent schema discovery
+    * pandas does (and [[Reshape.crosstab]] uses); the dummies
+    * themselves are pure codegen, zero shuffle. */
+  def getDummies(df: DataFrame, c: String, prefix: String,
+                 maxCategories: Int = 10000): DataFrame = {
+    val vals = df.select(col(c).cast("string")).distinct()
+      .limit(maxCategories + 1).collect().map(_.getString(0))
+      .filter(_ != null).sorted
+    require(vals.length <= maxCategories,
+      s"get_dummies: > $maxCategories categories in '$c'")
+    df.select(df.columns.map(col) ++ vals.map(v =>
+      when(col(c).cast("string") === v, 1).otherwise(0)
+        .as(s"${prefix}_$v")): _*)
+  }
+
+  /** pandas rank(axis=1, method='average') for one cell: the rank of
+    * column `c` among `cols` within its own row — #smaller +
+    * (#equal+1)/2 (the equal count includes the cell itself). Array
+    * HOFs over a row-local array: pure codegen, zero shuffle. Nulls
+    * in the ranked columns are not supported (pandas skips them;
+    * callers filter or fill first). */
+  def rowRank(cols: Seq[String], c: String): Column = {
+    val arr = array(cols.map(x => col(x).cast("double")): _*)
+    val v = col(c).cast("double")
+    size(filter(arr, x => x < v)) +
+      (size(filter(arr, x => x === v)) + lit(1)) / 2.0
+  }
+
+  /** pandas idxmax(axis=1): name of the first column (in given order)
+    * holding the row maximum. */
+  def idxmaxRow(cols: Seq[String]): Column = {
+    val arr = array(cols.map(x => col(x).cast("double")): _*)
+    element_at(array(cols.map(lit): _*),
+      array_position(arr, array_max(arr)).cast("int"))
+  }
+
+  /** pandas idxmin(axis=1) — first column holding the row minimum. */
+  def idxminRow(cols: Seq[String]): Column = {
+    val arr = array(cols.map(x => col(x).cast("double")): _*)
+    element_at(array(cols.map(lit): _*),
+      array_position(arr, array_min(arr)).cast("int"))
+  }
+}

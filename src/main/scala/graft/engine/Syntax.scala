@@ -142,6 +142,30 @@ object Syntax {
     def groupbyHead(keys: Seq[String], ordCol: String, n: Int): DataFrame =
       Reshape.headPerGroup(df, keys, ordCol, n)
 
+    // ---- frame alignment / selection (round 6, third batch) ----
+    def shift(c: String, periods: Int, w: WindowSpec): DataFrame =
+      df.withColumn(s"${c}_shift", Frame.shift(col(c), periods, w))
+    def diff(c: String, periods: Int, w: WindowSpec): DataFrame =
+      df.withColumn(s"${c}_diff", Frame.diff(col(c), periods, w))
+    def nlargest(n: Int, c: String, tiebreak: String): DataFrame =
+      Frame.nlargest(df, n, c, tiebreak)
+    def nsmallest(n: Int, c: String, tiebreak: String): DataFrame =
+      Frame.nsmallest(df, n, c, tiebreak)
+    def corrwith(right: DataFrame, on: Seq[String],
+                 pairs: Seq[(String, String)]): DataFrame =
+      Frame.corrwith(df, right, on, pairs)
+    def groupbyFilter(keys: Seq[String], agg: Column,
+                      pred: Column => Column): DataFrame =
+      Frame.groupFilter(df, keys, agg, pred)
+    def combineFirst(right: DataFrame, on: Seq[String]): DataFrame =
+      Frame.combineFirst(df, right, on)
+    def concat(others: DataFrame*): DataFrame =
+      Frame.concatOuter(df +: others)
+    def explodeCol(c: String, out: String = "value"): DataFrame =
+      Frame.explodeCol(df, c, out)
+    def getDummies(c: String, prefix: String): DataFrame =
+      Frame.getDummies(df, c, prefix)
+
     // ---- §2.3 cumulative (order given by the caller's window) ----
     def cumsum(c: String, w: WindowSpec): DataFrame =
       df.withColumn(s"${c}_cumsum", Cumulative.cumsum(col(c), w))

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.Frame
+
+/** Frame-alignment family vs hand-computed pandas 2.x behavior. */
+class FrameSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val w = Window.partitionBy("g").orderBy("i")
+
+  test("shift: lag, negative lead, null beyond edges; diff") {
+    val df = Seq(("a", 1, 1.0), ("a", 2, 3.0), ("a", 3, 6.0))
+      .toDF("g", "i", "v")
+    val out = df.select(col("i"),
+        Frame.shift(col("v"), 1, w).as("s1"),
+        Frame.shift(col("v"), -1, w).as("sm1"),
+        Frame.diff(col("v"), 1, w).as("d1"))
+      .orderBy("i").collect()
+    def g(r: Int, c: Int): Option[Double] =
+      if (out(r).isNullAt(c)) None else Some(out(r).getDouble(c))
+    // pandas: s.shift(1) = [NaN,1,3]; s.shift(-1) = [3,6,NaN]; s.diff() = [NaN,2,3]
+    assert(out.map(r => g(out.indexOf(r), 1)).toSeq ==
+      Seq(None, Some(1.0), Some(3.0)))
+    assert((0 to 2).map(g(_, 2)) == Seq(Some(3.0), Some(6.0), None))
+    assert((0 to 2).map(g(_, 3)) == Seq(None, Some(2.0), Some(3.0)))
+  }
+
+  test("nlargest/nsmallest: deterministic tiebreak, top-n only") {
+    val df = Seq((1L, 5.0), (2L, 5.0), (3L, 1.0)).toDF("id", "v")
+    assert(Frame.nlargest(df, 1, "v", "id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 5.0)))
+    assert(Frame.nsmallest(df, 1, "v", "id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((3L, 1.0)))
+    assert(Frame.nlargest(df, 2, "v", "id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("corrwith: per-pair Pearson as (colname, corr) rows") {
+    val left = Seq((1L, 1.0, 3.0), (2L, 2.0, 2.0), (3L, 3.0, 1.0))
+      .toDF("k", "x", "xn")
+    val right = Seq((1L, 2.0), (2L, 4.0), (3L, 6.0)).toDF("k", "y")
+    val out = Frame.corrwith(left, right, Seq("k"),
+        Seq("x" -> "y", "xn" -> "y"))
+      .orderBy("colname").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    // y = 2x: corr(x,y) = 1; xn = 4-x: corr(xn,y) = -1
+    assert(math.abs(out("x") - 1.0) < 1e-12)
+    assert(math.abs(out("xn") + 1.0) < 1e-12)
+  }
+
+  test("groupby.filter: keeps all rows of qualifying groups only") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 10.0)).toDF("g", "v")
+    val out = Frame.groupFilter(df, Seq("g"), avg(col("v")), _ > 5.0)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // pandas: groupby('g').filter(lambda t: t.v.mean() > 5) -> only b
+    assert(out == Seq(("b", 10.0)))
+  }
+
+  test("combine_first: left nulls filled, right-only rows appended, " +
+       "one-sided columns pass through") {
+    val left = Seq((1L, Option.empty[Double], "a"), (2L, Some(5.0), "b"))
+      .toDF("k", "x", "name")
+    val right = Seq((1L, 9.0, "s1"), (2L, 7.0, "s2"), (3L, 3.0, "s3"))
+      .toDF("k", "x", "seg")
+    val out = Frame.combineFirst(left, right, Seq("k")).orderBy("k")
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getDouble(1)).toSeq == Seq(9.0, 5.0, 3.0))
+    assert(out.map(r => Option(r.getString(2))).toSeq ==
+      Seq(Some("a"), Some("b"), None))
+    assert(out.map(_.getString(3)).toSeq == Seq("s1", "s2", "s3"))
+  }
+
+  test("concat outer: columns aligned by name, missing null-filled") {
+    val a = Seq((1L, "x1")).toDF("id", "x")
+    val b = Seq((2L, "y2")).toDF("id", "y")
+    val out = Frame.concatOuter(Seq(a, b)).orderBy("id").collect()
+    assert(out.head.schema.fieldNames.toSeq == Seq("id", "x", "y"))
+    assert(Option(out(0).getString(2)).isEmpty)   // a rows: y null
+    assert(Option(out(1).getString(1)).isEmpty)   // b rows: x null
+  }
+
+  test("explode: element per row; empty and null arrays keep a null row") {
+    val df = Seq((1L, Seq("a", "b")), (2L, Seq.empty[String]))
+      .toDF("id", "arr")
+      .union(Seq((3L, null.asInstanceOf[Seq[String]])).toDF("id", "arr"))
+    val out = Frame.explodeCol(df, "arr", "v").orderBy("id", "v")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    // pandas .explode: [] and NaN both yield one NaN row
+    assert(out == Seq((1L, Some("a")), (1L, Some("b")),
+      (2L, None), (3L, None)))
+  }
+
+  test("get_dummies: sorted category columns, 0/1 cells, category cap") {
+    val df = Seq((1L, "q"), (2L, "p"), (3L, "q")).toDF("id", "c")
+    val out = Frame.getDummies(df, "c", "d").orderBy("id").collect()
+    assert(out.head.schema.fieldNames.toSeq == Seq("id", "c", "d_p", "d_q"))
+    assert(out.map(r => (r.getInt(2), r.getInt(3))).toSeq ==
+      Seq((0, 1), (1, 0), (0, 1)))
+    assertThrows[IllegalArgumentException] {
+      Frame.getDummies(df, "c", "d", maxCategories = 1)
+    }
+  }
+
+  test("row-wise rank (average ties) and idx extrema (first on ties)") {
+    val df = Seq((1.0, 2.0, 2.0)).toDF("a", "b", "c")
+    val cols = Seq("a", "b", "c")
+    val out = df.select(
+      Frame.rowRank(cols, "a"), Frame.rowRank(cols, "b"),
+      Frame.rowRank(cols, "c"), Frame.idxmaxRow(cols),
+      Frame.idxminRow(cols)).collect()(0)
+    // pandas: [1,2,2].rank() = [1.0, 2.5, 2.5]; idxmax first-on-ties = b
+    assert(out.getDouble(0) == 1.0)
+    assert(out.getDouble(1) == 2.5 && out.getDouble(2) == 2.5)
+    assert(out.getString(3) == "b" && out.getString(4) == "a")
+  }
+}

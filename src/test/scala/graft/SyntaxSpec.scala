@@ -92,4 +92,26 @@ class SyntaxSpec extends SparkSpec {
     assert((1 to 8).map(_.toDouble).toDF("x").pp.qcut("x", 2, "c")
       .where(col("c") === 0).count() == 4)
   }
+
+  test("round-6 surface: frame alignment / selection family") {
+    val ev = Seq((1L, "u1", 1.0), (2L, "u1", 2.0), (3L, "u2", 9.0))
+      .toDF("i", "u", "v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy("i")
+    assert(ev.pp.shift("v", 1, w).where(col("v_shift").isNotNull).count() == 1)
+    assert(ev.pp.diff("v", 1, w).where(col("v_diff") === 1.0).count() == 1)
+    assert(ev.pp.nlargest(1, "v", "i").collect()(0).getLong(0) == 3L)
+    assert(ev.pp.nsmallest(1, "v", "i").collect()(0).getLong(0) == 1L)
+    assert(ev.pp.groupbyFilter(Seq("u"), avg(col("v")), _ > 5.0).count() == 1)
+    val other = Seq((1L, 2.0), (2L, 4.0), (3L, 18.0)).toDF("i", "y")
+    assert(ev.pp.corrwith(other, Seq("i"), Seq("v" -> "y"))
+      .collect()(0).getDouble(1) > 0.99)
+    assert(ev.pp.combineFirst(other.withColumnRenamed("y", "v"), Seq("i"))
+      .count() == 3)
+    assert(ev.pp.concat(other.drop("y")).columns.toSeq ==
+      Seq("i", "u", "v"))
+    assert(Seq((1L, Seq("a", "b"))).toDF("i", "arr")
+      .pp.explodeCol("arr", "t").count() == 2)
+    assert(ev.pp.getDummies("u", "u").columns.count(_.startsWith("u_")) == 2)
+  }
 }
