@@ -78,4 +78,32 @@ object IO {
                     mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
+  /** Size-balanced training-shard export: exactly `shards` output files
+    * of ~equal row count, shard membership a pure function of the id
+    * (hash-partition on `id` — Murmur3 of the value, stable across
+    * re-runs for the same shard count). This is the trainer-facing
+    * sink: balanced shards mean no long-tail file on the data-loader
+    * side and no small-files problem on the store.
+    *
+    * Scale shape: ONE hash-partition shuffle to `shards` partitions
+    * (each becomes one file); optional `sortWithin` columns sort inside
+    * each shard only (sortWithinPartitions — never a global sort) for
+    * run-length/dictionary compression locality. `maxRecordsPerFile`
+    * caps a file when a shard must stay under a loader's memory budget;
+    * Spark then splits that shard into numbered parts without another
+    * shuffle. */
+  def writeShards(df: DataFrame, path: String, id: String, shards: Int,
+                  sortWithin: Seq[String] = Nil,
+                  maxRecordsPerFile: Long = 0L,
+                  mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(shards >= 1, s"writeShards: need shards >= 1, got $shards")
+    val sharded = df.repartition(shards, col(id))
+    val sorted =
+      if (sortWithin.isEmpty) sharded
+      else sharded.sortWithinPartitions(sortWithin.map(col): _*)
+    sorted.write.mode(mode)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+  }
 }

@@ -83,4 +83,26 @@ class SourcesSpec extends SparkSpec {
       assert(joined.count() == 2)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("shard export: exact file count, balanced, deterministic, lossless") {
+    val dir = tmp() + "/shards"
+    val df = (1L to 1000L).map(i => (i, s"doc$i")).toDF("id", "t")
+    IO.writeShards(df, dir, "id", shards = 8, sortWithin = Seq("id"))
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 8)
+    val back = IO.readParquet(spark, dir)
+    assert(back.count() == 1000)
+    // balance: no shard more than 2x the ideal 125 rows
+    val counts = files.map(f =>
+      spark.read.parquet(f.getAbsolutePath).count())
+    assert(counts.sum == 1000 && counts.max <= 250, counts.toSeq)
+    // determinism: a re-run shards identically
+    val dir2 = tmp() + "/shards2"
+    IO.writeShards(df, dir2, "id", shards = 8, sortWithin = Seq("id"))
+    val files2 = new java.io.File(dir2).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val again = files2.map(f => spark.read.parquet(f.getAbsolutePath).count())
+    assert(again.sorted.toSeq == counts.sorted.toSeq)
+  }
 }
