@@ -92,6 +92,15 @@ object PipelineQueries2 {
         .orderBy("doc_id")
     }),
 
+    // ---- deterministic corpus shuffle: seeded-hash sort key, md5 mode
+    //      (bit-identical in both engines) — the first-200 cut makes
+    //      the oracle sensitive to the ORDER, not just the key; the
+    //      limit collapses the sort to TakeOrderedAndProject ----
+    "q_shuffle_order" -> ((s, d) =>
+      Curation.shuffleOrder(T(s, d, "documents").select("doc_id"),
+          "doc_id", seed = 42L, hash = "md5")
+        .limit(200).orderBy("skey", "doc_id")),
+
     // ---- SemDeDup: k-means partition + in-cluster cosine, min-id
     //      survivor (same trained centroids as q_kmeans) ----
     "q_semdedup" -> ((s, d) =>
@@ -550,6 +559,10 @@ object PipelineQueries2 {
            CAST(floor((cum - nt) / 512.0) AS BIGINT) AS chunk_id,
            CAST(cum - nt AS BIGINT) % 512 AS chunk_offset
          FROM c ORDER BY doc_id""",
+
+    "q_shuffle_order" ->
+      """SELECT doc_id, md5('42#' || CAST(doc_id AS VARCHAR)) AS skey
+         FROM documents ORDER BY skey, doc_id LIMIT 200""",
 
     "q_substring_dedup" ->
       s"""WITH $SubstringSpanCte

@@ -221,6 +221,8 @@ object Syntax {
                    maxDocFreq: Option[Int] = None): DataFrame =
       graft.pipeline.Curation.dedupLines(df, id, text, sepRegex, joinSep,
         maxDocFreq)
+    def shuffleOrder(id: String, seed: Long): DataFrame =
+      graft.pipeline.Curation.shuffleOrder(df, id, seed)
     def mixtureSample(id: String, strata: String, alpha: Double): DataFrame =
       graft.pipeline.Curation.mixtureSample(df, id, strata, alpha)
     def gopherFilter(id: String, text: String): DataFrame =

@@ -495,4 +495,31 @@ object Curation {
       floor((col("__cum") - col("__t")) / ctxLen).cast("long").as("chunk_id"),
       ((col("__cum") - col("__t")).cast("long") % ctxLen).as("chunk_offset"))
   }
+
+  /** Deterministic corpus shuffle — the "randomize training order" step
+    * of a pretraining pipeline, as a pure function of (seed, id): the
+    * sort key is a seeded hash of the id, so the permutation is
+    * rerun-stable, resumable after failure, and auditable (unlike
+    * `orderBy(rand())`, which draws a different corpus order per
+    * attempt and silently breaks retry semantics). Emits the key as
+    * `skey` so downstream shard writers can sort on it and readers can
+    * verify the order.
+    *
+    * Scale shape: ONE range-partition sort on the key — the intended
+    * full shuffle (there is no cheaper exact permutation); with a
+    * downstream limit Spark collapses it to TakeOrderedAndProject.
+    * `hash="xxhash64"` (default) is the cheap production key;
+    * `"md5"` is bit-identical across engines (the oracle-checked
+    * mode). Ties (hash collisions) break on the id, keeping the order
+    * total and deterministic. */
+  def shuffleOrder(df: DataFrame, id: String, seed: Long,
+                   hash: String = "xxhash64"): DataFrame = {
+    val key = hash match {
+      case "xxhash64" => xxhash64(lit(seed), col(id))
+      case "md5" => md5(concat_ws("#", lit(seed), col(id).cast("string")))
+      case other =>
+        throw new IllegalArgumentException(s"shuffleOrder: hash='$other'")
+    }
+    df.withColumn("skey", key).orderBy(col("skey"), col(id))
+  }
 }

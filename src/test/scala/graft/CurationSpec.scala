@@ -250,4 +250,21 @@ class CurationSpec extends SparkSpec {
       .orderBy("id").collect().map(_.getDouble(2)).toSeq
     assert(again == out.map(_._3))
   }
+
+  test("shuffleOrder: seeded permutation — rerun-stable, seed-sensitive, total") {
+    val df = (1L to 100L).toDF("id")
+    val once = Curation.shuffleOrder(df, "id", seed = 7L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(once.sorted == (1L to 100L))              // a permutation
+    assert(once != (1L to 100L))                     // actually shuffled
+    val again = Curation.shuffleOrder(df, "id", seed = 7L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(again == once)                            // rerun-stable
+    val other = Curation.shuffleOrder(df, "id", seed = 8L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(other != once)                            // seed changes order
+    assertThrows[IllegalArgumentException] {
+      Curation.shuffleOrder(df, "id", 7L, hash = "sha9")
+    }
+  }
 }
