@@ -57,6 +57,45 @@ object Queries5 {
         .orderBy("o_orderkey")
     }),
 
+    // ---- §2.10 str accessor, tranche 6: swapcase / title / istitle /
+    //      isnumeric / match / rfind / cat / lstrip / rstrip — all
+    //      codegen over the scan ----
+    "q_str_ops6" -> ((s, d) => {
+      val p = T(s, d, "part")
+      val padded = concat(lit("  "), col("p_name"), lit("  "))
+      p.select(
+        col("p_partkey"),
+        StrDt.strSwapcase(col("p_name")).as("sw"),
+        StrDt.strTitle(col("p_name")).as("ti"),
+        StrDt.strIsTitle(col("p_name")).as("ist"),
+        StrDt.strIsNumeric(StrDt.strSplitItem(col("p_brand"), "#", 1))
+          .as("isnum"),
+        StrDt.strMatch(col("p_type"), "PRO").as("m"),
+        StrDt.strRfind(col("p_name"), "e").as("rf"),
+        StrDt.strCat(col("p_brand"), col("p_type"), "|").as("cat"),
+        StrDt.strLstrip(padded).as("ls"),
+        StrDt.strRstrip(padded).as("rs"))
+        .orderBy("p_partkey")
+    }),
+
+    // ---- §2.10 dt accessor, tranche 6: round (half-to-even, exact
+    //      integer micros), month_name, second/microsecond, tz convert
+    //      + localize on a fixed-offset zone (DST-table-free, so both
+    //      engines agree) ----
+    "q_dt_ops6" -> ((s, d) => {
+      val ts = col("ts")
+      T(s, d, "events").select(
+        col("event_id"),
+        StrDt.dtRound(ts, 3600).as("rh"),
+        StrDt.dtRound(ts, 60).as("rm"),
+        StrDt.dtMonthName(ts).as("mn"),
+        StrDt.dtSecond(ts).as("sec"),
+        StrDt.dtMicrosecond(ts).as("us"),
+        StrDt.dtTzConvert(ts, "UTC+05:30").as("tzc"),
+        StrDt.dtTzLocalize(ts, "UTC+05:30").as("tzl"))
+        .orderBy("event_id")
+    }),
+
     // ---- §2.6 PAIRWISE-complete kendall matrix — completes the
     //      pairwise family (q_corr_pairwise covers pearson+spearman):
     //      pandas df.corr(method='kendall') on NaN-laden frames. Same
@@ -235,6 +274,54 @@ object Queries5 {
          strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') || '/' ||
            strftime(date_trunc('week', o_orderdate) + INTERVAL 6 DAY, '%Y-%m-%d') AS per_w
          FROM orders ORDER BY o_orderkey""",
+
+    "q_str_ops6" -> {
+      // whitespace-word title-case, mirroring initcap: first char
+      // uppered, rest lowered, per space-split token
+      val title = "array_to_string(list_transform(string_split(p_name, ' '), " +
+        "x -> upper(x[1]) || lower(x[2:])), ' ')"
+      s"""SELECT p_partkey,
+         translate(p_name,
+           'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',
+           'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz') AS sw,
+         $title AS ti,
+         regexp_matches(p_name, '[A-Za-z]') AND p_name = $title AS ist,
+         regexp_full_match(split_part(p_brand, '#', 2), '[0-9]+') AS isnum,
+         regexp_matches(p_type, '^(?:PRO)') AS m,
+         (CASE WHEN strpos(reverse(p_name), 'e') = 0 THEN -1
+               ELSE length(p_name) - strpos(reverse(p_name), 'e')
+          END)::INTEGER AS rf,
+         p_brand || '|' || p_type AS cat,
+         ltrim('  ' || p_name || '  ') AS ls,
+         rtrim('  ' || p_name || '  ') AS rs
+         FROM part ORDER BY p_partkey"""
+    },
+
+    "q_dt_ops6" -> {
+      // round-half-to-even on the bucket index, exact integer micros —
+      // mirrors StrDt.dtRound
+      def rnd(unitUs: Long, out: String) =
+        s"""make_timestamp((epoch_us(ts::TIMESTAMP)
+              - (epoch_us(ts::TIMESTAMP) % $unitUs))
+           + (CASE
+                WHEN (epoch_us(ts::TIMESTAMP) % $unitUs) > ${unitUs / 2}
+                  THEN $unitUs
+                WHEN (epoch_us(ts::TIMESTAMP) % $unitUs) < ${unitUs / 2}
+                  THEN 0
+                WHEN ((epoch_us(ts::TIMESTAMP)
+                       - (epoch_us(ts::TIMESTAMP) % $unitUs))
+                      // $unitUs) % 2 = 0 THEN 0
+                ELSE $unitUs END)) AS $out"""
+      s"""SELECT event_id,
+         ${rnd(3600000000L, "rh")},
+         ${rnd(60000000L, "rm")},
+         monthname(ts) AS mn,
+         date_part('second', ts)::INTEGER AS sec,
+         (epoch_us(ts::TIMESTAMP) % 1000000)::INTEGER AS us,
+         ts::TIMESTAMP + INTERVAL 330 MINUTE AS tzc,
+         ts::TIMESTAMP - INTERVAL 330 MINUTE AS tzl
+         FROM events ORDER BY event_id"""
+    },
 
     "q_kendall_pairwise" -> {
       // per-pair mask -> rid -> one self-join aggregate per pair

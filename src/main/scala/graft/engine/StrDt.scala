@@ -111,19 +111,6 @@ object StrDt {
     when(c.startsWith(p), c.substr(lit(p.length + 1), length(c))).otherwise(c)
   def strRemoveSuffix(c: Column, sfx: String): Column =
     when(c.endsWith(sfx), c.substr(lit(1), length(c) - sfx.length)).otherwise(c)
-  /** pandas str.swapcase — no Catalyst builtin; compiled UDF (stays a
-    * JVM tight loop, used off the hot path). */
-  val strSwapcase: Column => Column = {
-    val f = udf { s: String =>
-      if (s == null) null
-      else s.map(ch =>
-        if (Character.isUpperCase(ch)) Character.toLowerCase(ch)
-        else if (Character.isLowerCase(ch)) Character.toUpperCase(ch)
-        else ch)
-    }
-    c => f(c)
-  }
-
   // ---- str, tranche 5 ----
   /** pandas str.findall(pat): every non-overlapping regex match, in
     * order, as an array. */
@@ -219,4 +206,90 @@ object StrDt {
     case other =>
       throw new IllegalArgumentException(s"to_period: unsupported freq '$other'")
   }
+
+  // ---- tranche 6: remaining casing / search / strip str ops, dt
+  //      round (half-to-even) / names / sub-second / tz localize ----
+
+  private val LowerAz = "abcdefghijklmnopqrstuvwxyz"
+  private val UpperAz = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+  /** pandas str.swapcase — one 52-char translate, pure codegen (ASCII
+    * contract, like the rest of the accessor). */
+  def strSwapcase(c: Column): Column =
+    translate(c, LowerAz + UpperAz, UpperAz + LowerAz)
+
+  /** pandas str.title with WHITESPACE word boundaries (initcap
+    * semantics). Python title() also treats any non-alpha as a
+    * boundary ("it's" -> "It'S") — deviation documented; the accessor
+    * contract is ASCII words. */
+  def strTitle(c: Column): Column = initcap(c)
+
+  /** pandas str.istitle under the same whitespace-word contract:
+    * title-cased and contains at least one letter. */
+  def strIsTitle(c: Column): Column =
+    c.rlike("[A-Za-z]") && (c === initcap(c))
+
+  /** pandas str.isnumeric (ASCII digits contract). */
+  def strIsNumeric(c: Column): Column = c.rlike("^[0-9]+$")
+
+  /** pandas str.match: regex anchored at the START only. */
+  def strMatch(c: Column, pat: String): Column = c.rlike("^(?:" + pat + ")")
+
+  /** pandas str.fullmatch: regex anchored at both ends. */
+  def strFullmatch(c: Column, pat: String): Column =
+    c.rlike("^(?:" + pat + ")$")
+
+  /** pandas str.rfind: 0-based index of the LAST occurrence, -1 when
+    * absent — one instr over the reversed pair, no regex. */
+  def strRfind(c: Column, sub: String): Column = {
+    require(sub.nonEmpty, "rfind: need a non-empty substring")
+    val pos = instr(reverse(c), sub.reverse)
+    when(pos === 0, lit(-1))
+      .otherwise(length(c) - lit(sub.length) - pos + 1)
+  }
+
+  /** pandas str.lstrip / rstrip (whitespace form). */
+  def strLstrip(c: Column): Column = ltrim(c)
+  def strRstrip(c: Column): Column = rtrim(c)
+
+  /** pandas Series.str.cat(other, sep): null if EITHER side is null
+    * (NaN propagation) — unlike concat_ws, which skips nulls. */
+  def strCat(a: Column, b: Column, sep: String): Column =
+    when(a.isNull || b.isNull, lit(null))
+      .otherwise(concat(a, lit(sep), b))
+
+  /** pandas dt.round(freq) for fixed-length units (s/min/H/D):
+    * round-HALF-TO-EVEN on the bucket index — pandas rounds an exact
+    * half to the even multiple of the unit, NOT half-up. Exact integer
+    * arithmetic on epoch micros, codegen, zero shuffle. */
+  def dtRound(c: Column, unitSeconds: Long): Column = {
+    require(unitSeconds >= 1, "dt.round: need unitSeconds >= 1")
+    val us = unitSeconds * 1000000L
+    val e = unix_micros(c)
+    val r0 = pmod(e, lit(us))
+    val base = e - r0
+    val half = us / 2
+    // base is an exact multiple of us, so the double division below is
+    // exact (bucket index ~1e5..1e9, far inside the 2^53 mantissa)
+    val bucket = (base / us).cast("long")
+    val bump = when(r0 > half, lit(us))
+      .when(r0 < half, lit(0L))
+      .otherwise(when(bucket % 2 === 0, lit(0L)).otherwise(lit(us)))
+    timestamp_micros(base + bump)
+  }
+
+  /** pandas dt.month_name() (English locale). */
+  def dtMonthName(c: Column): Column = date_format(c, "MMMM")
+
+  def dtSecond(c: Column): Column = second(c)
+
+  /** pandas dt.microsecond: sub-second micros within the second. */
+  def dtMicrosecond(c: Column): Column =
+    pmod(unix_micros(c), lit(1000000L)).cast("int")
+
+  /** pandas dt.tz_localize(tz): interpret the naive timestamp as
+    * wall-clock time IN `tz` and return the UTC instant (the inverse
+    * of [[dtTzConvert]]). Fixed-offset zones ("UTC+05:30") are
+    * DST-table-free and engine-portable. */
+  def dtTzLocalize(c: Column, tz: String): Column = to_utc_timestamp(c, tz)
 }
