@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine._
+import graft.engine.Core.r
+
+/** Eighth tranche (round 6): the conditional-selection / encoding /
+  * time-selection family ([[graft.engine.Frame]], round-6 batch) —
+  * clip / where / mask, factorize, stack / unstack, between_time /
+  * at_time / truncate, searchsorted. Same conventions as [[Queries]]. */
+object Queries8 {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Core.normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- clip / where / mask: pure codegen over the scan, zero
+    //      shuffle ----
+    "q_clip_where" -> ((s, d) => {
+      val ev = T(s, d, "events").select("event_id", "value")
+      ev.select(col("event_id"),
+          r(Frame.clip(col("value"), Some(10.0), Some(90.0)), 6).as("clipped"),
+          r(Frame.where(col("value"), col("value") >= 25.0, lit(null)), 6)
+            .as("wh"),
+          r(Frame.mask(col("value"), col("value") > 50.0, lit(50.0)), 6)
+            .as("mk"))
+        .orderBy("event_id")
+    }),
+
+    // ---- factorize: codes in first-appearance order. One hash
+    //      aggregate to |distinct| rows, a row_number over that SMALL
+    //      table, one AQE-broadcast join back — the frame itself is
+    //      never sorted ----
+    "q_factorize" -> ((s, d) => {
+      val o = T(s, d, "orders").select("o_orderkey", "o_orderpriority")
+      Frame.factorize(o, "o_orderpriority", "o_orderkey", "code")
+        .select("o_orderkey", "o_orderpriority", "code")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- unstack: one shuffle (groupBy + pivot with the category
+    //      list supplied — no discovery job); null where the (index,
+    //      category) pair is absent ----
+    "q_unstack" -> ((s, d) => {
+      val sums = T(s, d, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("sq"))
+      Frame.unstack(sums, Seq("l_orderkey"), "l_returnflag", "sq",
+          Seq("A", "N", "R"))
+        .select(col("l_orderkey"), r(col("A"), 6).as("qty_a"),
+          r(col("N"), 6).as("qty_n"), r(col("R"), 6).as("qty_r"))
+        .orderBy("l_orderkey")
+    }),
+
+    // ---- stack: wide -> long dropping nulls (pandas default);
+    //      Generate over the scan, zero shuffle ----
+    "q_stack" -> ((s, d) => {
+      val c = T(s, d, "customer")
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 3 === 0, lit(null))
+            .otherwise(col("c_acctbal")).as("c_acctbal"),
+          col("c_nationkey"))
+      Frame.stack(c, Seq("c_custkey"), Seq("c_acctbal", "c_nationkey"),
+          "var", "val")
+        .select(col("c_custkey"), col("var"), r(col("val"), 6).as("val"))
+        .orderBy("c_custkey", "var")
+    }),
+
+    // ---- between_time + truncate + at_time: time-of-day and
+    //      index-range selection — pure codegen filters that push to
+    //      the scan ----
+    "q_time_select" -> ((s, d) => {
+      val ev = T(s, d, "events").select("event_id", "ts", "value")
+      ev.filter(Frame.betweenTime(col("ts"), "09:00:00", "17:00:00") &&
+          col("event_id").between(100, 50000))
+        .select(col("event_id"),
+          (hour(col("ts")) * 3600 + minute(col("ts")) * 60 +
+            second(col("ts"))).as("sod"),
+          Frame.atTime(col("ts"), "12:00:00").cast("int").as("at_noon"),
+          r(col("value"), 6).as("value"))
+        .orderBy("event_id")
+    }),
+
+    // ---- searchsorted: all probes share ONE map-side-combined
+    //      aggregate pass; the series is never sorted ----
+    "q_searchsorted" -> ((s, d) => {
+      val li = T(s, d, "lineitem").select("l_quantity")
+      Frame.searchsorted(li, "l_quantity",
+          Seq(1.0, 10.5, 25.0, 37.75, 50.0))
+        .orderBy("probe")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_clip_where" ->
+      """SELECT event_id,
+         round(least(greatest(value, 10.0), 90.0) + 1e-9, 6) AS clipped,
+         round(CASE WHEN value >= 25.0 THEN value END + 1e-9, 6) AS wh,
+         round(CASE WHEN value > 50.0 THEN 50.0 ELSE value END + 1e-9, 6)
+           AS mk
+         FROM events ORDER BY event_id""",
+
+    "q_factorize" ->
+      """WITH f AS (SELECT o_orderpriority, min(o_orderkey) AS fst
+                    FROM orders GROUP BY 1),
+         c AS (SELECT o_orderpriority,
+                 row_number() OVER (ORDER BY fst) - 1 AS code
+               FROM f)
+         SELECT o.o_orderkey, o.o_orderpriority, c.code
+         FROM orders o JOIN c USING (o_orderpriority)
+         ORDER BY o_orderkey""",
+
+    "q_unstack" ->
+      """SELECT l_orderkey,
+         round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END)
+           + 1e-9, 6) AS qty_a,
+         round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END)
+           + 1e-9, 6) AS qty_n,
+         round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END)
+           + 1e-9, 6) AS qty_r
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_stack" ->
+      """SELECT c_custkey, var, round(val + 1e-9, 6) AS val FROM (
+           SELECT c_custkey, 'c_acctbal' AS var,
+             CASE WHEN c_custkey % 3 = 0 THEN NULL
+                  ELSE c_acctbal END AS val
+           FROM customer
+           UNION ALL
+           SELECT c_custkey, 'c_nationkey', c_nationkey::DOUBLE
+           FROM customer)
+         WHERE val IS NOT NULL
+         ORDER BY c_custkey, var""",
+
+    "q_time_select" ->
+      """SELECT event_id,
+         (date_part('hour', ts) * 3600 + date_part('minute', ts) * 60
+           + date_part('second', ts))::INT AS sod,
+         CASE WHEN date_part('hour', ts) = 12
+               AND date_part('minute', ts) = 0
+               AND date_part('second', ts) = 0 THEN 1 ELSE 0 END AS at_noon,
+         round(value + 1e-9, 6) AS value
+         FROM events
+         WHERE date_part('hour', ts) * 3600 + date_part('minute', ts) * 60
+             + date_part('second', ts) BETWEEN 32400 AND 61200
+           AND event_id BETWEEN 100 AND 50000
+         ORDER BY event_id""",
+
+    "q_searchsorted" ->
+      """SELECT p AS probe,
+         (SELECT count(*) FROM lineitem WHERE l_quantity < p) AS pos_left,
+         (SELECT count(*) FROM lineitem WHERE l_quantity <= p) AS pos_right
+         FROM (SELECT unnest([1.0, 10.5, 25.0, 37.75, 50.0]) AS p)
+         ORDER BY probe""")
+}

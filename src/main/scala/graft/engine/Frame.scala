@@ -149,4 +149,113 @@ object Frame {
     element_at(array(cols.map(lit): _*),
       array_position(arr, array_min(arr)).cast("int"))
   }
+
+  // ---- round-6 batch: clip / where / mask, factorize, stack /
+  //      unstack, time-of-day selection, searchsorted ----
+
+  /** pandas clip(lower, upper): values outside the bounds snap to the
+    * bound; nulls pass through (least/greatest are null-intolerant in
+    * the right way here because the literal bound is never null).
+    * Pure codegen, zero shuffle. */
+  def clip(c: Column, lower: Option[Double], upper: Option[Double]): Column = {
+    val lo = lower.map(v => greatest(c, lit(v))).getOrElse(c)
+    upper.map(v => least(lo, lit(v))).getOrElse(lo)
+  }
+
+  /** pandas where(cond, other): KEEP where cond holds, else `other`
+    * (pandas default other=NaN -> pass lit(null)). */
+  def where(c: Column, cond: Column, other: Column): Column =
+    when(cond, c).otherwise(other)
+
+  /** pandas mask(cond, other): REPLACE where cond holds — the inverse
+    * of [[where]]. */
+  def mask(c: Column, cond: Column, other: Column): Column =
+    when(cond, other).otherwise(c)
+
+  /** pandas factorize(): integer codes 0..k-1 in order of FIRST
+    * APPEARANCE under the explicit row order `ordCol`; null -> -1
+    * (pandas assigns NaN code -1 and excludes it from the uniques).
+    *
+    * Scale shape: one hash aggregate to |distinct| rows (min(ord) per
+    * value), a row_number over that SMALL table (un-partitioned window,
+    * but on k rows, not n — same pattern as rank's stats table), and
+    * one equi-join back that AQE broadcasts when k is small. The frame
+    * itself is never globally sorted. */
+  def factorize(df: DataFrame, c: String, ordCol: String,
+                out: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val codes = df.filter(col(c).isNotNull)
+      .groupBy(col(c)).agg(min(col(ordCol)).as("__first"))
+      .withColumn(out,
+        (row_number().over(Window.orderBy(col("__first"))) - 1).cast("long"))
+      .select(col(c), col(out))
+    df.join(codes, Seq(c), "left")
+      .withColumn(out, coalesce(col(out), lit(-1L)))
+  }
+
+  /** pandas unstack(level): pivot `level`'s categories into columns,
+    * one row per remaining index, null where the (index, category)
+    * pair is absent. `categories` must be supplied (pandas knows them
+    * from the index; passing them here keeps this a single shuffle
+    * with no discovery job). Cells are first(value) — unstack assumes
+    * the (ids, level) pairs are unique, as pandas does. */
+  def unstack(df: DataFrame, ids: Seq[String], level: String, value: String,
+              categories: Seq[String]): DataFrame =
+    df.groupBy(ids.map(col): _*)
+      .pivot(level, categories)
+      .agg(first(col(value)))
+
+  /** pandas stack(): wide -> long, one row per (index, column) pair
+    * with non-null value (pandas drops NaN by default). Generate over
+    * the scan — zero shuffle. */
+  def stack(df: DataFrame, ids: Seq[String], valueCols: Seq[String],
+            varName: String, valName: String): DataFrame = {
+    val pairs = valueCols.flatMap(c =>
+      Seq(lit(c), col(c).cast("double")))
+    df.select(ids.map(col) :+
+        explode(map(pairs: _*)).as(Seq(varName, valName)): _*)
+      .filter(col(valName).isNotNull)
+  }
+
+  private def secondOfDay(ts: Column): Column =
+    hour(ts) * 3600 + minute(ts) * 60 + second(ts)
+
+  /** pandas between_time(start, end): rows whose TIME-OF-DAY falls in
+    * [start, end] (inclusive both ends, pandas default). "HH:mm:ss"
+    * strings. Pure codegen filter — pushes to the scan. */
+  def betweenTime(ts: Column, start: String, end: String): Column = {
+    def s(t: String): Int = {
+      val p = t.split(":").map(_.toInt)
+      p(0) * 3600 + (if (p.length > 1) p(1) * 60 else 0) +
+        (if (p.length > 2) p(2) else 0)
+    }
+    secondOfDay(ts).between(s(start), s(end))
+  }
+
+  /** pandas at_time(t): exact time-of-day match. */
+  def atTime(ts: Column, t: String): Column = {
+    val p = t.split(":").map(_.toInt)
+    val sec = p(0) * 3600 + (if (p.length > 1) p(1) * 60 else 0) +
+      (if (p.length > 2) p(2) else 0)
+    secondOfDay(ts) === sec
+  }
+
+  /** pandas Series.searchsorted(probes): for each probe value, the
+    * insertion index that keeps the sorted series sorted — side='left'
+    * counts elements strictly below, side='right' counts <=. The
+    * series itself is NEVER sorted: each position is one conditional
+    * count, all probes share ONE aggregate pass (map-side combined),
+    * and the |probes|-row result explodes from a single row. */
+  def searchsorted(df: DataFrame, c: String,
+                   probes: Seq[Double]): DataFrame = {
+    val aggs = probes.zipWithIndex.flatMap { case (v, i) =>
+      Seq(sum(when(col(c) < v, 1L).otherwise(0L)).as(s"__l$i"),
+        sum(when(col(c) <= v, 1L).otherwise(0L)).as(s"__r$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = probes.indices.map(i =>
+      struct(lit(probes(i)).as("probe"), col(s"__l$i").as("pos_left"),
+        col(s"__r$i").as("pos_right")))
+    one.select(explode(array(rows: _*)).as("__s")).select(col("__s.*"))
+  }
 }

@@ -537,6 +537,38 @@ object Dedup {
         (coalesce(col("cluster_rep"), col(id)) === col(id)).as("keep"))
   }
 
+  /** [[fuzzy]] with QUALITY-AWARE survivor selection: instead of the
+    * canonical minimum id, each near-dup cluster keeps its
+    * highest-`quality` member (tie -> smallest id) — the form actually
+    * used when cleaning training corpora, where the longest / highest-
+    * scoring variant of a boilerplate family should survive, not the
+    * one that happened to be crawled first.
+    *
+    * Scale shape: identical to [[fuzzy]] upstream (single-shuffle LSH,
+    * contracted CC). Survivor selection is ONE |docs|-row hash
+    * aggregate to |clusters| rows — `max_by(id, (quality, -id))` is
+    * map-side combinable, so no cluster is ever sorted — and the
+    * join back is AQE-broadcast when the cluster table is small.
+    * Returns (id, cluster_rep, keep_id, keep). */
+  def fuzzyKeepBest(df: DataFrame, id: String, text: String,
+                    quality: Column, k: Int = 3,
+                    bands: Int = 4, rowsPerBand: Int = 2,
+                    maxBucket: Int = 100000): DataFrame = {
+    val cl = clusters(
+      minhashLshPairs(df, id, text, k, bands, rowsPerBand, maxBucket))
+      .withColumnRenamed("doc", "__doc")
+    val labeled = df.select(col(id), quality.as("__q"))
+      .join(cl, col(id) === col("__doc"), "left")
+      .select(col(id), col("__q"),
+        coalesce(col("cluster_rep"), col(id)).as("cluster_rep"))
+    val survivors = labeled.groupBy(col("cluster_rep"))
+      .agg(max_by(col(id), struct(col("__q"), (-col(id)).as("__n")))
+        .as("keep_id"))
+    labeled.join(survivors, Seq("cluster_rep"))
+      .select(col(id), col("cluster_rep"), col("keep_id"),
+        (col(id) === col("keep_id")).as("keep"))
+  }
+
   /** Min-rooted union-find with path compression (smaller id wins, so
     * every root is its component's minimum member). */
   private[pipeline] final class UnionFind {

@@ -180,4 +180,86 @@ object TextAnalysis {
     * ([[graft.functions.RollingHash]]); map-side, zero shuffle. */
   def rollingFingerprint(c: Column): Column =
     graft.functions.RollingHash(tokens(c))
+
+  /** Non-empty tokens as an array column (shared by the n-gram ops). */
+  private def cleanTokens(text: Column): Column =
+    filter(tokens(text), t => t =!= "")
+
+  /** Corpus-wide top-k token n-grams by frequency (vocabulary /
+    * tokenizer-training prep, boilerplate discovery). Deterministic
+    * tie-break: count desc, then gram asc.
+    *
+    * Scale shape: the n-gram explode is map-side (no per-doc state);
+    * the count is a map-side-combinable hash aggregate keyed on the
+    * gram — a boilerplate gram repeated a billion times collapses to
+    * one row per map task before the shuffle — and the top-k compiles
+    * to TakeOrderedAndProject (each task keeps k rows, driver merges
+    * k·partitions; the gram table is never globally sorted). */
+  def topNgrams(df: DataFrame, text: String, n: Int = 2,
+                k: Int = 20): DataFrame = {
+    require(n >= 1 && k >= 1, s"need n>=1, k>=1; got $n, $k")
+    val w = cleanTokens(col(text))
+    val grams =
+      when(size(w) >= n, transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+    graft.engine.Core.spread(df.select(col(text)))
+      .select(explode(grams).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+  }
+
+  /** Interpolated-bigram language-model score per document: the average
+    * over positions i >= 2 of ln(λ·P(wᵢ|wᵢ₋₁) + (1-λ)·P(wᵢ)), with
+    * both models estimated from the corpus itself (the KenLM-shaped
+    * refinement of [[unigramLogProb]] — bigram structure separates
+    * fluent text from shuffled-word noise that unigram statistics
+    * cannot see). The unigram interpolation term doubles as OOV-free
+    * smoothing: every bigram's components exist in the corpus
+    * vocabulary by construction, so the argument of ln is never 0.
+    *
+    * Scale shape: the (prev, cur) pair table is derived once and
+    * referenced verbatim by the bigram-count aggregate and the scoring
+    * join, so ReuseExchange materializes its shuffle once (the
+    * bm25TopTerms pattern). Both count tables are hash-partitioned
+    * joins (vocabulary-sized — never broadcast); the corpus total
+    * rides a broadcast 1-row aggregate; one final doc-keyed average.
+    * Docs with < 2 tokens drop out (no bigrams), as in pandas/KenLM
+    * practice. */
+  def bigramLogProb(df: DataFrame, id: String, text: String,
+                    lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0.0 && lambda <= 1.0, s"need 0 < lambda <= 1; got $lambda")
+    val w = cleanTokens(col(text))
+    val base = graft.engine.Core.spread(df.select(col(id), col(text)))
+      .select(col(id), w.as("__w"))
+      .filter(size(col("__w")) >= 2)
+    val pairs = base
+      .select(col(id), explode(transform(sequence(lit(2), size(col("__w"))),
+        i => struct(element_at(col("__w"), i - 1).as("prev"),
+          element_at(col("__w"), i).as("cur")))).as("__p"))
+      .select(col(id), col("__p.prev").as("prev"), col("__p.cur").as("cur"))
+    val big = pairs.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).cast("double").as("__bc"))
+    // unigram counts over ALL tokens (first tokens included), from one
+    // token explode of the same doc scan
+    val uni = graft.engine.Core.spread(df.select(col(text)))
+      .select(explode(cleanTokens(col(text))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("__uc"))
+    val tot = uni.agg(sum(col("__uc")).as("__tot"))
+    // double-op order mirrors the oracle exactly:
+    // (λ·bc)/uc_prev + ((1-λ)·uc_cur)/total
+    val lp = log(
+      (lit(lambda) * col("__bc")) / col("__pc") +
+        (lit(1.0 - lambda) * col("__cc")) / col("__tot"))
+    pairs
+      .join(big, Seq("prev", "cur"))
+      .join(uni.select(col("term").as("prev"), col("__uc").as("__pc")),
+        Seq("prev"))
+      .join(uni.select(col("term").as("cur"), col("__uc").as("__cc")),
+        Seq("cur"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"), avg(lp).as("avg_lp"))
+  }
 }
