@@ -202,7 +202,7 @@ object PipelineQueries {
   /** MinHash-LSH pairs + symmetric edge set + recursive reachability —
     * the shared core of the q_dedup_clusters / q_dedup_fuzzy oracles
     * (callers must open WITH RECURSIVE). */
-  private val ClustersCte =
+  private[graft] val ClustersCte =
     s"""$ShingleCte,
        hh AS (SELECT doc_id,
                 ('0x' || substr(md5(s), 1, 15))::BIGINT AS a,

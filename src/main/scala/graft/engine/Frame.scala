@@ -154,12 +154,13 @@ object Frame {
   //      unstack, time-of-day selection, searchsorted ----
 
   /** pandas clip(lower, upper): values outside the bounds snap to the
-    * bound; nulls pass through (least/greatest are null-intolerant in
-    * the right way here because the literal bound is never null).
-    * Pure codegen, zero shuffle. */
+    * bound; nulls pass through. Spark's greatest/least SKIP nulls (a
+    * null input would snap to the bound), so the null case is guarded
+    * explicitly. Pure codegen, zero shuffle. */
   def clip(c: Column, lower: Option[Double], upper: Option[Double]): Column = {
     val lo = lower.map(v => greatest(c, lit(v))).getOrElse(c)
-    upper.map(v => least(lo, lit(v))).getOrElse(lo)
+    val hi = upper.map(v => least(lo, lit(v))).getOrElse(lo)
+    when(c.isNull, lit(null)).otherwise(hi)
   }
 
   /** pandas where(cond, other): KEEP where cond holds, else `other`
@@ -177,17 +178,28 @@ object Frame {
     * (pandas assigns NaN code -1 and excludes it from the uniques).
     *
     * Scale shape: one hash aggregate to |distinct| rows (min(ord) per
-    * value), a row_number over that SMALL table (un-partitioned window,
-    * but on k rows, not n — same pattern as rank's stats table), and
-    * one equi-join back that AQE broadcasts when k is small. The frame
-    * itself is never globally sorted. */
+    * value), then codes are assigned WITHOUT a partition-less window —
+    * a range repartition on first-appearance keeps global order across
+    * partitions and `zipWithIndex` numbers rows distributively (its
+    * only cost is one small per-partition count job). Factorizing an
+    * ID-like column (k ~ n) therefore never funnels through one task.
+    * The join back is AQE-broadcast when k is small; the frame itself
+    * is never globally sorted. */
   def factorize(df: DataFrame, c: String, ordCol: String,
                 out: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val codes = df.filter(col(c).isNotNull)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val firsts = df.filter(col(c).isNotNull)
       .groupBy(col(c)).agg(min(col(ordCol)).as("__first"))
-      .withColumn(out,
-        (row_number().over(Window.orderBy(col("__first"))) - 1).cast("long"))
+    // equal __first keys land in one range partition, so the secondary
+    // sort on the value column makes tie order deterministic too
+    val sorted = firsts.repartitionByRange(col("__first"), col(c))
+      .sortWithinPartitions("__first", c)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(out, LongType, nullable = false))
+    val codes = df.sparkSession.createDataFrame(
+        sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+        schema)
       .select(col(c), col(out))
     df.join(codes, Seq(c), "left")
       .withColumn(out, coalesce(col(out), lit(-1L)))

@@ -104,6 +104,63 @@ class FrameSpec extends SparkSpec {
     }
   }
 
+  test("clip/where/mask: bound snap, keep-vs-replace, nulls pass through") {
+    val df = Seq(Some(5.0), Some(50.0), Some(95.0), None).toDF("v")
+    val out = df.select(
+        Frame.clip(col("v"), Some(10.0), Some(90.0)).as("c"),
+        Frame.where(col("v"), col("v") >= 25.0, lit(null)).as("w"),
+        Frame.mask(col("v"), col("v") > 50.0, lit(50.0)).as("m"))
+      .collect().map(r => (optD(r, 0), optD(r, 1), optD(r, 2))).toSeq
+    // pandas: clip(10,90)=[10,50,90,NaN]; where(v>=25)=[NaN,50,95,NaN];
+    //         mask(v>50, 50)=[5,50,50,NaN]
+    assert(out == Seq(
+      (Some(10.0), None, Some(5.0)),
+      (Some(50.0), Some(50.0), Some(50.0)),
+      (Some(90.0), Some(95.0), Some(50.0)),
+      (None, None, None)))
+  }
+
+  test("factorize: codes in first-appearance order, null -> -1") {
+    val df = Seq((1L, "b"), (2L, "a"), (3L, "b"), (4L, null), (5L, "c"))
+      .toDF("i", "v")
+    val out = Frame.factorize(df, "v", "i", "code").orderBy("i")
+      .collect().map(_.getLong(2)).toSeq
+    // pandas factorize: b=0 (first seen), a=1, c=2, NaN=-1
+    assert(out == Seq(0L, 1L, 0L, -1L, 2L))
+  }
+
+  test("stack/unstack round-trip: wide<->long, nulls dropped/restored") {
+    val wide = Seq((1L, Some(2.0), None: Option[Double]),
+      (2L, Some(3.0), Some(4.0))).toDF("k", "x", "y")
+    val long = Frame.stack(wide, Seq("k"), Seq("x", "y"), "var", "val")
+      .orderBy("k", "var")
+    assert(long.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "x", 2.0), (2L, "x", 3.0), (2L, "y", 4.0)))
+    val back = Frame.unstack(long, Seq("k"), "var", "val", Seq("x", "y"))
+      .orderBy("k").collect()
+    assert(optD(back(0), 1) == Some(2.0) && optD(back(0), 2).isEmpty)
+    assert(optD(back(1), 1) == Some(3.0) && optD(back(1), 2) == Some(4.0))
+  }
+
+  test("between_time/at_time: inclusive time-of-day window, exact match") {
+    val df = Seq("2024-01-01 08:59:59", "2024-01-01 09:00:00",
+        "2024-01-02 12:00:00", "2024-01-03 17:00:01")
+      .toDF("s").select(to_timestamp(col("s")).as("ts"))
+    assert(df.filter(Frame.betweenTime(col("ts"), "09:00:00", "17:00:00"))
+      .count() == 2)
+    assert(df.filter(Frame.atTime(col("ts"), "12:00:00")).count() == 1)
+  }
+
+  test("searchsorted: left counts <, right counts <=, unsorted input") {
+    val df = Seq(3.0, 1.0, 2.0, 2.0).toDF("v")
+    val out = Frame.searchsorted(df, "v", Seq(0.5, 2.0, 4.0))
+      .orderBy("probe").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+    // numpy searchsorted on sorted [1,2,2,3]: 0.5->(0,0), 2->(1,3), 4->(4,4)
+    assert(out == Seq((0.5, 0L, 0L), (2.0, 1L, 3L), (4.0, 4L, 4L)))
+  }
+
   test("row-wise rank (average ties) and idx extrema (first on ties)") {
     val df = Seq((1.0, 2.0, 2.0)).toDF("a", "b", "c")
     val cols = Seq("a", "b", "c")

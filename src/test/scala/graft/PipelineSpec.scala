@@ -380,4 +380,49 @@ class PipelineSpec extends SparkSpec {
     assert(out(2) == ((3L, 5L, 0L, 0L, 0.0)))
     assert(out(3) == ((4L, 29L, 0L, 0L, 0.0)))
   }
+
+  test("fuzzyKeepBest: highest-quality cluster member survives, min id on tie") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps", 10L),
+      (2L, "the quick brown fox jumps", 25L),   // same text, higher quality
+      (3L, "the quick brown fox jumps", 25L),   // quality tie with 2 -> 2 wins
+      (4L, "completely different text here now", 5L)).toDF("doc_id", "text", "q")
+    val out = Dedup.fuzzyKeepBest(d, "doc_id", "text", col("q"),
+        k = 3, bands = 4, rowsPerBand = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    // cluster {1,2,3}: max quality 25 held by 2 and 3, tie -> smaller id 2
+    assert(out.toSeq == Seq((1L, 2L, false), (2L, 2L, true),
+      (3L, 2L, false), (4L, 4L, true)))
+  }
+
+  test("topNgrams: count-desc then gram-asc, short docs contribute nothing") {
+    val d = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.topNgrams(d, "text", n = 2, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // bigrams: "a b"×3 (two in doc1, one in doc2), "b a"×1, "b c"×1;
+    // k=2 keeps "a b" then the tie-break picks "b a" before "b c"
+    assert(out == Seq(("a b", 3L), ("b a", 1L)))
+  }
+
+  test("bigramLogProb: hand-computed interpolated scores, short docs dropped") {
+    val d = Seq(
+      (1L, "x y x y x y"),
+      (2L, "p q r s t u"),
+      (3L, "solo")).toDF("doc_id", "text")  // <2 tokens -> dropped
+    val out = TextAnalysis.bigramLogProb(d, "doc_id", "text", lambda = 0.7)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 5L)
+    assert(out(1).getLong(0) == 2L && out(1).getLong(1) == 5L)
+    // corpus unigrams: x=3, y=3, p..u=1 each, solo=1 -> tot=13
+    val l = 0.7; val tot = 13.0
+    // doc1 bigrams: (x,y)×3 [bc=3,pc=3,cc=3], (y,x)×2 [bc=2,pc=3,cc=3]
+    val lp1 = (3 * math.log((l * 3) / 3 + ((1.0 - l) * 3) / tot) +
+      2 * math.log((l * 2) / 3 + ((1.0 - l) * 3) / tot)) / 5
+    // doc2: 5 unique bigrams, all [bc=1,pc=1,cc=1]
+    val lp2 = math.log((l * 1) / 1 + ((1.0 - l) * 1) / tot)
+    assertApprox(optD(out(0), 2), Some(lp1), 1e-9)
+    assertApprox(optD(out(1), 2), Some(lp2), 1e-9)
+  }
 }
