@@ -224,18 +224,26 @@ object Corr {
     * null-free frames and ~k× cheaper — use them there; this is the
     * exact form for data with holes.
     *
-    * Scale shape: all k(k-1)/2 pearson cells AND their pair counts ride
-    * ONE aggregate pass (Spark's `corr` masks null pairs natively, so
-    * per-pair masking costs nothing extra — map-side combinable, no
-    * shuffle of the frame). Spearman cells are inherently per-pair:
-    * pandas re-ranks each column inside each pair's mask, so each pair
-    * runs the single-pair [[spearman]] prestep (one bounded stats probe
-    * + distributed rank, no global sort) — k(k-1)/2 bounded jobs, the
-    * honest distributed form of the reference's per-pair pool fan-out
-    * (`parallel_dataframe.py:279`). Long form (c1, c2, pearson,
-    * spearman, n), upper triangle. */
+    * Scale shape: TWO jobs at any column count. Probe: all k(k-1)/2
+    * pearson cells, their pair counts, AND the bounded exact histogram
+    * of each column masked to each pair's complete rows ride ONE
+    * aggregate pass (Spark's `corr` masks null pairs natively; the
+    * masked histograms are the batched form of [[spearman]]'s per-pair
+    * probe — map-side combinable, no shuffle of the frame). Main: each
+    * masked midrank is attached via a broadcast rank-stats join built
+    * from its histogram (the frame is never shuffled or sorted) and one
+    * final aggregate evaluates every rank correlation. A pair whose
+    * masked column exceeds the histogram's cardinality bound (65536
+    * distinct) falls back to the single-pair [[spearman]] —
+    * distributed bucketed midrank, one bounded extra job per such
+    * pair. Long form (c1, c2, pearson, spearman, n), upper
+    * triangle. */
   def corrMatrixPairwise(df: DataFrame, cols: Seq[String],
                          minPeriods: Int = 1): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
+      StructField, StructType}
+    val spark = df.sparkSession
     val k = cols.size
     require(k >= 2, "corr matrix: need at least two columns")
     val base = df.select(cols.zipWithIndex.map { case (c, i) =>
@@ -243,20 +251,66 @@ object Corr {
       when(!isnan(d), d).as(s"__c$i")
     }: _*)
     val pairs = for { i <- 0 until k; j <- (i + 1) until k } yield (i, j)
-    val aggs = pairs.flatMap { case (i, j) => Seq(
-      corr(col(s"__c$i"), col(s"__c$j")).as(s"p${i}_$j"),
-      count(when(col(s"__c$i").isNotNull && col(s"__c$j").isNotNull, 1))
-        .as(s"n${i}_$j")) }
-    val one = base.agg(aggs.head, aggs.tail: _*)
-    val stacked = pairs.map { case (i, j) =>
-      s"'${cols(i)}', '${cols(j)}', `p${i}_$j`, `n${i}_$j`" }
-      .mkString(s"stack(${pairs.size}, ", ", ", ") as (c1, c2, __p, n)")
-    val pe = one.select(expr(stacked))
-    val sp = pairs.map { case (i, j) =>
+    val ordered = pairs.flatMap { case (i, j) => Seq((i, j), (j, i)) }
+    // ---- probe: pearson + count + per-pair masked histograms, one pass
+    val probeAggs = pairs.flatMap { case (i, j) => Seq(
+        corr(col(s"__c$i"), col(s"__c$j")).as(s"p${i}_$j"),
+        count(when(col(s"__c$i").isNotNull && col(s"__c$j").isNotNull, 1))
+          .as(s"n${i}_$j")) } ++
+      ordered.map { case (i, j) =>
+        Reductions.boundedHistogram(
+          when(col(s"__c$j").isNotNull, col(s"__c$i"))).as(s"h${i}_$j") }
+    val st = base.agg(probeAggs.head, probeAggs.tail: _*).collect()(0)
+    def histOf(i: Int, j: Int): Seq[(Double, Long)] = {
+      val f = st.fieldIndex(s"h${i}_$j")
+      if (st.isNullAt(f)) null else st.getMap[Double, Long](f).toSeq
+    }
+    val (batched, overflow) = pairs.partition { case (i, j) =>
+      histOf(i, j) != null && histOf(j, i) != null }
+    // ---- main (LAZY): broadcast-join every masked midrank onto one
+    //      frame, evaluate all rank correlations in one aggregate
+    val batchedCells: Option[DataFrame] =
+      if (batched.isEmpty) None
+      else {
+        var ranked = base
+        batched.flatMap { case (i, j) => Seq((i, j), (j, i)) }
+          .foreach { case (i, j) =>
+            val p = s"__p${i}_$j"
+            ranked = ranked
+              .join(Reductions.rankStatsFromCounts(spark, histOf(i, j), p),
+                col(s"__c$i") === col(s"${p}v"), "left")
+              .withColumn(s"__r${i}_$j",
+                when(col(s"__c$j").isNotNull,
+                  col(s"${p}_before") + (col(s"${p}_cnt") + 1) / 2.0))
+              .drop(s"${p}v", s"${p}_cnt", s"${p}_before", s"${p}_dense")
+          }
+        val cellAggs = batched.map { case (i, j) =>
+          corr(col(s"__r${i}_$j"), col(s"__r${j}_$i")).as(s"s${i}_$j") }
+        val one = ranked.agg(cellAggs.head, cellAggs.tail: _*)
+        val stacked = batched.map { case (i, j) =>
+          s"'${cols(i)}', '${cols(j)}', `s${i}_$j`" }
+          .mkString(s"stack(${batched.size}, ", ", ", ") as (c1, c2, __s)")
+        Some(one.select(expr(stacked)))
+      }
+    val fallbackCells = overflow.map { case (i, j) =>
       spearman(base, s"__c$i", s"__c$j")
         .select(lit(cols(i)).as("c1"), lit(cols(j)).as("c2"),
           col("spearman").as("__s"))
-    }.reduce(_ unionByName _)
+    }
+    val sp = (batchedCells.toSeq ++ fallbackCells).reduce(_ unionByName _)
+    // pearson + n are already on the driver from the probe: a
+    // |pairs|-row LocalRelation joined to the lazy spearman cells
+    val pe = spark.createDataFrame(
+      java.util.Arrays.asList(pairs.map { case (i, j) =>
+        val pf = st.fieldIndex(s"p${i}_$j")
+        Row(cols(i), cols(j),
+          if (st.isNullAt(pf)) null else st.getDouble(pf),
+          st.getLong(st.fieldIndex(s"n${i}_$j")))
+      }: _*),
+      StructType(Seq(
+        StructField("c1", StringType), StructField("c2", StringType),
+        StructField("__p", DoubleType),
+        StructField("n", LongType, nullable = false))))
     pe.join(sp, Seq("c1", "c2"), "left")
       .select(col("c1"), col("c2"),
         when(col("n") >= minPeriods, col("__p")).as("pearson"),
