@@ -90,6 +90,40 @@ object Queries8 {
       Frame.searchsorted(li, "l_quantity",
           Seq(1.0, 10.5, 25.0, 37.75, 50.0))
         .orderBy("probe")
+    }),
+
+    // ---- §2.10 str accessor, tranche 7: casefold / isdecimal /
+    //      ljust / rjust / zfill (pad-only, never truncate) / join /
+    //      rsplit-item — all codegen over the scan ----
+    "q_str_ops7" -> ((s, d) => {
+      val p = T(s, d, "part")
+      p.select(
+        col("p_partkey"),
+        StrDt.strCasefold(col("p_name")).as("cf"),
+        StrDt.strIsDecimal(StrDt.strSplitItem(col("p_brand"), "#", 1))
+          .as("isdec"),
+        StrDt.strLjust(col("p_type"), 22, ".").as("lj"),
+        StrDt.strRjust(col("p_type"), 22, ".").as("rj"),
+        StrDt.strZfill(StrDt.strSplitItem(col("p_brand"), "#", 1), 4)
+          .as("zf"),
+        StrDt.strZfill(col("p_type"), 10).as("zfw"),
+        StrDt.strJoin(split(col("p_name"), " "), "-").as("jo"),
+        StrDt.strRsplitItem(col("p_name"), " ", 0).as("rs0"),
+        StrDt.strRsplitItem(col("p_name"), " ", 1).as("rs1"))
+        .orderBy("p_partkey")
+    }),
+
+    // ---- §2.10 dt accessor, tranche 7: time-of-day, weekday alias,
+    //      isocalendar year + week — codegen date arithmetic ----
+    "q_dt_ops7" -> ((s, d) => {
+      val ts = col("ts")
+      T(s, d, "events").select(
+        col("event_id"),
+        StrDt.dtTime(ts).as("tm"),
+        StrDt.dtWeekday(ts).as("wd"),
+        StrDt.dtIsoYear(ts).as("iy"),
+        StrDt.dtWeek(ts).as("iw"))
+        .orderBy("event_id")
     })
   )
 
@@ -153,5 +187,31 @@ object Queries8 {
          (SELECT count(*) FROM lineitem WHERE l_quantity < p) AS pos_left,
          (SELECT count(*) FROM lineitem WHERE l_quantity <= p) AS pos_right
          FROM (SELECT unnest([1.0, 10.5, 25.0, 37.75, 50.0]) AS p)
-         ORDER BY probe""")
+         ORDER BY probe""",
+
+    "q_str_ops7" ->
+      """SELECT p_partkey,
+         lower(p_name) AS cf,
+         regexp_full_match(split_part(p_brand, '#', 2), '[0-9]+') AS isdec,
+         CASE WHEN length(p_type) >= 22 THEN p_type
+              ELSE rpad(p_type, 22, '.') END AS lj,
+         CASE WHEN length(p_type) >= 22 THEN p_type
+              ELSE lpad(p_type, 22, '.') END AS rj,
+         CASE WHEN length(split_part(p_brand, '#', 2)) >= 4
+              THEN split_part(p_brand, '#', 2)
+              ELSE lpad(split_part(p_brand, '#', 2), 4, '0') END AS zf,
+         CASE WHEN length(p_type) >= 10 THEN p_type
+              ELSE lpad(p_type, 10, '0') END AS zfw,
+         array_to_string(string_split(p_name, ' '), '-') AS jo,
+         string_split(p_name, ' ')[len(string_split(p_name, ' '))] AS rs0,
+         string_split(p_name, ' ')[len(string_split(p_name, ' ')) - 1] AS rs1
+         FROM part ORDER BY p_partkey""",
+
+    "q_dt_ops7" ->
+      """SELECT event_id,
+         strftime(ts::TIMESTAMP, '%H:%M:%S') AS tm,
+         (isodow(ts) - 1)::INTEGER AS wd,
+         isoyear(ts)::INTEGER AS iy,
+         week(ts)::INTEGER AS iw
+         FROM events ORDER BY event_id""")
 }

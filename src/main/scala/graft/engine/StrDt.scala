@@ -11,13 +11,18 @@ import org.apache.spark.sql.functions._
   *
   * CONTRACT vs the reference: the reference forwards ANY pandas
   * accessor attribute by introspection, so its surface is "whatever
-  * pandas ships". This engine deliberately ships a CURATED set (~55
-  * ops across 5 tranches) — every op the reference's tests exercise
+  * pandas ships". This engine deliberately ships a CURATED set (~75
+  * ops across 7 tranches) — every op the reference's tests exercise
   * plus the common tail — because each must be re-expressed as a
   * codegen'd Catalyst expression to keep the scan vectorized; a
   * dynamic proxy would force a Python-style row UDF fallback and
   * silently drop off the fast path. An accessor op outside this file
   * is a compile error, not a slow surprise; extend by adding a def.
+  * Known deliberate exclusions, all for engine-portability: full
+  * Unicode case folding / normalization (ASCII classes only),
+  * `str.wrap` (textwrap line-breaking), locale-dependent formats,
+  * and DST-table timezone names (fixed offsets like "UTC+05:30"
+  * work; tz databases differ between engines).
   *
   * Everything here is a stock codegen'd Catalyst expression — these stay
   * inside WholeStageCodegen and vectorize over the parquet scan.
@@ -44,8 +49,11 @@ object StrDt {
   def strCount(c: Column, pat: String): Column =
     when(c.isNull, lit(null)).otherwise(size(split(c, pat, -1)) - 1)
   /** pandas str.zfill: left-pad with '0' (sign-aware variant deviates —
-    * documented; reference tests don't cover negative numerics). */
-  def strZfill(c: Column, n: Int): Column = lpad(c, n, "0")
+    * documented; reference tests don't cover negative numerics).
+    * Strings already >= n pass through — lpad alone would TRUNCATE
+    * them, pandas never does. */
+  def strZfill(c: Column, n: Int): Column =
+    when(length(c) >= n, c).otherwise(lpad(c, n, "0"))
   def strExtract(c: Column, pat: String, group: Int): Column =
     regexp_extract(c, pat, group)
   /** pandas str.extract with several groups -> one column per group
@@ -60,11 +68,13 @@ object StrDt {
   def strRepeat(c: Column, n: Int): Column = repeat(c, n)
   /** pandas str.find: 0-based position of first occurrence, -1 absent. */
   def strFind(c: Column, sub: String): Column = instr(c, sub) - 1
-  /** pandas str.pad(width, side) / ljust / rjust. */
+  /** pandas str.pad(width, side) / ljust / rjust. Pad-only, never
+    * truncate (pandas passes already-wide strings through; bare
+    * lpad/rpad would clip them). */
   def strPad(c: Column, width: Int, side: String, fill: String = " "): Column =
     side match {
-      case "left"  => lpad(c, width, fill)
-      case "right" => rpad(c, width, fill)
+      case "left"  => strRjust(c, width, fill)
+      case "right" => strLjust(c, width, fill)
       case "both"  => strCenter(c, width, fill)
     }
   /** pandas str.center: extra fill char goes to the RIGHT (Python
@@ -292,4 +302,38 @@ object StrDt {
     * of [[dtTzConvert]]). Fixed-offset zones ("UTC+05:30") are
     * DST-table-free and engine-portable. */
   def dtTzLocalize(c: Column, tz: String): Column = to_utc_timestamp(c, tz)
+
+  // ---- tranche 7: last thin stragglers of the curated contract ----
+
+  /** pandas str.casefold — ASCII fold = lower, consistent with the
+    * ASCII character classes used across the accessor (no full Unicode
+    * case folding; documented contract). */
+  def strCasefold(c: Column): Column = lower(c)
+  /** pandas str.isdecimal (ASCII decimal digits; empty -> false). */
+  def strIsDecimal(c: Column): Column = c.rlike("^[0-9]+$")
+  /** pandas str.ljust / rjust: pad-only — strings already >= width
+    * pass through (bare rpad/lpad would truncate them). */
+  def strLjust(c: Column, width: Int, fill: String = " "): Column =
+    when(length(c) >= width, c).otherwise(rpad(c, width, fill))
+  def strRjust(c: Column, width: Int, fill: String = " "): Column =
+    when(length(c) >= width, c).otherwise(lpad(c, width, fill))
+  /** pandas str.join(sep) over a tokenized (array) column. */
+  def strJoin(arr: Column, sep: String): Column = array_join(arr, sep)
+  /** pandas str.rsplit(sep).str[-(i+1)]: i-th token from the RIGHT
+    * (0 = last); null past the front (try_element_at, not element_at —
+    * ANSI mode would throw on out-of-range). */
+  def strRsplitItem(c: Column, sep: String, iFromRight: Int): Column =
+    try_element_at(split(c, java.util.regex.Pattern.quote(sep)),
+      lit(-(iFromRight + 1)))
+
+  /** pandas dt.time rendered as "HH:mm:ss" (the engine has no
+    * time-of-day object type; the string form is the comparable one). */
+  def dtTime(c: Column): Column = date_format(c, "HH:mm:ss")
+  /** pandas dt.weekday — alias of [[dtDayOfWeek]] (Mon=0). */
+  def dtWeekday(c: Column): Column = dtDayOfWeek(c)
+  /** pandas dt.isocalendar().year: the ISO-8601 week-numbering year =
+    * calendar year of the Thursday in the timestamp's Mon-Sun week
+    * (pairs with [[dtWeek]], which is already ISO week-of-year). */
+  def dtIsoYear(c: Column): Column =
+    year(date_add(date_sub(to_date(c), dtDayOfWeek(c)), 3))
 }

@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   *
   * Reductions run over all numeric columns by default (pandas
   * `numeric_only` behavior). Everything returns plain DataFrames.
+  *
+  * The `.str`/`.dt` element-wise families live on [[StrDt]] and are a
+  * CURATED surface by contract (seven tranches, ~75 ops), not the
+  * reference's runtime proxy over the whole pandas accessor: each op
+  * must be a codegen'd Catalyst expression to keep the scan
+  * vectorized, so an op outside the set is a compile error — never a
+  * silent fall-off onto a row-at-a-time UDF. See the [[StrDt]]
+  * scaladoc for the full contract and how to extend it.
   */
 object Syntax {
 

@@ -194,6 +194,41 @@ class StrDtSpec extends SparkSpec {
     intercept[IllegalArgumentException] { StrDt.dtToPeriod(col("t"), "H") }
   }
 
+  test("str tranche 7: pad-only ljust/rjust/zfill, join, rsplit item") {
+    import spark.implicits._
+    val df = Seq("ab cd ef").toDF("s")
+    val r = df.select(
+      StrDt.strLjust(col("s"), 10, "."), StrDt.strLjust(col("s"), 4, "."),
+      StrDt.strRjust(col("s"), 10, "."), StrDt.strZfill(lit("42"), 5),
+      StrDt.strZfill(lit("1234567"), 5),
+      StrDt.strJoin(split(col("s"), " "), "-"),
+      StrDt.strRsplitItem(col("s"), " ", 0),
+      StrDt.strRsplitItem(col("s"), " ", 1),
+      StrDt.strRsplitItem(col("s"), " ", 5),
+      StrDt.strCasefold(lit("AbC")), StrDt.strIsDecimal(lit("077")),
+      StrDt.strIsDecimal(lit("7a"))).head()
+    // pandas ljust/rjust/zfill NEVER truncate an already-wide string
+    assert(r.getString(0) == "ab cd ef..")
+    assert(r.getString(1) == "ab cd ef")
+    assert(r.getString(2) == "..ab cd ef")
+    assert(r.getString(3) == "00042" && r.getString(4) == "1234567")
+    assert(r.getString(5) == "ab-cd-ef")
+    assert(r.getString(6) == "ef" && r.getString(7) == "cd")
+    assert(r.isNullAt(8))  // past the front -> null, not an ANSI error
+    assert(r.getString(9) == "abc")
+    assert(r.getBoolean(10) && !r.getBoolean(11))
+  }
+
+  test("dt tranche 7: time-of-day, weekday alias, isocalendar year/week") {
+    // 2021-01-01 (Friday) belongs to ISO week 53 of ISO-YEAR 2020
+    val df = Seq(Timestamp.valueOf("2021-01-01 22:15:09")).toDF("t")
+    val r = df.select(StrDt.dtTime(col("t")), StrDt.dtWeekday(col("t")),
+      StrDt.dtIsoYear(col("t")), StrDt.dtWeek(col("t"))).head()
+    assert(r.getString(0) == "22:15:09")
+    assert(r.getInt(1) == 4)      // Friday, Mon=0
+    assert(r.getInt(2) == 2020 && r.getInt(3) == 53)
+  }
+
   test("str.extract with several groups: one column each, null on no match") {
     import spark.implicits._
     val df = Seq("ab-12", "xy-99", "nope").toDF("s")
