@@ -124,6 +124,20 @@ object Queries8 {
         StrDt.dtIsoYear(ts).as("iy"),
         StrDt.dtWeek(ts).as("iw"))
         .orderBy("event_id")
+    }),
+
+    // ---- pct_change(freq=): index realignment against the value at
+    //      exactly t - freq — one self equi-join on the shifted key,
+    //      never a sort ----
+    "q_pct_change_freq" -> ((s, d) => {
+      val daily = T(s, d, "events")
+        .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg(sum(col("value")).as("v"))
+      Cumulative.pctChangeFreq(daily, "day", Seq("v"), "D",
+          by = Seq("user_id"))
+        .select(col("user_id"), col("day"), r(col("v"), 6).as("v"),
+          r(col("v_pct"), 6).as("v_pct"))
+        .orderBy("user_id", "day")
     })
   )
 
@@ -213,5 +227,15 @@ object Queries8 {
          (isodow(ts) - 1)::INTEGER AS wd,
          isoyear(ts)::INTEGER AS iy,
          week(ts)::INTEGER AS iw
-         FROM events ORDER BY event_id""")
+         FROM events ORDER BY event_id""",
+
+    "q_pct_change_freq" ->
+      """WITH s AS (SELECT user_id, date_trunc('day', ts::TIMESTAMP) AS day,
+                      sum(value) AS v
+                    FROM events GROUP BY 1, 2)
+         SELECT a.user_id, a.day, round(a.v + 1e-9, 6) AS v,
+                round(a.v / b.v - 1 + 1e-9, 6) AS v_pct
+         FROM s a LEFT JOIN s b
+           ON a.user_id = b.user_id AND b.day = a.day - INTERVAL 1 DAY
+         ORDER BY a.user_id, a.day""")
 }

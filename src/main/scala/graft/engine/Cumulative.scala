@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
@@ -148,9 +148,8 @@ object Cumulative {
     * just `last(ignoreNulls)` over a BOUNDED trailing frame of n+1
     * rows (the nearest valid value, when within reach, is inside that
     * frame and is its last non-null). Bounded frame ⇒ bounded state at
-    * any scale. The reference also forwards `freq=` (a resample-style
-    * re-index); that is resampling, not a window op — unsupported here,
-    * use a time-bucketed groupBy instead.
+    * any scale. The reference also forwards `freq=` (index
+    * realignment, not a window op) — that form is [[pctChangeFreq]].
     *
     * Zero denominator -> null via try_divide (Spark's ANSI mode would
     * otherwise THROW, and it matches the DuckDB oracle's NULL; pandas
@@ -169,5 +168,42 @@ object Cumulative {
       case _ => c
     }
     try_divide(filled, lag(filled, periods).over(w)) - 1
+  }
+
+  /** pandas `pct_change(freq=...)` (`parallel_dataframe.py:465-489`
+    * forwards it): the value at t vs the value at EXACTLY t − freq in
+    * the (by, ts) index — `df / df.shift(freq=f) - 1`, null when no
+    * row exists at the shifted timestamp. This is index REALIGNMENT,
+    * not a lag: row counts between t and t − freq are irrelevant.
+    *
+    * Scale shape: ONE equi-join of the frame against itself with the
+    * timestamp shifted forward (calendar-correct month/quarter/year
+    * arithmetic, fixed intervals otherwise) — shuffles once on
+    * (by, ts), AQE-planned, never globally sorted. Requires (by, ts)
+    * unique, as pandas does (shift-alignment on duplicate labels
+    * raises there). Zero denominator → null via try_divide, matching
+    * [[pctChange]]'s documented deviation. Appends `<col>_pct` per
+    * value column. */
+  def pctChangeFreq(df: DataFrame, ts: String, valueCols: Seq[String],
+                    freq: String, by: Seq[String] = Nil): DataFrame = {
+    val off = freqInterval(freq)
+    val prev = df.select(by.map(col) ++ Seq((col(ts) + off).as(ts)) ++
+      valueCols.map(c => col(c).as(s"__prev_$c")): _*)
+    df.join(prev, by :+ ts, "left")
+      .select(df.columns.map(col) ++ valueCols.map(c =>
+        (try_divide(col(c), col(s"__prev_$c")) - lit(1)).as(s"${c}_pct")): _*)
+  }
+
+  private def freqInterval(freq: String): Column = freq match {
+    case "Y" | "A"   => expr("INTERVAL 12 MONTH")
+    case "Q"         => expr("INTERVAL 3 MONTH")
+    case "M"         => expr("INTERVAL 1 MONTH")
+    case "W"         => expr("INTERVAL 7 DAY")
+    case "D"         => expr("INTERVAL 1 DAY")
+    case "H"         => expr("INTERVAL 1 HOUR")
+    case "min" | "T" => expr("INTERVAL 1 MINUTE")
+    case "S"         => expr("INTERVAL 1 SECOND")
+    case other => throw new IllegalArgumentException(
+      s"pct_change(freq=): unsupported freq '$other'")
   }
 }

@@ -34,12 +34,19 @@ object Reshape {
   }
 
   /** pandas crosstab(a, b): count matrix with one column per distinct
-    * `b` value (sorted). The column set is a bounded distinct collect —
-    * the same data-dependent schema discovery pandas does — then ONE
-    * hash aggregate; absent cells are 0. */
-  def crosstab(df: DataFrame, a: String, b: String): DataFrame = {
+    * `b` value (sorted). The column set is a BOUNDED distinct collect —
+    * the same data-dependent schema discovery pandas does, capped at
+    * `maxCategories` with a loud failure above it (a high-cardinality
+    * `b` would otherwise OOM the driver; same guard as
+    * [[Frame.getDummies]]) — then ONE hash aggregate; absent cells
+    * are 0. */
+  def crosstab(df: DataFrame, a: String, b: String,
+               maxCategories: Int = 10000): DataFrame = {
     val vals = df.select(col(b).cast("string")).distinct()
-      .collect().map(_.getString(0)).filter(_ != null).sorted
+      .limit(maxCategories + 1).collect().map(_.getString(0))
+      .filter(_ != null).sorted
+    require(vals.length <= maxCategories,
+      s"crosstab: > $maxCategories categories in '$b'")
     val piv = df.groupBy(col(a))
       .pivot(col(b).cast("string"), vals.toSeq)
       .agg(count(lit(1)))

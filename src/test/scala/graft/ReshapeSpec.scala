@@ -21,6 +21,11 @@ class ReshapeSpec extends SparkSpec {
     assert(out.head.schema.fieldNames.toSeq == Seq("a", "p", "q"))
     assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
       Seq(("x", 2L, 1L), ("y", 0L, 1L)))
+    // discovery collect is capped: high-cardinality b fails loudly
+    // instead of OOMing the driver (same guard as get_dummies)
+    assertThrows[IllegalArgumentException] {
+      Reshape.crosstab(df, "a", "b", maxCategories = 1)
+    }
   }
 
   test("cut: right-closed bins, include_lowest, outside -> null") {

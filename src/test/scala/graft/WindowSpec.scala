@@ -227,6 +227,25 @@ class WindowSpec extends SparkSpec {
     assertSeqApprox(colD(out2, "p"), Seq(None, Some(0.0), Some(0.0), Some(3.0)))
   }
 
+  test("pct_change(freq=): exact-timestamp realignment, calendar months") {
+    import java.sql.Timestamp
+    val df = Seq(
+      ("a", "2024-01-31 00:00:00", 10.0),
+      ("a", "2024-02-29 00:00:00", 15.0),   // Jan 31 + 1M clamps to Feb 29
+      ("a", "2024-03-01 00:00:00", 20.0),   // no row at exactly -1M -> null
+      ("b", "2024-02-29 00:00:00", 40.0))   // other key: no leak from a
+      .map { case (g, t, v) => (g, Timestamp.valueOf(t), v) }
+      .toDF("g", "t", "v")
+    val out = Cumulative.pctChangeFreq(df, "t", Seq("v"), "M", by = Seq("g"))
+      .orderBy("g", "t")
+    // pandas: s / s.shift(freq='M') - 1 on the same index
+    assertSeqApprox(colD(out, "v_pct"),
+      Seq(None, Some(0.5), None, None))
+    intercept[IllegalArgumentException] {
+      Cumulative.pctChangeFreq(df, "t", Seq("v"), "5D")
+    }
+  }
+
   test("global cumsum: two-pass prefix sum equals a sequential running sum") {
     val df = (1 to 100).map(i => (i.toLong, i * 0.5)).toDF("i", "v")
       .repartition(7) // scatter rows so offsets actually matter
