@@ -215,7 +215,7 @@ object Queries {
 
     // ---- §2.9 time-offset rolling window (pandas closed='right') ----
     "q_rolling_time" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      val w = Window.partitionBy("user_id").orderBy(Core.usOf(col("ts")))
       val spec = WindowOps.timeSpec(w, 3600L * 1000000L)
       T(s, d, "events").select(
         col("event_id"), col("user_id"),
@@ -308,7 +308,7 @@ object Queries {
     // pairwise Corr.kendall (spec-asserted), minutes-vs-seconds at 1M+
     "q_kendall" -> ((s, d) => {
       val ev = T(s, d, "events").filter(col("user_id") === 7)
-        .withColumn("tsu", unix_micros(col("ts")))
+        .withColumn("tsu", Core.usOf(col("ts")))
       Corr.kendallFast(ev, "value", "tsu")
         .select(r(col("kendall"), 6).as("kendall"))
     }),
@@ -359,7 +359,7 @@ object Queries {
 
     // ---- sessionization (gap > 30 min) — stream-shaped batch op ----
     "q_sessionize" -> ((s, d) => {
-      val tsu = unix_micros(col("ts"))
+      val tsu = Core.usOf(col("ts"))
       val gap = tsu - lag(tsu, 1).over(byUser)
       val isNew = when(gap.isNull || gap > 30L * 60 * 1000000L, 1).otherwise(0)
       T(s, d, "events").select(

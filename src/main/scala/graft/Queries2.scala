@@ -174,7 +174,7 @@ object Queries2 {
     // ---- §2.6 corr with min_periods gate (per-group) ----
     "q_corr_minp" -> ((s, d) => {
       T(s, d, "events")
-        .withColumn("tsu", unix_micros(col("ts")).cast("double"))
+        .withColumn("tsu", Core.usOf(col("ts")).cast("double"))
         .groupBy("user_id")
         .agg(r(when(count(lit(1)) >= 60, corr(col("value"), col("tsu"))), 6)
           .as("corr_vt"), count(lit(1)).as("n"))

@@ -65,22 +65,36 @@ object Core {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
-  /** The testdata `events.ts` is parquet TIMESTAMP(NANOS), which Spark's
-    * reader only accepts as a raw long via
-    * `spark.sql.legacy.parquet.nanosAsLong=true`. Rebuild a proper
-    * TimestampType column from the nanos (values are µs-aligned — verified
-    * sub-µs == 0 across all SFs) so downstream code is type-uniform.
+  /** The testdata `events.ts` has shipped in two parquet physical forms:
+    * TIMESTAMP(NANOS) — which Spark's reader only accepts as a raw long
+    * via `spark.sql.legacy.parquet.nanosAsLong=true` — and plain
+    * `timestamp[us]` without the UTC-adjusted flag, which Spark reads as
+    * TIMESTAMP_NTZ. Normalize both to TimestampType so downstream code
+    * (`unix_micros`, window ranges, as-of joins) is type-uniform.
     *
-    * Integral `div`, NOT `/`: nanos (~1.8e18) exceed a double's 53-bit
-    * mantissa, so float division is off by ±1µs on ~1/4 of rows — enough
-    * to flip exact gap comparisons (sessionization) against an engine
-    * that converts exactly. */
+    * LongType nanos: integral `div`, NOT `/` — nanos (~1.8e18) exceed a
+    * double's 53-bit mantissa, so float division is off by ±1µs on ~1/4
+    * of rows — enough to flip exact gap comparisons (sessionization)
+    * against an engine that converts exactly.
+    *
+    * NTZ: the cast to TimestampType reinterprets the wall-clock under the
+    * session tz, which Verify/Bench pin to UTC, so the cast is identity on
+    * the stored micros (same argument as Reductions.usOf). */
   def normalizeTs(df: DataFrame): DataFrame =
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) =>
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
+
+  /** Micros-since-epoch of a timestamp-ish column, NTZ-safe: casts to
+    * TimestampType first (identity under the pinned-UTC session tz), since
+    * `unix_micros` rejects TIMESTAMP_NTZ input with DATATYPE_MISMATCH.
+    * Use this instead of raw `unix_micros(c)` anywhere the input may not
+    * have passed through [[normalizeTs]]. */
+  def usOf(c: Column): Column = unix_micros(c.cast(TimestampType))
 
   /** Round a double column for oracle-stable output. Floating-point sums
     * are association-order-dependent; Spark's partial aggregation and

@@ -63,7 +63,7 @@ object Joins {
         lit(0).as("__side"): _*)
     val unioned = lAligned.unionByName(rAligned)
 
-    val ts = unix_micros(col(on))
+    val ts = Core.usOf(col(on))
     // at equal `on`, the right row (side 0) must precede the left row in
     // the scan order iff exact matches are allowed — true for both time
     // directions, since "precede" is about the running frame, not time
@@ -134,12 +134,12 @@ object Joins {
     // for epoch-micros magnitudes near 2^53 (post-2255 timestamps, or
     // sub-microsecond clocks)
     val l = left
-      .withColumn("__lo", unix_micros(lo))
-      .withColumn("__hi", unix_micros(hi))
+      .withColumn("__lo", Core.usOf(lo))
+      .withColumn("__hi", Core.usOf(hi))
       .withColumn("__b",
         explode(sequence(expr(s"__lo DIV $bucketUs"), expr(s"__hi DIV $bucketUs"))))
     val r = right
-      .withColumn("__pt", unix_micros(pt))
+      .withColumn("__pt", Core.usOf(pt))
       .withColumn("__b", expr(s"__pt DIV $bucketUs"))
     l.join(r, by :+ "__b")
       .filter(col("__pt") >= col("__lo") && col("__pt") <= col("__hi"))

@@ -275,7 +275,7 @@ object StrDt {
   def dtRound(c: Column, unitSeconds: Long): Column = {
     require(unitSeconds >= 1, "dt.round: need unitSeconds >= 1")
     val us = unitSeconds * 1000000L
-    val e = unix_micros(c)
+    val e = Core.usOf(c)
     val r0 = pmod(e, lit(us))
     val base = e - r0
     val half = us / 2
@@ -295,7 +295,7 @@ object StrDt {
 
   /** pandas dt.microsecond: sub-second micros within the second. */
   def dtMicrosecond(c: Column): Column =
-    pmod(unix_micros(c), lit(1000000L)).cast("int")
+    pmod(Core.usOf(c), lit(1000000L)).cast("int")
 
   /** pandas dt.tz_localize(tz): interpret the naive timestamp as
     * wall-clock time IN `tz` and return the UTC instant (the inverse
