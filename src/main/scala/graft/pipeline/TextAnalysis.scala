@@ -219,47 +219,66 @@ object TextAnalysis {
     * smoothing: every bigram's components exist in the corpus
     * vocabulary by construction, so the argument of ln is never 0.
     *
-    * Scale shape: the (prev, cur) pair table is derived once and
-    * referenced verbatim by the bigram-count aggregate and the scoring
-    * join, so ReuseExchange materializes its shuffle once (the
-    * bm25TopTerms pattern). Both count tables are hash-partitioned
-    * joins (vocabulary-sized — never broadcast); the corpus total
-    * rides a broadcast 1-row aggregate; one final doc-keyed average.
-    * Docs with < 2 tokens drop out (no bigrams), as in pandas/KenLM
-    * practice. */
+    * Scale shape: TWO corpus scans, ONE raw-pair shuffle, everything
+    * else vocabulary-sized. The per-position explode emits, per doc, a
+    * `(prev="", cur=w₁)` sentinel row plus the real bigram rows — the
+    * sentinel is a value `cleanTokens` can never produce (empties are
+    * dropped), and both key columns are `coalesce`d non-nullable so
+    * Catalyst infers no IsNotNull join filters that would fork the
+    * subtrees. Scan 1 feeds `big = count by (prev, cur)` directly —
+    * partial aggregation combines map-side, so its exchange moves
+    * DISTINCT bigrams, never the raw pair stream. The unigram table and
+    * corpus total then derive from `big` itself (every token appears
+    * exactly once as `cur`, sentinels included), i.e. vocabulary-sized
+    * re-aggregation, not another corpus pass. The score
+    * ln(λ·bc/c(prev) + (1-λ)·c(cur)/tot) is a function of the bigram
+    * alone, so it is computed on the vocab-sized `big` (two vocab⋈vocab
+    * hash joins; sentinel rows drop by non-match — no filter needed);
+    * scan 2's pair stream joins that scored table exactly once (the
+    * sole raw-pair shuffle; AQE broadcasts the scored side when small)
+    * and partial-aggregates map-side into the per-doc average. Docs
+    * with < 2 tokens drop out (no bigrams), as in pandas/KenLM
+    * practice; their tokens still count toward the unigram model via
+    * the sentinel rows. */
   def bigramLogProb(df: DataFrame, id: String, text: String,
                     lambda: Double = 0.7): DataFrame = {
     require(lambda > 0.0 && lambda <= 1.0, s"need 0 < lambda <= 1; got $lambda")
     val w = cleanTokens(col(text))
-    val base = graft.engine.Core.spread(df.select(col(id), col(text)))
+    // i=1 → sentinel (prev=""); i>=2 → bigram (w[i-1], w[i]).
+    // coalesce: element_at is nullable in the schema even though tokens
+    // never are; non-nullable keys keep inferred IsNotNull filters out
+    // of every consumer subtree.
+    def tokRows(src: DataFrame): DataFrame = src
       .select(col(id), w.as("__w"))
-      .filter(size(col("__w")) >= 2)
-    val pairs = base
-      .select(col(id), explode(transform(sequence(lit(2), size(col("__w"))),
-        i => struct(element_at(col("__w"), i - 1).as("prev"),
-          element_at(col("__w"), i).as("cur")))).as("__p"))
+      .filter(size(col("__w")) >= 1)
+      .select(col(id), explode(transform(sequence(lit(1), size(col("__w"))),
+        i => struct(
+          coalesce(when(i > 1, element_at(col("__w"), i - 1)), lit(""))
+            .as("prev"),
+          coalesce(element_at(col("__w"), i), lit("")).as("cur")))).as("__p"))
       .select(col(id), col("__p.prev").as("prev"), col("__p.cur").as("cur"))
-    val big = pairs.groupBy(col("prev"), col("cur"))
+    val src = graft.engine.Core.spread(df.select(col(id), col(text)))
+    val big = tokRows(src).groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).cast("double").as("__bc"))
-    // unigram counts over ALL tokens (first tokens included), from one
-    // token explode of the same doc scan
-    val uni = graft.engine.Core.spread(df.select(col(text)))
-      .select(explode(cleanTokens(col(text))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("__uc"))
+    // every corpus token appears exactly once as `cur` in the pair
+    // stream (sentinels carry the first tokens), so unigram counts and
+    // the corpus total are re-aggregations of vocab-sized `big`
+    val uni = big.groupBy(col("cur")).agg(sum(col("__bc")).as("__uc"))
     val tot = uni.agg(sum(col("__uc")).as("__tot"))
     // double-op order mirrors the oracle exactly:
     // (λ·bc)/uc_prev + ((1-λ)·uc_cur)/total
     val lp = log(
       (lit(lambda) * col("__bc")) / col("__pc") +
         (lit(1.0 - lambda) * col("__cc")) / col("__tot"))
-    pairs
-      .join(big, Seq("prev", "cur"))
-      .join(uni.select(col("term").as("prev"), col("__uc").as("__pc")),
-        Seq("prev"))
-      .join(uni.select(col("term").as("cur"), col("__uc").as("__cc")),
-        Seq("cur"))
+    val bigScored = big
+      .join(uni.select(col("cur").as("prev"), col("__uc").as("__pc")),
+        Seq("prev"))  // sentinel prev="" never matches a token → drops
+      .join(uni.select(col("cur"), col("__uc").as("__cc")), Seq("cur"))
       .crossJoin(broadcast(tot))
+      .select(col("prev"), col("cur"), lp.as("__lp"))
+    tokRows(src)
+      .join(bigScored, Seq("prev", "cur"))
       .groupBy(col(id))
-      .agg(count(lit(1)).as("n_bigrams"), avg(lp).as("avg_lp"))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("__lp")).as("avg_lp"))
   }
 }

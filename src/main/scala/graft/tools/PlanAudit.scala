@@ -39,6 +39,7 @@ object PlanAudit {
     "q_corr_pairwise" -> "pairwise-complete corr, 2 jobs total: ONE probe aggregate (pearson cells + pair counts + per-pair masked histograms), then ONE main aggregate over broadcast rank-stats joins evaluates every spearman cell — no per-pair jobs",
     "q_dedup_minhash_incr" -> "incremental LSH: batch signatures map-side, ONE (band,key) equi-join against persisted state — state text never re-shingled",
     "q_nlargest" -> "nlargest/nsmallest: TakeOrderedAndProject (per-task top-n + driver merge), never a global sort",
+    "q_bigram_lp" -> "bigram LM: sentinel rows carry unigrams, so uni/tot re-aggregate the vocab-sized bigram table (no extra corpus pass); big-count agg combines map-side (exchange moves distinct bigrams); ONE raw-pair shuffle total (the scoring join)",
     "q_groupby_filter" -> "groupby.filter: groups-sized aggregate broadcast back as LEFT SEMI — the frame itself is never shuffled")
 
   def main(args: Array[String]): Unit = {
