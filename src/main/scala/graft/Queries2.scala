@@ -25,8 +25,23 @@ object Queries2 {
     * literals so both engines use identical constants). */
   private val gaussW: Seq[Double] = WindowOps.gaussianWeights(5, 1.0)
   private val hammW: Seq[Double] = WindowOps.hammingWeights(5)
+  private val blackW: Seq[Double] = WindowOps.blackmanWeights(5)
+  private val bartW: Seq[Double] = WindowOps.bartlettWeights(5)
+  private val hannW: Seq[Double] = WindowOps.hannWeights(5)
   private def lit17(d: Double): String =
     "%.17g".formatLocal(java.util.Locale.ROOT, d)
+
+  /** Lag-composition SQL for a positional weighted mean over window `w`
+    * — the oracle mirror of [[WindowOps.weightedMean]], weights inlined
+    * as 17-digit literals so both engines use identical constants. */
+  private def wMeanSql(wts: Seq[Double]): String = {
+    val terms = wts.zipWithIndex.map { case (wt, i) =>
+      val lagN = wts.size - 1 - i
+      if (lagN == 0) s"${lit17(wt)}*value"
+      else s"${lit17(wt)}*lag(value,$lagN) OVER w"
+    }.mkString(" + ")
+    s"(($terms) / ${lit17(wts.sum)})"
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -240,6 +255,21 @@ object Queries2 {
       T(s, d, "events").select(
         col("event_id"), col("user_id"),
         r(WindowOps.weightedMean(col("value"), byUser, gaussW), 4).as("gmean"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- §2.9 weighted window, remaining scipy win_type parity:
+    //      blackman / bartlett / hann in one frame pass (all three
+    //      share byUser, so WindowExec evaluates them together) ----
+    "q_weighted_wintypes" -> ((s, d) => {
+      T(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        r(WindowOps.weightedMean(col("value"), byUser, blackW), 4)
+          .as("blackman_mean"),
+        r(WindowOps.weightedMean(col("value"), byUser, bartW), 4)
+          .as("bartlett_mean"),
+        r(WindowOps.weightedMean(col("value"), byUser, hannW), 4)
+          .as("hann_mean"))
         .orderBy("user_id", "event_id")
     }),
 
@@ -474,15 +504,17 @@ object Queries2 {
          FROM events ORDER BY event_id""",
 
     "q_weighted_gaussian" -> {
-      val terms = gaussW.zipWithIndex.map { case (wt, i) =>
-        val lagN = gaussW.size - 1 - i
-        if (lagN == 0) s"${lit17(wt)}*value"
-        else s"${lit17(wt)}*lag(value,$lagN) OVER w"
-      }.mkString(" + ")
       s"""SELECT event_id, user_id,
-         round(($terms) / ${lit17(gaussW.sum)} + 1e-9, 4) AS gmean
+         round(${wMeanSql(gaussW)} + 1e-9, 4) AS gmean
          FROM events WINDOW w AS ($evWin) ORDER BY user_id, event_id"""
     },
+
+    "q_weighted_wintypes" ->
+      s"""SELECT event_id, user_id,
+         round(${wMeanSql(blackW)} + 1e-9, 4) AS blackman_mean,
+         round(${wMeanSql(bartW)} + 1e-9, 4) AS bartlett_mean,
+         round(${wMeanSql(hannW)} + 1e-9, 4) AS hann_mean
+         FROM events WINDOW w AS ($evWin) ORDER BY user_id, event_id""",
 
     "q_groupby_transform_udf" ->
       """SELECT event_id, user_id,
