@@ -75,8 +75,12 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // nerrors/rc ride the TOP level of the persisted record so a
+    // timing consumer can't compare an errored run's total against a
+    // clean one without seeing the flag (ADVICE r7)
+    val rc = if (errors.nonEmpty) 1 else 0
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"nerrors":${errors.size},"rc":$rc,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     // The per-query map is ~100 entries and outgrew the driver's tail
     // capture in round 4 (BENCH_r04.json: parsed null). Emit the full
     // record first (and persist it to BENCH.json for the repo), then the

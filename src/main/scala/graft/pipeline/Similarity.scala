@@ -285,7 +285,8 @@ object Similarity {
     * across 2M pairs) and its run time varied 1.7-16s with heap state;
     * this form is allocation-free in the inner loop. */
   def nearDupPairsExact(df: DataFrame, threshold: Double,
-                        parallelism: Int = 64): DataFrame = {
+                        parallelism: Int = 64,
+                        maxRows: Long = 500000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     def l2(v: Array[Double]): Double = {
@@ -295,6 +296,17 @@ object Similarity {
     }
     val vecs = df.select(col("vec_id").cast("long"),
       asDouble(col("embedding"))).as[(Long, Array[Double])]
+    // Fail FAST before the driver collect: this baseline is O(n²) with a
+    // driver-resident corpus, sized for validation runs only. Above the
+    // cap, refuse loudly instead of OOMing an executor or the driver —
+    // the cluster-scale paths are nearDupPairs (LSH-bucketed exact),
+    // annIvf, and pqTopK.
+    val n = vecs.count()
+    require(n <= maxRows,
+      s"nearDupPairsExact: $n vectors exceeds maxRows=$maxRows; this " +
+        "all-pairs baseline broadcasts the corpus to every task — use " +
+        "nearDupPairs (LSH) / annIvf / pqTopK at this scale, or raise " +
+        "maxRows explicitly if this is a deliberate validation run")
     val corpus = vecs.collect().map { case (id, v) => (id, v, l2(v)) }
     val bc = spark.sparkContext.broadcast(corpus)
     vecs.repartition(parallelism).mapPartitions { it =>

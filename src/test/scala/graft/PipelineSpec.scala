@@ -161,6 +161,17 @@ class PipelineSpec extends SparkSpec {
     assert(out == Set((0L, 1L)))
   }
 
+  test("exact near-dup baseline refuses corpora above maxRows, loudly") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.05f)),
+      (2L, Array(-1.0f, 0.2f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairsExact(emb, threshold = 0.9, maxRows = 2L)
+    }
+    assert(e.getMessage.contains("nearDupPairs"))
+    assert(e.getMessage.contains("maxRows"))
+  }
+
   test("semDedup: in-cluster min-id survivor under cosine tau") {
     // init: c0=vec0 (1,0), c1=vec1 (-1,.1) -> {0,2,4} vs {1,3}; every
     // non-seed vector is within cos 0.99 of its cluster's seed
