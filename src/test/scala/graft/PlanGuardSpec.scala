@@ -46,4 +46,49 @@ class PlanGuardSpec extends SparkSpec {
       s"queries with undocumented global windows: ${offenders.mkString(", ")} — " +
         "either repartition the plan or add a justified allowlist entry")
   }
+
+  // ---- type-drift guard (VERDICT r7): the driver-generated events.ts
+  // has shipped as parquet TIMESTAMP(NANOS) (read as raw long under
+  // nanosAsLong) in rounds 1-6 and as plain timestamp[us] (read as
+  // TIMESTAMP_NTZ) since round 7. A regeneration flipping the form must
+  // fail HERE, in sbt test, not at the driver's verify gate. Every
+  // query plan is analyzed against a fixture dir whose events.ts is
+  // rewritten to each physical form in turn.
+
+  /** Fixture dir = sf0.001 tables (file-copied) + events rewritten with
+    * `ts` in the requested physical form. */
+  private def fixtureDir(form: String): String = {
+    import java.nio.file.{Files, Paths}
+    val base = Files.createTempDirectory(s"planguard_$form")
+    val src = "/root/testdata/sf0.001"
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings"))
+      Files.copy(Paths.get(s"$src/$t.parquet"),
+        base.resolve(s"$t.parquet"))
+    import org.apache.spark.sql.functions._
+    val ev = graft.engine.Core.normalizeTs(
+      spark.read.parquet(s"$src/events.parquet"))
+    val ev2 = form match {
+      case "ntz" => ev.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      case "nanos" =>
+        ev.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case other => fail(s"unknown fixture form $other")
+    }
+    ev2.coalesce(1).write.parquet(base.resolve("events.parquet").toString)
+    base.toString
+  }
+
+  for (form <- Seq("ntz", "nanos"))
+    test(s"every query plan analyzes against events.ts as $form") {
+      val dir = fixtureDir(form)
+      val broken = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          try { fn(spark, dir).queryExecution.executedPlan; None }
+          catch { case e: Throwable =>
+            Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage.take(120)}")
+          }
+      }
+      assert(broken.isEmpty,
+        s"plans broken under $form events.ts:\n  ${broken.mkString("\n  ")}")
+    }
 }
