@@ -163,7 +163,7 @@ object PipelineQueries {
       Multimodal.decodeImages(media)
         .toDF()
         .select(col("id").as("doc_id"), col("byteLen").as("byte_len"),
-          col("width"), col("height"), col("channels"))
+          col("width"), col("height"), col("channels"), col("decoded"))
         .orderBy("doc_id")
     })
   )
@@ -410,7 +410,7 @@ object PipelineQueries {
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
          64 + (octet_length(CAST(text AS BLOB)) % 512) AS width,
          64 + (ascii(text) * 4) % 512 AS height,
-         3 AS channels
+         3 AS channels, FALSE AS decoded
          FROM documents ORDER BY doc_id""",
 
     "q_ann_lsh" ->

@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads as opaque
   * `binary` columns with typed metadata, processed per-partition.
   *
-  * The decode step is a clearly-marked STUB (no image/audio codecs in
-  * this container): `decodeImageStub` derives deterministic fake
-  * metadata from the raw bytes. Everything around it — the schema, the
-  * Dataset[T] encoder, the mapPartitions batch shape, the partition
-  * sizing — is the real plumbing a production decoder drops into.
+  * Image decode/resize are REAL for the formats the JDK's `javax.imageio`
+  * registry ships (PNG, BMP, JPEG, GIF, WBMP — pure JVM, no external
+  * deps): true pixel dimensions out of `decodeImages`, true rescale +
+  * PNG re-encode in `resizeImages`. Payloads no installed reader
+  * recognizes (synthetic test media, audio/video containers) fall back
+  * to the clearly-marked deterministic STUB so the plumbing — schema,
+  * Dataset[T] encoder, mapPartitions batch shape, partition sizing —
+  * stays exercised end-to-end either way.
   *
   * Scale notes: binary payloads dominate row size, so the pipeline
   * repartitions by count (`maxRecordsPerPartition`) before the decode
@@ -21,28 +24,49 @@ object Multimodal {
 
   case class MediaRow(id: Long, modality: String, data: Array[Byte])
   case class ImageMeta(id: Long, byteLen: Int, width: Int, height: Int,
-                       channels: Int, checksum: Long)
+                       channels: Int, decoded: Boolean, checksum: Long)
 
-  /** STUB decoder — deterministic fake in place of a real image codec.
-    * A real implementation would parse the container header here. */
+  /** Real image decode via the JDK's ImageIO registry: returns true
+    * (width, height, channels) for any format an installed reader
+    * recognizes; None otherwise. Header+pixel decode, pure JVM. */
+  def decodeImageReal(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else Some((img.getWidth, img.getHeight,
+        img.getColorModel.getNumComponents))
+    } catch { case _: Throwable => None }
+
+  /** STUB decoder — deterministic fake for payloads with no real codec
+    * (synthetic test media; audio/video containers the JDK lacks). */
   def decodeImageStub(bytes: Array[Byte]): (Int, Int, Int) = {
     val n = bytes.length
     val first = if (n > 0) bytes(0) & 0xff else 0
-    // ??? real codec goes here; fake: dims derived from payload size
+    // fake: dims derived from payload size (deterministic test double)
     (64 + (n % 512), 64 + (first * 4) % 512, 3)
   }
 
   private def checksum(bytes: Array[Byte]): Long =
     bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
 
-  /** Decode a binary media column into typed metadata, per-partition. */
+  /** Decode a binary media column into typed metadata, per-partition.
+    * `decoded` records whether a real codec produced the dimensions
+    * (true) or the stub test double did (false). */
   def decodeImages(ds: Dataset[MediaRow]): Dataset[ImageMeta] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       // per-partition init (codec contexts, buffers) happens once here
       it.map { row =>
-        val (w, h, ch) = decodeImageStub(row.data)
-        ImageMeta(row.id, row.data.length, w, h, ch, checksum(row.data))
+        decodeImageReal(row.data) match {
+          case Some((w, h, ch)) =>
+            ImageMeta(row.id, row.data.length, w, h, ch, decoded = true,
+              checksum(row.data))
+          case None =>
+            val (w, h, ch) = decodeImageStub(row.data)
+            ImageMeta(row.id, row.data.length, w, h, ch, decoded = false,
+              checksum(row.data))
+        }
       }
     }
   }
@@ -64,18 +88,39 @@ object Multimodal {
     }.toDF("id", "frame", "frame_checksum")
   }
 
-  /** STUB resize — a real implementation decodes, scales with a codec,
-    * and re-encodes; the fake deterministically truncates/pads the
-    * payload to the target "pixel" budget so downstream size accounting
-    * is exercised for real. Per-partition map, zero shuffle. */
+  /** Resize: REAL decode → Graphics2D bilinear rescale → PNG re-encode
+    * for ImageIO-readable payloads; un-decodable payloads fall back to
+    * the deterministic truncate/pad fake so size accounting downstream
+    * stays exercised for synthetic media. Per-partition map, zero
+    * shuffle. */
   def resizeImages(ds: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
     import ds.sparkSession.implicits._
     val budget = targetW * targetH * 3
     ds.mapPartitions { it =>
       it.map { row =>
-        // ??? real scaler goes here; fake: clamp payload to the budget
-        val out = if (row.data.length >= budget) row.data.take(budget)
-                  else java.util.Arrays.copyOf(row.data, budget)
+        val real = try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(row.data))
+          if (img == null) None
+          else {
+            val dst = new java.awt.image.BufferedImage(targetW, targetH,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, targetW, targetH, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", bos)
+            Some(bos.toByteArray)
+          }
+        } catch { case _: Throwable => None }
+        val out = real.getOrElse {
+          // fake (test double): clamp payload to the pixel budget
+          if (row.data.length >= budget) row.data.take(budget)
+          else java.util.Arrays.copyOf(row.data, budget)
+        }
         MediaRow(row.id, row.modality, out)
       }
     }

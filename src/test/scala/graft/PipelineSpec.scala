@@ -338,6 +338,33 @@ class PipelineSpec extends SparkSpec {
     assert(frames.count() == 4 * 3)
   }
 
+  test("multimodal: real PNG fixture decodes to true dims; resize rescales for real") {
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png(20, 12)),
+      Multimodal.MediaRow(2L, "image", png(7, 5)),
+      Multimodal.MediaRow(3L, "image", "not an image".getBytes("UTF-8")))
+      .toDS()
+    val meta = Multimodal.decodeImages(media).collect().map(m => m.id -> m).toMap
+    assert(meta(1L).decoded && meta(1L).width == 20 && meta(1L).height == 12
+      && meta(1L).channels == 3)
+    assert(meta(2L).decoded && meta(2L).width == 7 && meta(2L).height == 5)
+    assert(!meta(3L).decoded) // stub fallback for non-image payloads
+    // real rescale: re-decoding the resized payload yields target dims
+    val resized = Multimodal.resizeImages(media.filter(_.id <= 2), 8, 6)
+    val meta2 = Multimodal.decodeImages(resized).collect().map(m => m.id -> m).toMap
+    assert(meta2(1L).decoded && meta2(1L).width == 8 && meta2(1L).height == 6)
+    assert(meta2(2L).decoded && meta2(2L).width == 8 && meta2(2L).height == 6)
+  }
+
   test("multimodal: resize clamps payload, features feed ANN directly") {
     val media = Multimodal.fromText(docs, "doc_id", "text")
     val resized = Multimodal.resizeImages(media, 4, 4).collect()
