@@ -29,7 +29,8 @@ import graft.streaming.Streams
 object StreamQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_stream_sessionize" -> ((s, d) => streamSessionize(s, d)))
+    "q_stream_sessionize" -> ((s, d) => streamSessionize(s, d)),
+    "q_stream_dedup" -> ((s, d) => streamDedup(s, d)))
 
   val oracle: Map[String, String] = Map(
     // batch gap-sessionization (same 30-min gap as q_sessionize),
@@ -48,7 +49,52 @@ object StreamQueries {
          count(*) AS n_events,
          round(sum(value) + 1e-9, 4) AS sum_value
        FROM s GROUP BY user_id, sid
-       ORDER BY user_id, session_start""")
+       ORDER BY user_id, session_start""",
+
+    // streaming dedup survivors == batch exact dedup (min doc_id per
+    // content group)
+    "q_stream_dedup" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS fp
+       FROM documents GROUP BY text ORDER BY doc_id""")
+
+  /** Stage `splits` as one parquet FILE per micro-batch, mtime-ordered
+    * (FileStreamSource processes files by modification time), under
+    * `base/in`. Returns the input dir path. */
+  private def stageReplay(base: java.nio.file.Path,
+                          splits: Seq[DataFrame]): String = {
+    val inDir = base.resolve("in")
+    Files.createDirectories(inDir)
+    val now = System.currentTimeMillis()
+    splits.zipWithIndex.foreach { case (df, i) =>
+      val stage = base.resolve(s"stage_b$i").toString
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file in $stage"))
+      val dst = inDir.resolve(f"b$i%03d.parquet")
+      Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(now - 60000L + i * 20000L)
+    }
+    inDir.toString
+  }
+
+  /** Run an AvailableNow streaming query (1 staged file per trigger) to
+    * a parquet sink and return the sink contents. */
+  private def runToParquet(base: java.nio.file.Path,
+                           out: DataFrame): DataFrame = {
+    val spark = out.sparkSession
+    val outDir = base.resolve("out").toString
+    val q = out.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
 
   private def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -56,24 +102,10 @@ object StreamQueries {
       .select(col("user_id"), col("ts"), col("value"))
 
     val base = Files.createTempDirectory("q_stream_sessionize")
-    val inDir = base.resolve("in")
-    Files.createDirectories(inDir)
-
-    // One parquet FILE per micro-batch, mtime-ordered (FileStreamSource
-    // processes files by modification time): two halves split at the
-    // event-time midpoint, then a flush sentinel one day after the max
-    // so the watermark passes every session's timeout.
-    def writeSplit(df: DataFrame, name: String, mtime: Long): Unit = {
-      val stage = base.resolve(s"stage_$name").toString
-      df.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file in $stage"))
-      val dst = inDir.resolve(s"$name.parquet")
-      Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
-      dst.toFile.setLastModified(mtime)
-    }
+    // Two halves split at the event-time midpoint (so session state
+    // genuinely crosses a batch boundary), then a flush sentinel one
+    // day after the max so the watermark passes every open session's
+    // timeout.
     val row = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
     val lo = row.getTimestamp(0)
     val hi = row.getTimestamp(1)
@@ -82,32 +114,55 @@ object StreamQueries {
     val sentinel = Seq((-1L,
       new java.sql.Timestamp(hi.getTime + 24L * 3600 * 1000), 0.0))
       .toDF("user_id", "ts", "value")
-    val now = System.currentTimeMillis()
-    writeSplit(ev.filter(col("ts") <= lit(mid)), "b0", now - 60000)
-    writeSplit(ev.filter(col("ts") > lit(mid)), "b1", now - 40000)
-    writeSplit(sentinel, "b2", now - 20000)
+    val inDir = stageReplay(base, Seq(
+      ev.filter(col("ts") <= lit(mid)),
+      ev.filter(col("ts") > lit(mid)),
+      sentinel))
 
     val src = spark.readStream
       .schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(inDir.toString)
+      .parquet(inDir)
       .as[Streams.SessionEvent]
     val sessions = Streams.sessionize(src, gapMs = 30L * 60 * 1000,
       watermark = "10 minutes")
-    val outDir = base.resolve("out").toString
-    val q = sessions.toDF().writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-
-    spark.read.parquet(outDir)
+    runToParquet(base, sessions.toDF())
       .filter(col("closed") && col("user_id") >= 0)
       .select(col("user_id"), col("session_start"), col("n_events"),
         Core.r(col("sum_value"), 4).as("sum_value"))
       .orderBy("user_id", "session_start")
+  }
+
+  /** Streaming exact dedup with audit trail, replayed over the documents
+    * table (deterministic synthetic event time = doc_id seconds, so
+    * "first occurrence" == min doc_id, the batch survivor rule) and
+    * compared against the batch group-by-content oracle. Two
+    * micro-batches prove the fingerprint state carries across batch
+    * boundaries; the audit handler orders within-batch arrivals by
+    * (ts, doc_id), so survivors are deterministic. */
+  private def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
+        col("text"))
+    val base = Files.createTempDirectory("q_stream_dedup")
+    val row = docs.agg(max(col("doc_id"))).head()
+    val midId = row.getLong(0) / 2
+    val inDir = stageReplay(base, Seq(
+      docs.filter(col("doc_id") <= midId),
+      docs.filter(col("doc_id") > midId)))
+
+    val src = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .as[Streams.StreamDoc]
+    val decisions = Streams.streamingDedupAudit(src,
+      ttlMs = 10L * 365 * 24 * 3600 * 1000, watermark = "10 minutes")
+    runToParquet(base, decisions.toDF())
+      .filter(col("is_first"))
+      .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id")
   }
 }
