@@ -113,6 +113,23 @@ object Queries8 {
         .orderBy("p_partkey")
     }),
 
+    // ---- §2.10 str accessor, tranche 8: REAL Unicode normalization
+    //      (native codegen expression; the decomposed suffix e+U+0301
+    //      composes to é under NFC, and NFD decomposes it back) +
+    //      str.encode via hex so the oracle compares strings ----
+    "q_str_ops8" -> ((s, d) => {
+      val deco = concat(col("p_name"), lit(" caf"), lit("e"),
+        lit("\u0301"))
+      T(s, d, "part").select(
+        col("p_partkey"),
+        StrDt.strNormalize(deco, "NFC").as("nfc"),
+        length(StrDt.strNormalize(deco, "NFC")).as("nfc_len"),
+        length(StrDt.strNormalize(StrDt.strNormalize(deco, "NFC"), "NFD"))
+          .as("nfd_len"),
+        hex(StrDt.strEncode(col("p_name"))).as("enc_hex"))
+        .orderBy("p_partkey")
+    }),
+
     // ---- §2.10 dt accessor, tranche 7: time-of-day, weekday alias,
     //      isocalendar year + week — codegen date arithmetic ----
     "q_dt_ops7" -> ((s, d) => {
@@ -219,6 +236,19 @@ object Queries8 {
          array_to_string(string_split(p_name, ' '), '-') AS jo,
          string_split(p_name, ' ')[len(string_split(p_name, ' '))] AS rs0,
          string_split(p_name, ' ')[len(string_split(p_name, ' ')) - 1] AS rs1
+         FROM part ORDER BY p_partkey""",
+
+    // nfc: DuckDB nfc_normalize composes e+U+0301 to é exactly as the
+    // native expression does; nfd_len = nfc_len + 1 re-decomposed char,
+    // closed-form because p_name is ASCII (TPC-H) and the only
+    // decomposable char is the injected é
+    "q_str_ops8" ->
+      """SELECT p_partkey,
+         nfc_normalize(p_name || ' cafe' || chr(769)) AS nfc,
+         CAST(length(nfc_normalize(p_name || ' cafe' || chr(769)))
+              AS INTEGER) AS nfc_len,
+         CAST(length(p_name) + 6 AS INTEGER) AS nfd_len,
+         hex(encode(p_name)) AS enc_hex
          FROM part ORDER BY p_partkey""",
 
     "q_dt_ops7" ->

@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   * silently drop off the fast path. An accessor op outside this file
   * is a compile error, not a slow surprise; extend by adding a def.
   * Known deliberate exclusions, all for engine-portability: full
-  * Unicode case folding / normalization (ASCII classes only),
-  * `str.wrap` (textwrap line-breaking), locale-dependent formats,
-  * and DST-table timezone names (fixed offsets like "UTC+05:30"
-  * work; tz databases differ between engines).
+  * Unicode case FOLDING (ASCII classes; `str.normalize` itself is
+  * real NFC/NFD/NFKC/NFKD since tranche 8), `str.wrap` (textwrap's
+  * break_long_words interplay has no faithful declarative form),
+  * locale-dependent formats, and DST-table timezone names (fixed
+  * offsets like "UTC+05:30" work; tz databases differ between
+  * engines).
   *
   * Everything here is a stock codegen'd Catalyst expression — these stay
   * inside WholeStageCodegen and vectorize over the parquet scan.
@@ -336,4 +338,18 @@ object StrDt {
     * (pairs with [[dtWeek]], which is already ISO week-of-year). */
   def dtIsoYear(c: Column): Column =
     year(date_add(date_sub(to_date(c), dtDayOfWeek(c)), 3))
+
+  // ---- tranche 8: Unicode normalization + bytes encode (closes the
+  // last exactly-implementable exclusions; str.wrap stays excluded —
+  // textwrap's break_long_words interplay has no faithful declarative
+  // form and a near-miss is worse than the documented compile error) ----
+
+  /** pandas str.normalize(form) — real Unicode NFC/NFD/NFKC/NFKD via a
+    * native codegen'd expression ([[graft.functions.UnicodeNormalize]]);
+    * the former ASCII-only contract exclusion, now lifted. */
+  def strNormalize(c: Column, form: String = "NFC"): Column =
+    graft.functions.UnicodeNormalize.normalize(c, form)
+  /** pandas str.encode(charset): string -> binary payload. */
+  def strEncode(c: Column, charset: String = "UTF-8"): Column =
+    encode(c, charset)
 }

@@ -229,6 +229,30 @@ class StrDtSpec extends SparkSpec {
     assert(r.getInt(2) == 2020 && r.getInt(3) == 53)
   }
 
+  test("str tranche 8: real Unicode normalize (all 4 forms) + encode") {
+    import spark.implicits._
+    val deco = "cafe\u0301"          // e + combining acute
+    val comp = "caf\u00e9"           // precomposed é
+    val df = Seq((deco, "\ufb01n"), (comp, "2\u00b2")).toDF("a", "b")
+    val r0 = df.select(
+      StrDt.strNormalize(col("a"), "NFC"),
+      StrDt.strNormalize(col("a"), "NFD"),
+      StrDt.strNormalize(col("b"), "NFKC"),
+      length(StrDt.strEncode(col("a"))).as("nbytes")).collect()
+    assert(r0(0).getString(0) == comp && r0(1).getString(0) == comp)
+    assert(r0(0).getString(1) == deco && r0(1).getString(1) == deco)
+    assert(r0(0).getString(2) == "fin")   // ligature ﬁ decomposes
+    assert(r0(1).getString(2) == "22")    // superscript ² -> 2
+    assert(r0(0).getInt(3) == 6 && r0(1).getInt(3) == 5) // utf-8 bytes
+    // null passthrough
+    val n = Seq(Option.empty[String]).toDF("a")
+      .select(StrDt.strNormalize(col("a"), "NFC")).head()
+    assert(n.isNullAt(0))
+    intercept[IllegalArgumentException] {
+      StrDt.strNormalize(col("a"), "NFX")
+    }
+  }
+
   test("str.extract with several groups: one column each, null on no match") {
     import spark.implicits._
     val df = Seq("ab-12", "xy-99", "nope").toDF("s")
