@@ -30,7 +30,8 @@ object StreamQueries {
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sessionize" -> ((s, d) => streamSessionize(s, d)),
-    "q_stream_dedup" -> ((s, d) => streamDedup(s, d)))
+    "q_stream_dedup" -> ((s, d) => streamDedup(s, d)),
+    "q_stream_window" -> ((s, d) => streamWindow(s, d)))
 
   val oracle: Map[String, String] = Map(
     // batch gap-sessionization (same 30-min gap as q_sessionize),
@@ -55,7 +56,14 @@ object StreamQueries {
     // content group)
     "q_stream_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS fp
-       FROM documents GROUP BY text ORDER BY doc_id""")
+       FROM documents GROUP BY text ORDER BY doc_id""",
+
+    // finalized tumbling windows == batch hour-truncated aggregate
+    "q_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS wstart, user_id,
+         count(*) AS n, round(sum(value) + 1e-9, 4) AS sum_value,
+         round(avg(value) + 1e-9, 4) AS mean_value
+       FROM events GROUP BY 1, 2 ORDER BY wstart, user_id""")
 
   /** Stage `splits` as one parquet FILE per micro-batch, mtime-ordered
     * (FileStreamSource processes files by modification time), under
@@ -131,6 +139,42 @@ object StreamQueries {
       .select(col("user_id"), col("session_start"), col("n_events"),
         Core.r(col("sum_value"), 4).as("sum_value"))
       .orderBy("user_id", "session_start")
+  }
+
+  /** Tumbling event-time windowed aggregate replayed over events: in
+    * append mode only watermark-finalized windows are emitted, so a
+    * far-future flush sentinel drives every real window closed (its own
+    * window stays open and is never emitted — filtered defensively
+    * anyway). Finalized windows must equal the batch hour-truncated
+    * aggregate exactly. */
+  private def streamWindow(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Core.normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("user_id"), col("ts"), col("value"))
+    val base = Files.createTempDirectory("q_stream_window")
+    val row = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val mid = new java.sql.Timestamp(
+      row.getTimestamp(0).getTime +
+        (row.getTimestamp(1).getTime - row.getTimestamp(0).getTime) / 2)
+    val sentinel = Seq((-1L,
+      new java.sql.Timestamp(row.getTimestamp(1).getTime +
+        24L * 3600 * 1000), 0.0))
+      .toDF("user_id", "ts", "value")
+    val inDir = stageReplay(base, Seq(
+      ev.filter(col("ts") <= lit(mid)),
+      ev.filter(col("ts") > lit(mid)),
+      sentinel))
+    val src = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val agg = Streams.windowedStats(src, "1 hour", "10 minutes")
+    runToParquet(base, agg)
+      .filter(col("user_id") >= 0)
+      .select(col("window.start").as("wstart"), col("user_id"),
+        col("n"), Core.r(col("sum_value"), 4).as("sum_value"),
+        Core.r(col("mean_value"), 4).as("mean_value"))
+      .orderBy("wstart", "user_id")
   }
 
   /** Streaming exact dedup with audit trail, replayed over the documents
