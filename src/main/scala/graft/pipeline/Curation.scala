@@ -234,12 +234,16 @@ object Curation {
     * add-`alpha` smoothing over the bucket vocabulary. Docs that look
     * like the target domain score high; resample raw by this weight.
     *
-    * Scale shape: both models are (bucket, count) tables bounded at
-    * `buckets` rows — they partial-aggregate map-side, and the joined
-    * log-ratio model BROADCASTS (buckets ~ 10k-1M rows regardless of
-    * corpus size). The raw corpus is shuffled once, keyed (doc,
-    * bucket); the scoring join is map-side against the broadcast
-    * model. Emits (id, n_tokens, dsir_score). */
+    * Scale shape: the raw corpus is scanned + tokenized ONCE into the
+    * per-(doc, bucket) aggregate; the raw unigram model re-aggregates
+    * that table (its exchange is stage-reused between the model branch
+    * and the scoring branch), so only the target corpus needs its own
+    * pass. Both models are (bucket, count) tables bounded at `buckets`
+    * rows — they partial-aggregate map-side, and the joined log-ratio
+    * model BROADCASTS (buckets ~ 10k-1M rows regardless of corpus
+    * size). The raw corpus is shuffled once, keyed (doc, bucket); the
+    * scoring join is map-side against the broadcast model. Emits
+    * (id, n_tokens, dsir_score). */
   def dsirWeights(raw: DataFrame, target: DataFrame, id: String,
                   text: String, buckets: Int = 4096,
                   alpha: Double = 0.5): DataFrame = {
@@ -250,10 +254,12 @@ object Curation {
       df.select(keep :+ explode(Dedup.words(col(text))).as("__w"): _*)
         .filter(col("__w") =!= "")
         .select(keep :+ bucket(col("__w")).as("__b"): _*)
+    val docBuckets = toks(raw, Seq(col(id))).groupBy(col(id), col("__b"))
+      .agg(count(lit(1)).as("__k"))
     val tCnt = toks(target, Nil).groupBy(col("__b"))
       .agg(count(lit(1)).as("__ct"))
-    val rCnt = toks(raw, Nil).groupBy(col("__b"))
-      .agg(count(lit(1)).as("__cr"))
+    val rCnt = docBuckets.groupBy(col("__b"))
+      .agg(sum(col("__k")).as("__cr"))
     val model = tCnt.join(rCnt, Seq("__b"), "full_outer")
       .crossJoin(broadcast(tCnt.agg(sum("__ct").cast("double").as("__tT"))))
       .crossJoin(broadcast(rCnt.agg(sum("__cr").cast("double").as("__tR"))))
@@ -262,8 +268,7 @@ object Curation {
              / (col("__tT") + alpha * buckets))
          - log((coalesce(col("__cr"), lit(0L)) + alpha)
                / (col("__tR") + alpha * buckets))).as("__lr"))
-    toks(raw, Seq(col(id))).groupBy(col(id), col("__b"))
-      .agg(count(lit(1)).as("__k"))
+    docBuckets
       .join(broadcast(model), Seq("__b"))
       .groupBy(col(id)).agg(
         sum(col("__k")).as("n_tokens"),
