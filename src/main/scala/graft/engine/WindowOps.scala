@@ -222,10 +222,78 @@ object WindowOps {
   def hammingWeights(n: Int): Seq[Double] = cosineSum(n, Seq(0.54, 0.46))
   def hannWeights(n: Int): Seq[Double] = cosineSum(n, Seq(0.5, 0.5))
   def blackmanWeights(n: Int): Seq[Double] = cosineSum(n, Seq(0.42, 0.5, 0.08))
+  def blackmanHarrisWeights(n: Int): Seq[Double] =
+    cosineSum(n, Seq(0.35875, 0.48829, 0.14128, 0.01168))
+  def nuttallWeights(n: Int): Seq[Double] =
+    cosineSum(n, Seq(0.3635819, 0.4891775, 0.1365995, 0.0106411))
   def bartlettWeights(n: Int): Seq[Double] =
     if (n == 1) Seq(1.0) // avoids 0/0 at n=1
     else (0 until n).map { i =>
       val half = (n - 1) / 2.0
       1.0 - math.abs(i - half) / half
     }
+
+  // Remaining scipy.signal window family (the reference's win_type=
+  // accepts any of these — parallel_window.py:206-213); all symmetric
+  // (`sym=True`), n=1-safe.
+  def boxcarWeights(n: Int): Seq[Double] = Seq.fill(n)(1.0)
+  def cosineWeights(n: Int): Seq[Double] =
+    (0 until n).map(i => math.sin(math.Pi * (i + 0.5) / n))
+  def barthannWeights(n: Int): Seq[Double] =
+    if (n == 1) Seq(1.0)
+    else (0 until n).map { i =>
+      val f = i.toDouble / (n - 1) - 0.5
+      0.62 - 0.48 * math.abs(f) + 0.38 * math.cos(2.0 * math.Pi * f)
+    }
+  def bohmanWeights(n: Int): Seq[Double] =
+    if (n == 1) Seq(1.0)
+    else (0 until n).map { i =>
+      val x = math.abs(2.0 * i / (n - 1) - 1.0)
+      (1.0 - x) * math.cos(math.Pi * x) + math.sin(math.Pi * x) / math.Pi
+    }
+  /** scipy parzen: note the n/2 (not (n-1)/2) denominators. */
+  def parzenWeights(n: Int): Seq[Double] =
+    (0 until n).map { i =>
+      val x = math.abs(i - (n - 1) / 2.0)
+      val h = n / 2.0
+      if (x <= (n - 1) / 4.0)
+        1.0 - 6.0 * math.pow(x / h, 2) + 6.0 * math.pow(x / h, 3)
+      else 2.0 * math.pow(1.0 - x / h, 3)
+    }
+  /** scipy tukey(alpha): cosine tapers over the outer alpha fraction,
+    * flat 1.0 middle; alpha=0 -> boxcar, alpha=1 -> hann. */
+  def tukeyWeights(n: Int, alpha: Double): Seq[Double] = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"tukey: need 0<=alpha<=1, got $alpha")
+    if (n == 1 || alpha == 0.0) Seq.fill(n)(1.0)
+    else (0 until n).map { i =>
+      val edge = alpha * (n - 1) / 2.0
+      val j = math.min(i, n - 1 - i).toDouble // symmetric position
+      if (j >= edge) 1.0
+      else 0.5 * (1.0 + math.cos(math.Pi * (2.0 * j / (alpha * (n - 1)) - 1.0)))
+    }
+  }
+  /** Modified Bessel I0 by power series (converges fast for the beta
+    * range kaiser uses; term ratio ~ (x/2k)², stop at 1e-16 rel). */
+  private[engine] def besselI0(x: Double): Double = {
+    var term = 1.0; var sum = 1.0; var k = 1
+    val q = x * x / 4.0
+    while (term > sum * 1e-16 && k < 1000) {
+      term *= q / (k.toDouble * k); sum += term; k += 1
+    }
+    sum
+  }
+  def kaiserWeights(n: Int, beta: Double): Seq[Double] =
+    if (n == 1) Seq(1.0)
+    else {
+      val denom = besselI0(beta)
+      (0 until n).map { i =>
+        val r = 2.0 * i / (n - 1) - 1.0
+        besselI0(beta * math.sqrt(math.max(0.0, 1.0 - r * r))) / denom
+      }
+    }
+  /** scipy exponential (sym: center fixed at (n-1)/2). */
+  def exponentialWeights(n: Int, tau: Double): Seq[Double] = {
+    require(tau > 0.0, s"exponential: need tau>0, got $tau")
+    (0 until n).map(i => math.exp(-math.abs(i - (n - 1) / 2.0) / tau))
+  }
 }

@@ -96,9 +96,45 @@ class WindowSpec extends SparkSpec {
   test("window weight generators are finite at n=1") {
     for (w <- Seq(WindowOps.triangWeights(1), WindowOps.gaussianWeights(1, 1.0),
       WindowOps.hammingWeights(1), WindowOps.hannWeights(1),
-      WindowOps.blackmanWeights(1), WindowOps.bartlettWeights(1))) {
+      WindowOps.blackmanWeights(1), WindowOps.bartlettWeights(1),
+      WindowOps.boxcarWeights(1), WindowOps.cosineWeights(1),
+      WindowOps.barthannWeights(1), WindowOps.bohmanWeights(1),
+      WindowOps.parzenWeights(1), WindowOps.tukeyWeights(1, 0.5),
+      WindowOps.kaiserWeights(1, 14.0), WindowOps.exponentialWeights(1, 2.0),
+      WindowOps.blackmanHarrisWeights(1), WindowOps.nuttallWeights(1))) {
       assert(w.size == 1 && !w.head.isNaN && !w.head.isInfinite)
     }
+  }
+
+  test("scipy window family matches closed-form values at n=5") {
+    def approx(got: Seq[Double], want: Seq[Double], tol: Double = 1e-9): Unit =
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g - w) <= tol, s"got $got want $want") }
+    // closed-form points worked out independently from the scipy formulas
+    approx(WindowOps.boxcarWeights(5), Seq(1, 1, 1, 1, 1.0))
+    approx(WindowOps.blackmanHarrisWeights(5),
+      Seq(6.0e-5, 0.21747, 1.0, 0.21747, 6.0e-5), 1e-12)
+    approx(WindowOps.nuttallWeights(5),
+      Seq(0.0003628, 0.2269824, 1.0, 0.2269824, 0.0003628), 1e-12)
+    approx(WindowOps.cosineWeights(5),
+      Seq(math.sin(0.1 * math.Pi), math.sin(0.3 * math.Pi), 1.0,
+        math.sin(0.3 * math.Pi), math.sin(0.1 * math.Pi)))
+    approx(WindowOps.barthannWeights(5), Seq(0.0, 0.5, 1.0, 0.5, 0.0), 1e-12)
+    approx(WindowOps.bohmanWeights(5),
+      Seq(0.0, 1.0 / math.Pi, 1.0, 1.0 / math.Pi, 0.0), 1e-12)
+    approx(WindowOps.parzenWeights(5), Seq(0.016, 0.424, 1.0, 0.424, 0.016))
+    approx(WindowOps.tukeyWeights(5, 0.5), Seq(0.0, 1.0, 1.0, 1.0, 0.0))
+    // tukey limits: alpha=0 -> boxcar, alpha=1 -> hann
+    approx(WindowOps.tukeyWeights(5, 0.0), WindowOps.boxcarWeights(5))
+    approx(WindowOps.tukeyWeights(5, 1.0), WindowOps.hannWeights(5))
+    // kaiser: beta=0 -> boxcar; endpoints = 1/I0(beta) with known
+    // I0(2) = 2.2795853023360673
+    approx(WindowOps.kaiserWeights(5, 0.0), Seq(1, 1, 1, 1, 1.0))
+    val k = WindowOps.kaiserWeights(3, 2.0)
+    approx(Seq(k(0), k(1), k(2)),
+      Seq(1.0 / 2.2795853023360673, 1.0, 1.0 / 2.2795853023360673), 1e-12)
+    approx(WindowOps.exponentialWeights(5, 2.0),
+      Seq(math.exp(-1), math.exp(-0.5), 1.0, math.exp(-0.5), math.exp(-1)))
   }
 
   test("rAggSpec dispatches quantile/rank and custom callables") {
