@@ -71,6 +71,58 @@ object Multimodal {
     }
   }
 
+  case class AudioMeta(id: Long, byteLen: Int, sampleRate: Int,
+                       channels: Int, bitsPerSample: Int, nFrames: Long,
+                       durationMs: Double, decoded: Boolean)
+
+  /** Real WAV (RIFF/WAVE) header parse — pure JVM, no deps: sample
+    * rate, channels, bit depth and frame count from the fmt/data
+    * chunks. Returns None for non-RIFF payloads. */
+  def decodeWavReal(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def le16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le32(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+      b(11) != 'E') return None
+    // walk chunks: fmt_ then data (chunks are word-aligned)
+    var off = 12
+    var fmt: Option[(Int, Int, Int)] = None // rate, channels, bits
+    var dataLen = -1L
+    while (off + 8 <= b.length && (fmt.isEmpty || dataLen < 0)) {
+      val cid = new String(b, off, 4, "US-ASCII")
+      val len = le32(off + 4).toLong & 0xffffffffL
+      if (cid == "fmt " && off + 24 <= b.length)
+        fmt = Some((le32(off + 12), le16(off + 10), le16(off + 22)))
+      else if (cid == "data") dataLen = len
+      off += 8 + len.toInt + (len.toInt & 1)
+    }
+    fmt.collect { case (rate, ch, bits)
+        if dataLen >= 0 && ch > 0 && bits > 0 && rate > 0 =>
+      (rate, ch, bits, dataLen / (ch.toLong * (bits / 8).max(1)))
+    }
+  }
+
+  /** Decode an audio binary column into typed metadata, per-partition:
+    * real RIFF/WAV parse when the payload is WAV, deterministic stub
+    * otherwise (same contract as [[decodeImages]]). */
+  def decodeAudio(ds: Dataset[MediaRow]): Dataset[AudioMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { row =>
+        decodeWavReal(row.data) match {
+          case Some((rate, ch, bits, frames)) =>
+            AudioMeta(row.id, row.data.length, rate, ch, bits, frames,
+              frames * 1000.0 / rate, decoded = true)
+          case None =>
+            val n = row.data.length
+            AudioMeta(row.id, n, 16000, 1, 16, n / 2L,
+              n / 2L * 1000.0 / 16000, decoded = false)
+        }
+      }
+    }
+  }
+
   /** Frame-sample a (fake) video payload: n evenly-spaced byte slices —
     * the batch shape of real frame extraction. */
   def frameSample(ds: Dataset[MediaRow], n: Int): DataFrame = {

@@ -365,6 +365,32 @@ class PipelineSpec extends SparkSpec {
     assert(meta2(2L).decoded && meta2(2L).width == 8 && meta2(2L).height == 6)
   }
 
+  test("multimodal: real WAV fixture decodes true rate/channels/frames") {
+    // build a real 44-byte-header WAV via the JDK's own writer so the
+    // fixture is produced and parsed by independent code paths
+    def wav(rate: Float, ch: Int, nFrames: Int): Array[Byte] = {
+      import javax.sound.sampled._
+      val fmt = new AudioFormat(rate, 16, ch, true, false)
+      val pcm = new Array[Byte](nFrames * ch * 2)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", wav(44100f, 2, 1000)),
+      Multimodal.MediaRow(2L, "audio", wav(16000f, 1, 320)),
+      Multimodal.MediaRow(3L, "audio", "not audio at all".getBytes("UTF-8")))
+      .toDS()
+    val m = Multimodal.decodeAudio(media).collect().map(a => a.id -> a).toMap
+    assert(m(1L).decoded && m(1L).sampleRate == 44100 && m(1L).channels == 2
+      && m(1L).bitsPerSample == 16 && m(1L).nFrames == 1000L)
+    assert(m(2L).decoded && m(2L).sampleRate == 16000 && m(2L).nFrames == 320L
+      && math.abs(m(2L).durationMs - 20.0) < 1e-9)
+    assert(!m(3L).decoded) // stub fallback for non-RIFF payloads
+  }
+
   test("multimodal: resize clamps payload, features feed ANN directly") {
     val media = Multimodal.fromText(docs, "doc_id", "text")
     val resized = Multimodal.resizeImages(media, 4, 4).collect()
