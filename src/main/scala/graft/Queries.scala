@@ -313,6 +313,17 @@ object Queries {
         .select(r(col("kendall"), 6).as("kendall"))
     }),
 
+    // ---- §2.6 kendall, EXACT DISTRIBUTED grid decomposition (the
+    //      100 TB path: no driver collect, no sampling) — same tau-b
+    //      as kendallFast, verified against the O(n²) SQL oracle on a
+    //      two-user slice ----
+    "q_kendall_dist" -> ((s, d) => {
+      val ev = T(s, d, "events").filter(col("user_id").isin(3, 7))
+        .withColumn("tsu", Core.usOf(col("ts")))
+      Corr.kendallDistributed(ev, "value", "tsu", buckets = 16)
+        .select(r(col("kendall"), 6).as("kendall"))
+    }),
+
     // ---- §2.4 isin + replace ----
     "q_isin_replace" -> ((s, d) => {
       T(s, d, "customer").select(
@@ -623,6 +634,17 @@ object Queries {
       """WITH b AS (SELECT value AS x, epoch_us(ts) AS y,
            row_number() OVER (ORDER BY event_id) AS i
            FROM events WHERE user_id = 7),
+         p AS (SELECT a.x x1, a.y y1, c.x x2, c.y y2 FROM b a JOIN b c ON a.i < c.i)
+         SELECT round(
+           sum(sign(x2 - x1) * sign(y2 - y1))
+           / sqrt((count(*) - sum(CASE WHEN x1 = x2 THEN 1 ELSE 0 END))
+                * (count(*) - sum(CASE WHEN y1 = y2 THEN 1 ELSE 0 END))) + 1e-9, 6) AS kendall
+         FROM p""",
+
+    "q_kendall_dist" ->
+      """WITH b AS (SELECT value AS x, epoch_us(ts) AS y,
+           row_number() OVER (ORDER BY event_id) AS i
+           FROM events WHERE user_id IN (3, 7)),
          p AS (SELECT a.x x1, a.y y1, c.x x2, c.y y2 FROM b a JOIN b c ON a.i < c.i)
          SELECT round(
            sum(sign(x2 - x1) * sign(y2 - y1))

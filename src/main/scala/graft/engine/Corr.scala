@@ -638,6 +638,137 @@ object Corr {
     if (denom == 0) null else (n0 - n1 - n2 + n3 - 2 * swaps) / denom
   }
 
+  /** Merge-sort inversion count of `y` IN PLACE (returns #pairs i<j
+    * with y_i > y_j). */
+  private def inversionCount(y: Array[Double]): Long = {
+    var swaps = 0L
+    val buf = new Array[Double](y.length)
+    def merge(lo: Int, mid: Int, hi: Int): Unit = {
+      var i = lo; var j = mid; var k = lo
+      while (i < mid && j < hi) {
+        if (y(i) <= y(j)) { buf(k) = y(i); i += 1 }
+        else { buf(k) = y(j); j += 1; swaps += (mid - i) }
+        k += 1
+      }
+      while (i < mid) { buf(k) = y(i); i += 1; k += 1 }
+      while (j < hi) { buf(k) = y(j); j += 1; k += 1 }
+      System.arraycopy(buf, lo, y, lo, hi - lo)
+    }
+    def msort(lo: Int, hi: Int): Unit =
+      if (hi - lo > 1) {
+        val mid = lo + (hi - lo) / 2
+        msort(lo, mid); msort(mid, hi); merge(lo, mid, hi)
+      }
+    msort(0, y.length)
+    swaps
+  }
+
+  /** Tie-pair count Σ run·(run-1)/2 over a SORTED key sequence. */
+  private def tieRuns[K](keys: IndexedSeq[K]): Long = {
+    var pairs = 0L; var run = 1L; var j = 1
+    while (j <= keys.length) {
+      if (j < keys.length && keys(j) == keys(j - 1)) run += 1
+      else { pairs += run * (run - 1) / 2; run = 1 }
+      j += 1
+    }
+    pairs
+  }
+
+  /** EXACT distributed Kendall tau-b — the 100 TB path that neither
+    * collects the data ([[kendallFast]]) nor samples ([[kendallApprox]]).
+    *
+    * Grid decomposition: bucket x and y by range cuts (equal values can
+    * never split across buckets, so cross-bucket comparisons are
+    * strict). Every (a, b) pair falls in exactly one of three classes,
+    * each counted exactly:
+    *   1. same x-bucket  — per-xb local Knight pass (inversions of y in
+    *      (x,y)-sorted order), which also yields the x/(x,y) tie pairs
+    *      (ties never cross buckets);
+    *   2. different x-bucket, same y-bucket — per-yb pass: total
+    *      inversions of the stripe minus the per-(xb,yb)-cell
+    *      inversions (those are class 1), plus the y tie pairs;
+    *   3. different x-bucket AND different y-bucket — order is fully
+    *      determined by bucket indices: Σ m(i,j)·D(i,j) over the B×B
+    *      grid count matrix with D the (x-suffix, y-prefix) dominance
+    *      sum — O(B²) on the driver from one map-side-combinable
+    *      aggregate.
+    *
+    * Scale shape: two data shuffles (groupBy xb, groupBy yb) with
+    * per-group memory n/B (pick `buckets` so a stripe fits an executor;
+    * recurse the same decomposition inside a stripe if it ever cannot),
+    * one grid aggregate, driver state O(B²). Pair counts accumulate in
+    * Long — exact for n up to ~3e9 rows (n² / 2 < 2⁶³). Degenerate
+    * frames (≤ a few distinct x) collapse to one stripe — the same
+    * bound as a single sort, documented rather than hidden. Identical
+    * value to [[kendall]]/[[kendallFast]] on any input. */
+  def kendallDistributed(df: DataFrame, a: String, b: String,
+                         buckets: Int = 64): DataFrame = {
+    require(buckets >= 2, s"need buckets>=2, got $buckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(a).cast("double").as("x"),
+        col(b).cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull &&
+        !isnan(col("x")) && !isnan(col("y")))
+    // range cuts computed ONCE, driver-side (2·B doubles) — evaluating
+    // sampled cuts independently in two plan branches would assign
+    // inconsistent buckets (the BASELINE.md round-4 lesson)
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val q = base.stat.approxQuantile(Array("x", "y"), probs, 0.01)
+    val xCuts = q(0).distinct.sorted
+    val yCuts = q(1).distinct.sorted
+    val withB = base
+      .withColumn("xb", graft.functions.BucketBin.bucketBin(col("x"), xCuts))
+      .withColumn("yb", graft.functions.BucketBin.bucketBin(col("y"), yCuts))
+      .as[(Double, Double, Int, Int)]
+
+    // class-3 pairs from the grid counts
+    val nx = xCuts.length + 1; val ny = yCuts.length + 1
+    val m = Array.ofDim[Long](nx, ny)
+    withB.groupBy(col("xb"), col("yb")).count().collect()
+      .foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    // D(i,j) = Σ_{i'>i, j'<j} m(i',j'): y-prefix then x-suffix, O(B²)
+    val pref = Array.ofDim[Long](nx, ny) // pref(i)(j) = Σ_{j'<j} m(i)(j')
+    for (i <- 0 until nx; j <- 1 until ny)
+      pref(i)(j) = pref(i)(j - 1) + m(i)(j - 1)
+    var sGrid = 0L
+    val dSuf = new Array[Long](ny) // running Σ_{i'>i} pref(i')(j)
+    for (i <- nx - 1 to 0 by -1) {
+      for (j <- 0 until ny) sGrid += m(i)(j) * dSuf(j)
+      for (j <- 0 until ny) dSuf(j) += pref(i)(j)
+    }
+
+    // class-1: per-xb Knight + x/(x,y) ties (never cross buckets)
+    val xbAgg = withB.groupByKey(_._3).mapGroups { (_, it) =>
+      val rows = it.toArray.sortBy(t => (t._1, t._2))
+      val inv = inversionCount(rows.map(_._2))
+      (inv, tieRuns(rows.map(_._1)), tieRuns(rows.map(t => (t._1, t._2))))
+    }.collect()
+    // class-2: per-yb stripe inversions minus in-cell inversions + y ties
+    val ybAgg = withB.groupByKey(_._4).mapGroups { (_, it) =>
+      val rows = it.toArray.sortBy(t => (t._1, t._2))
+      val total = inversionCount(rows.map(_._2))
+      val inCell = rows.groupBy(_._3).valuesIterator
+        .map(cell => inversionCount(cell.map(_._2))) // cells stay (x,y)-sorted
+        .sum
+      (total - inCell, tieRuns(rows.map(_._2).sorted.toIndexedSeq))
+    }.collect()
+
+    val n = m.map(_.sum).sum
+    val n0 = n * (n - 1) / 2
+    val n1 = xbAgg.map(_._2).sum
+    val n3 = xbAgg.map(_._3).sum
+    val n2 = ybAgg.map(_._2).sum
+    val s = xbAgg.map(_._1).sum + ybAgg.map(_._1).sum + sGrid
+    val denom = math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble)
+    val tau: java.lang.Double =
+      if (denom == 0) null else (n0 - n1 - n2 + n3 - 2 * s) / denom
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(tau)),
+      StructType(Seq(StructField("kendall", DoubleType))))
+  }
+
   /** 100 TB mode of [[kendall]]: exact tau-b over a deterministic hash
     * sample of `maxRows` rows. The pairwise form is O(n²) in the row
     * count by construction (same as the reference's kernel); at scale

@@ -169,6 +169,28 @@ class GroupCorrSpec extends SparkSpec {
       d1(Corr.kendall(df, "x", "y")), 1e-12)
   }
 
+  test("kendallDistributed (grid decomposition) equals pairwise kendall") {
+    import spark.implicits._
+    assertApprox(d1(Corr.kendallDistributed(xy, "x", "y", buckets = 3)),
+      Some(-0.5477225575051661), 1e-9)
+    // heavy ties in both columns, several bucket settings (cuts land on
+    // tied values — the equal-values-never-split property is what's
+    // under test), negatives, and nulls/NaN filtered like the others
+    val df = (1 to 400).map { i =>
+      ((i * 37 % 11).toDouble - 5, (i * 53 % 7).toDouble)
+    }.toDF("x", "y")
+    val want = d1(Corr.kendall(df, "x", "y"))
+    for (b <- Seq(2, 3, 8, 64))
+      assertApprox(d1(Corr.kendallDistributed(df, "x", "y", buckets = b)),
+        want, 1e-12)
+    val withNulls = df.union(Seq((Double.NaN, 1.0), (1.0, Double.NaN))
+      .toDF("x", "y"))
+    assertApprox(d1(Corr.kendallDistributed(withNulls, "x", "y")), want, 1e-12)
+    // constant side -> null (denominator 0)
+    val const = (1 to 50).map(i => (1.0, i.toDouble)).toDF("x", "y")
+    assert(Corr.kendallDistributed(const, "x", "y").collect()(0).isNullAt(0))
+  }
+
   test("exact kendall fails fast above maxExactRows") {
     import spark.implicits._
     val big = (1 to 100).map(i => (i.toDouble, i * 1.0)).toDF("x", "y")
