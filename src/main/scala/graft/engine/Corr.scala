@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
   * Gramian once). Spearman's rank prestep is the distributed
   * [[Reductions.rankStatsTable]] join — value-counts aggregate + prefix
   * sum over the counts table, one join-back per column, no global
-  * window at any scale. Kendall is inherently O(n^2)
-  * pairwise (the reference's numba kernel too, `_numba.py:106-146`) —
-  * exposed over a bounded slice, with sampling as the scale strategy.
+  * window at any scale. Kendall (the reference's numba kernel is O(n²)
+  * pairwise, `_numba.py:106-146`) has three tiers here: bounded-collect
+  * Knight ([[kendallFast]]), sampled ([[kendallApprox]]), and the
+  * unbounded exact grid decomposition ([[kendallDistributed]]).
   */
 object Corr {
 
