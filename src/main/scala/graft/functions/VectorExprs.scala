@@ -123,7 +123,12 @@ object VectorFunctions {
       (es: Seq[Expression]) => L2Norm(es.head): Expression),
     ("graft_rolling_hash",
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
-      (es: Seq[Expression]) => RollingHash(es.head): Expression))
+      (es: Seq[Expression]) => RollingHash(es.head): Expression),
+    ("graft_normalize",
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_normalize"),
+      // form via foldable string literal: graft_normalize(s, 'NFC')
+      (es: Seq[Expression]) => UnicodeNormalize(es.head,
+        es(1).eval(null).toString): Expression))
 
   /** Imperative registration for sessions built without extensions. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

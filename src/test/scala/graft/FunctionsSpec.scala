@@ -152,4 +152,14 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 32.0)
     assert(r.getDouble(1) == math.sqrt(77.0))
   }
+
+  test("SQL surface: graft_normalize(s, form) after register()") {
+    VectorFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_normalize('cafe\u0301', 'NFC') AS c, " +
+        "graft_normalize('\ufb01n', 'NFKC') AS k")
+      .collect()(0)
+    assert(r.getString(0) == "caf\u00e9")
+    assert(r.getString(1) == "fin")
+  }
 }
