@@ -31,7 +31,8 @@ object StreamQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sessionize" -> ((s, d) => streamSessionize(s, d)),
     "q_stream_dedup" -> ((s, d) => streamDedup(s, d)),
-    "q_stream_window" -> ((s, d) => streamWindow(s, d)))
+    "q_stream_window" -> ((s, d) => streamWindow(s, d)),
+    "q_stream_runmean" -> ((s, d) => streamRunMean(s, d)))
 
   val oracle: Map[String, String] = Map(
     // batch gap-sessionization (same 30-min gap as q_sessionize),
@@ -63,7 +64,13 @@ object StreamQueries {
       """SELECT date_trunc('hour', ts) AS wstart, user_id,
          count(*) AS n, round(sum(value) + 1e-9, 4) AS sum_value,
          round(avg(value) + 1e-9, 4) AS mean_value
-       FROM events GROUP BY 1, 2 ORDER BY wstart, user_id""")
+       FROM events GROUP BY 1, 2 ORDER BY wstart, user_id""",
+
+    // final running-mean state per key == batch per-user mean
+    "q_stream_runmean" ->
+      """SELECT user_id, count(*) AS n,
+         round(sum(value) / count(*) + 1e-9, 4) AS mean_value
+       FROM events GROUP BY user_id ORDER BY user_id""")
 
   /** Stage `splits` as one parquet FILE per micro-batch, mtime-ordered
     * (FileStreamSource processes files by modification time), under
@@ -175,6 +182,46 @@ object StreamQueries {
         col("n"), Core.r(col("sum_value"), 4).as("sum_value"),
         Core.r(col("mean_value"), 4).as("mean_value"))
       .orderBy("wstart", "user_id")
+  }
+
+  /** Running per-key mean via mapGroupsWithState in UPDATE mode to a
+    * memory sink (parquet cannot take updates): every micro-batch emits
+    * each touched key's current (n, mean); the final state per key is
+    * the emission with the largest n (n grows monotonically), which
+    * must equal the batch per-user mean. Two time-split batches prove
+    * the state accumulates across batch boundaries; no sentinel needed
+    * since every batch emits current state. */
+  private def streamRunMean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Core.normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("user_id"), col("ts"), col("value"))
+    val base = Files.createTempDirectory("q_stream_runmean")
+    val row = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val mid = new java.sql.Timestamp(
+      row.getTimestamp(0).getTime +
+        (row.getTimestamp(1).getTime - row.getTimestamp(0).getTime) / 2)
+    val inDir = stageReplay(base, Seq(
+      ev.filter(col("ts") <= lit(mid)),
+      ev.filter(col("ts") > lit(mid))))
+    val src = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .as[Streams.SessionEvent]
+    val table = s"runmean_${base.getFileName.toString.replaceAll("[^a-zA-Z0-9_]", "_")}"
+    val q = Streams.runningMean(src).toDF().writeStream
+      .format("memory")
+      .queryName(table)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(table)
+      .groupBy(col("key").as("user_id"))
+      .agg(max(col("n")).as("n"),
+        Core.r(max_by(col("mean"), col("n")), 4).as("mean_value"))
+      .orderBy("user_id")
   }
 
   /** Streaming exact dedup with audit trail, replayed over the documents
