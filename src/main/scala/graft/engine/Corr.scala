@@ -770,6 +770,23 @@ object Corr {
       StructType(Seq(StructField("kendall", DoubleType))))
   }
 
+  /** Unbounded-exact kendall matrix: [[kendallDistributed]] per pair —
+    * k(k-1)/2 independent two-shuffle jobs instead of
+    * [[kendallMatrix]]'s single bounded collect. Per-pair PAIRWISE
+    * completeness (each cell masks its own nulls, like
+    * [[kendallMatrixPairwise]]); prefer the collect forms whenever the
+    * frame fits their bound — one pass beats k² jobs. Long form
+    * (c1, c2, kendall), upper triangle. */
+  def kendallMatrixDistributed(df: DataFrame, cols: Seq[String],
+                               buckets: Int = 64): DataFrame = {
+    require(cols.size >= 2, "kendallMatrixDistributed: need >= 2 columns")
+    (for { i <- cols.indices; j <- (i + 1) until cols.size } yield {
+      kendallDistributed(df, cols(i), cols(j), buckets)
+        .select(lit(cols(i)).as("c1"), lit(cols(j)).as("c2"),
+          col("kendall"))
+    }).reduce(_ unionAll _)
+  }
+
   /** 100 TB mode of [[kendall]]: exact tau-b over a deterministic hash
     * sample of `maxRows` rows. The pairwise form is O(n²) in the row
     * count by construction (same as the reference's kernel); at scale

@@ -191,6 +191,19 @@ class GroupCorrSpec extends SparkSpec {
     assert(Corr.kendallDistributed(const, "x", "y").collect()(0).isNullAt(0))
   }
 
+  test("kendallMatrixDistributed cells equal single-pair kendall") {
+    import spark.implicits._
+    val df = (1 to 120).map { i =>
+      ((i * 37 % 11).toDouble, (i * 53 % 7).toDouble, i.toDouble)
+    }.toDF("a", "b", "c")
+    val got = Corr.kendallMatrixDistributed(df, Seq("a", "b", "c"),
+      buckets = 4).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 3)
+    for (((c1, c2), v) <- got)
+      assertApprox(Some(v), d1(Corr.kendall(df, c1, c2)), 1e-12)
+  }
+
   test("exact kendall fails fast above maxExactRows") {
     import spark.implicits._
     val big = (1 to 100).map(i => (i.toDouble, i * 1.0)).toDF("x", "y")
