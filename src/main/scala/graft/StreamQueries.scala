@@ -95,18 +95,33 @@ object StreamQueries {
   }
 
   /** Run an AvailableNow streaming query (1 staged file per trigger) to
-    * a parquet sink and return the sink contents. */
+    * a parquet sink and return the sink contents.
+    *
+    * State-store partition count: each micro-batch checkpoints every
+    * state partition, so the session's batch-tuned
+    * `spark.sql.shuffle.partitions` (32) multiplies into 32 store dirs
+    * × N batches of tiny files. The replay data is bench-scale, so the
+    * streaming queries run under a temporarily lowered setting (the
+    * conf is read at query START and baked into the checkpoint; it is
+    * restored right after `start()` returns, so concurrent batch plans
+    * are unaffected). Real deployments size this to the stream's key
+    * cardinality instead. */
   private def runToParquet(base: java.nio.file.Path,
                            out: DataFrame): DataFrame = {
     val spark = out.sparkSession
     val outDir = base.resolve("out").toString
-    val q = out.writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val q = try {
+      spark.conf.set(key, "4")
+      out.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set(key, prev)
     q.awaitTermination()
     spark.read.parquet(outDir)
   }
@@ -209,13 +224,18 @@ object StreamQueries {
       .parquet(inDir)
       .as[Streams.SessionEvent]
     val table = s"runmean_${base.getFileName.toString.replaceAll("[^a-zA-Z0-9_]", "_")}"
-    val q = Streams.runningMean(src).toDF().writeStream
-      .format("memory")
-      .queryName(table)
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val q = try { // same state-partition note as runToParquet
+      spark.conf.set(key, "4")
+      Streams.runningMean(src).toDF().writeStream
+        .format("memory")
+        .queryName(table)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set(key, prev)
     q.awaitTermination()
     spark.table(table)
       .groupBy(col("key").as("user_id"))
