@@ -28,8 +28,19 @@ object Bench {
     // measurement that is data- rather than plan-overhead-bound — a
     // silent quadratic regression in the LSH pair join or the CC
     // contraction shows up here first (VERDICT r5 stretch item).
+    // bench_kendall_dist_full: the unbounded-exact grid-decomposition
+    // kendall over the ENTIRE events table (~1M rows at sf0.1) — scale
+    // evidence for the no-collect path; the oracle-gated q_kendall_dist
+    // runs on a two-user slice where the O(n²) SQL oracle is feasible.
     val benchOnly: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-      Map("bench_dedup_fuzzy_10x" -> { (s, d) =>
+      Map("bench_kendall_dist_full" -> { (s, d) =>
+        import org.apache.spark.sql.functions._
+        val ev = graft.engine.Core.normalizeTs(
+          s.read.parquet(s"$d/events.parquet"))
+          .withColumn("tsu", unix_micros(col("ts")))
+        graft.engine.Corr.kendallDistributed(ev, "value", "tsu")
+      },
+      "bench_dedup_fuzzy_10x" -> { (s, d) =>
         import org.apache.spark.sql.functions._
         val docs = s.read.parquet(s"$d/documents.parquet")
           .select(col("doc_id"), col("text"))

@@ -128,12 +128,14 @@ object Streams {
     import docs.sparkSession.implicits._
     docs
       .withColumn("fp", md5(col("text")))
+      // the body never rides the state shuffle — only (id, ts, fp)
+      .select(col("doc_id"), col("ts"), col("fp"))
       .withWatermark("ts", watermark)
-      .as[(Long, java.sql.Timestamp, String, String)]
-      .groupByKey(_._4)
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._3)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(
-        (fp: String, it: Iterator[(Long, java.sql.Timestamp, String, String)],
+        (fp: String, it: Iterator[(Long, java.sql.Timestamp, String)],
          state: GroupState[Long]) => {
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
