@@ -195,8 +195,13 @@ object Corr {
     * rank correlations for every pair over the same ranked frame, so
     * the whole two-method matrix costs 1 stats probe + 1 aggregate at
     * any column count. `withKendall` joins the Knight-tau matrix on
-    * top (bounded collect — see [[kendallMatrix]]). Listwise-complete
-    * masking across `cols`, like the other matrix forms. */
+    * top: the bounded-collect [[kendallMatrix]] while the listwise
+    * frame fits `kendallMaxRows`, automatically escalating to the
+    * unbounded [[kendallMatrixDistributed]] (on the same listwise
+    * mask, so semantics are identical) above it — the full
+    * three-method matrix no longer has a row ceiling.
+    * Listwise-complete masking across `cols`, like the other matrix
+    * forms. */
   def corrMatrixAll(df: DataFrame, cols: Seq[String],
                     withKendall: Boolean = false,
                     kendallMaxRows: Long = 10000000L): DataFrame = {
@@ -210,9 +215,16 @@ object Corr {
       .mkString(s"stack(${pairs.size}, ", ", ",
         ") as (c1, c2, pearson, spearman)")
     val ps = one.select(expr(stacked))
-    if (withKendall) ps.join(kendallMatrix(df, cols, kendallMaxRows),
-      Seq("c1", "c2"))
-    else ps
+    if (withKendall) {
+      val keep = cols.map(c => col(c).isNotNull && !isnan(col(c).cast("double")))
+        .reduce(_ && _)
+      val km =
+        if (df.filter(keep).limit((kendallMaxRows + 1).min(Int.MaxValue).toInt)
+            .count() <= kendallMaxRows)
+          kendallMatrix(df, cols, kendallMaxRows)
+        else kendallMatrixDistributed(df.filter(keep), cols)
+      ps.join(km, Seq("c1", "c2"))
+    } else ps
   }
 
   /** PAIRWISE-complete pearson + spearman matrix — pandas `df.corr()`

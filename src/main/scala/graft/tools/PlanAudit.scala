@@ -40,6 +40,7 @@ object PlanAudit {
     "q_dedup_minhash_incr" -> "incremental LSH: batch signatures map-side, ONE (band,key) equi-join against persisted state — state text never re-shingled",
     "q_nlargest" -> "nlargest/nsmallest: TakeOrderedAndProject (per-task top-n + driver merge), never a global sort",
     "q_bigram_lp" -> "bigram LM: sentinel rows carry unigrams, so uni/tot re-aggregate the vocab-sized bigram table (no extra corpus pass); big-count agg combines map-side (exchange moves distinct bigrams); ONE raw-pair shuffle total (the scoring join)",
+    "q_dsir" -> "DSIR: raw corpus tokenized ONCE into the (doc,bucket) aggregate; raw unigram model re-aggregates that table (stage-reused exchange); buckets-row model broadcasts into the scoring join",
     "q_groupby_filter" -> "groupby.filter: groups-sized aggregate broadcast back as LEFT SEMI — the frame itself is never shuffled")
 
   def main(args: Array[String]): Unit = {

@@ -191,6 +191,19 @@ class GroupCorrSpec extends SparkSpec {
     assert(Corr.kendallDistributed(const, "x", "y").collect()(0).isNullAt(0))
   }
 
+  test("corrMatrixAll escalates kendall to the distributed path above the bound") {
+    import spark.implicits._
+    val df = (1 to 50).map { i =>
+      ((i * 37 % 11).toDouble, (i * 53 % 7).toDouble)
+    }.toDF("a", "b")
+    val bounded = Corr.corrMatrixAll(df, Seq("a", "b"), withKendall = true)
+      .collect()(0)
+    // force the distributed branch with a tiny ceiling
+    val escalated = Corr.corrMatrixAll(df, Seq("a", "b"), withKendall = true,
+      kendallMaxRows = 10L).collect()(0)
+    assertApprox(optD(escalated, 4), optD(bounded, 4), 1e-12)
+  }
+
   test("kendallMatrixDistributed cells equal single-pair kendall") {
     import spark.implicits._
     val df = (1 to 120).map { i =>
