@@ -19,7 +19,8 @@ object Progress {
                             stagesSubmitted: Long, recordsRead: Long)
 
   final class Handle private[Progress] (spark: SparkSession,
-                                        echoEveryTasks: Long) {
+                                        echoEveryTasks: Long,
+                                        sink: String => Unit) {
     private val tasks = new AtomicLong(0)
     private val stagesUp = new AtomicLong(0)
     private val stagesDone = new AtomicLong(0)
@@ -42,7 +43,7 @@ object Progress {
           if (echoEveryTasks > 0) {
             val last = lastEcho.get()
             if (n - last >= echoEveryTasks && lastEcho.compareAndSet(last, n))
-              println(s"[progress] tasks=$n stages=${stagesDone.get()}/" +
+              sink(s"[progress] tasks=$n stages=${stagesDone.get()}/" +
                 s"${stagesUp.get()} records=${records.get()}")
           }
         }
@@ -61,8 +62,12 @@ object Progress {
     }
   }
 
-  /** Attach a progress listener; `echoEveryTasks = 0` disables console
-    * echo (counts still accumulate for `snapshot`). */
-  def attach(spark: SparkSession, echoEveryTasks: Long = 0L): Handle =
-    new Handle(spark, echoEveryTasks).start()
+  /** Attach a progress listener; `echoEveryTasks = 0` disables echo
+    * (counts still accumulate for `snapshot`). `sink` redirects the
+    * throttled line to a logger or file-like — the reference 0.8's
+    * `initialize(logger=...)` / `pbar_file=...` analogue
+    * (`progress_imap.py`; CHANGELOG 0.8). */
+  def attach(spark: SparkSession, echoEveryTasks: Long = 0L,
+             sink: String => Unit = println(_)): Handle =
+    new Handle(spark, echoEveryTasks, sink).start()
 }

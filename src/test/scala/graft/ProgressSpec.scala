@@ -32,4 +32,14 @@ class ProgressSpec extends SparkSpec {
     Thread.sleep(500)
     assert(p.snapshot == frozen)
   }
+
+  test("progress echo redirects to a custom sink (logger analogue)") {
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val p = Progress.attach(spark, echoEveryTasks = 1L, sink = lines.add(_))
+    try {
+      spark.range(10000).repartition(8).count()
+      assert(eventually { !lines.isEmpty }, "no progress line reached the sink")
+      assert(lines.peek().startsWith("[progress] tasks="))
+    } finally p.detach()
+  }
 }
