@@ -711,11 +711,15 @@ object Corr {
     * recurse the same decomposition inside a stripe if it ever cannot),
     * one grid aggregate, driver state O(B²). Pair counts accumulate in
     * Long — exact for n up to ~3e9 rows (n² / 2 < 2⁶³). Degenerate
-    * frames (≤ a few distinct x) collapse to one stripe — the same
-    * bound as a single sort, documented rather than hidden. Identical
-    * value to [[kendall]]/[[kendallFast]] on any input. */
+    * frames (≤ a few distinct x or y) collapse toward one stripe; the
+    * grid counts expose that BEFORE the stripe passes run, so the
+    * guard fails fast with the stripe size instead of OOMing an
+    * executor (`maxStripeRows`; a fully-constant side returns null
+    * anyway — denominator 0). Identical value to
+    * [[kendall]]/[[kendallFast]] on any input. */
   def kendallDistributed(df: DataFrame, a: String, b: String,
-                         buckets: Int = 64): DataFrame = {
+                         buckets: Int = 64,
+                         maxStripeRows: Long = 50000000L): DataFrame = {
     require(buckets >= 2, s"need buckets>=2, got $buckets")
     val spark = df.sparkSession
     import spark.implicits._
@@ -740,6 +744,17 @@ object Corr {
     val m = Array.ofDim[Long](nx, ny)
     withB.groupBy(col("xb"), col("yb")).count().collect()
       .foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    // the stripe passes hold one stripe in executor memory; the grid
+    // knows every stripe size up front, so refuse degenerate inputs
+    // loudly before launching them
+    val maxX = (0 until nx).map(i => (0 until ny).map(j => m(i)(j)).sum).max
+    val maxY = (0 until ny).map(j => (0 until nx).map(i => m(i)(j)).sum).max
+    require(math.max(maxX, maxY) <= maxStripeRows,
+      s"kendallDistributed: largest bucket stripe has ${math.max(maxX, maxY)} " +
+        s"rows (> maxStripeRows=$maxStripeRows) — the value distribution " +
+        "is too concentrated for B=" + buckets + " range buckets; raise " +
+        "`buckets`, raise `maxStripeRows` if executors have the memory, " +
+        "or use kendallApprox")
     // D(i,j) = Σ_{i'>i, j'<j} m(i',j'): y-prefix then x-suffix, O(B²)
     val pref = Array.ofDim[Long](nx, ny) // pref(i)(j) = Σ_{j'<j} m(i)(j')
     for (i <- 0 until nx; j <- 1 until ny)

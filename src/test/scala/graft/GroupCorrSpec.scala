@@ -204,6 +204,19 @@ class GroupCorrSpec extends SparkSpec {
     assertApprox(optD(escalated, 4), optD(bounded, 4), 1e-12)
   }
 
+  test("kendallDistributed refuses concentrated distributions loudly") {
+    import spark.implicits._
+    // x has 2 distinct values -> one stripe holds >= half the rows
+    val df = (1 to 100).map(i => ((i % 2).toDouble, i.toDouble)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException] {
+      Corr.kendallDistributed(df, "x", "y", maxStripeRows = 10L)
+    }
+    assert(e.getMessage.contains("maxStripeRows"))
+    // and with the default bound the same frame is exact
+    assertApprox(d1(Corr.kendallDistributed(df, "x", "y")),
+      d1(Corr.kendall(df, "x", "y")), 1e-12)
+  }
+
   test("kendallMatrixDistributed cells equal single-pair kendall") {
     import spark.implicits._
     val df = (1 to 120).map { i =>
