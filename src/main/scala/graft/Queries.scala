@@ -313,6 +313,25 @@ object Queries {
         .select(r(col("kendall"), 6).as("kendall"))
     }),
 
+    // ---- §2.9 time-offset rolling, closed= breadth (both/left/
+    //      neither alongside the default right) — all four interval
+    //      closures share ONE sort; frames differ only in bounds ----
+    "q_rolling_time_closed" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(Core.usOf(col("ts")))
+      val hour = 3600L * 1000000L
+      val both = WindowOps.timeSpecClosed(w, hour, "both")
+      val left = WindowOps.timeSpecClosed(w, hour, "left")
+      val neither = WindowOps.timeSpecClosed(w, hour, "neither")
+      T(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        count(col("value")).over(both).as("n_both"),
+        r(sum(col("value")).over(both), 4).as("sum_both"),
+        count(col("value")).over(left).as("n_left"),
+        r(sum(col("value")).over(left), 4).as("sum_left"),
+        count(col("value")).over(neither).as("n_neither"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // ---- §2.6 kendall, EXACT DISTRIBUTED grid decomposition (the
     //      100 TB path: no driver collect, no sampling) — same tau-b
     //      as kendallFast, verified against the O(n²) SQL oracle on a
@@ -640,6 +659,23 @@ object Queries {
            / sqrt((count(*) - sum(CASE WHEN x1 = x2 THEN 1 ELSE 0 END))
                 * (count(*) - sum(CASE WHEN y1 = y2 THEN 1 ELSE 0 END))) + 1e-9, 6) AS kendall
          FROM p""",
+
+    "q_rolling_time_closed" ->
+      """SELECT event_id, user_id,
+         count(value) OVER wb AS n_both,
+         round(sum(value) OVER wb + 1e-9, 4) AS sum_both,
+         count(value) OVER wl AS n_left,
+         round(sum(value) OVER wl + 1e-9, 4) AS sum_left,
+         count(value) OVER wn AS n_neither
+         FROM events
+         WINDOW
+           wb AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+           wl AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING),
+           wn AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN 3599999999 PRECEDING AND 1 PRECEDING)
+         ORDER BY user_id, event_id""",
 
     "q_kendall_dist" ->
       """WITH b AS (SELECT value AS x, epoch_us(ts) AS y,

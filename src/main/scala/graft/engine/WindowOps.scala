@@ -38,6 +38,24 @@ object WindowOps {
   def timeSpec(w: WindowSpec, offsetMicros: Long): WindowSpec =
     w.rangeBetween(-(offsetMicros - 1), 0)
 
+  /** pandas `rolling(window=offset, closed=)` — all four interval
+    * closures, as micro-exact range frames over the epoch-micros
+    * ordering column:
+    *   right   (t-w, t]   (pandas default for offset windows)
+    *   both    [t-w, t]
+    *   left    [t-w, t)
+    *   neither (t-w, t)
+    */
+  def timeSpecClosed(w: WindowSpec, offsetMicros: Long,
+                     closed: String): WindowSpec = closed match {
+    case "right" => w.rangeBetween(-(offsetMicros - 1), 0)
+    case "both" => w.rangeBetween(-offsetMicros, 0)
+    case "left" => w.rangeBetween(-offsetMicros, -1)
+    case "neither" => w.rangeBetween(-(offsetMicros - 1), -1)
+    case other => throw new IllegalArgumentException(
+      s"rolling closed=: unknown '$other' (right|both|left|neither)")
+  }
+
   /** min_periods gate: null until enough non-null values in the frame. */
   def gated(c: Column, w: WindowSpec, minPeriods: Int)(agg: Column => Column): Column =
     when(count(c).over(w) >= minPeriods, agg(c).over(w))
