@@ -313,6 +313,22 @@ object Queries {
         .select(r(col("kendall"), 6).as("kendall"))
     }),
 
+    // ---- §2.9 rolling center=True (odd + even window; pandas
+    //      min_periods default = full window -> null at edges) ----
+    "q_rolling_center" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val c5 = WindowOps.rollingSpecCentered(w, 5)
+      val c4 = WindowOps.rollingSpecCentered(w, 4)
+      def full(spec: org.apache.spark.sql.expressions.WindowSpec, n: Int,
+               e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        when(count(lit(1)).over(spec) === n, e)
+      T(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        r(full(c5, 5, avg(col("value")).over(c5)), 4).as("c5_mean"),
+        r(full(c4, 4, sum(col("value")).over(c4)), 4).as("c4_sum"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // ---- §2.9 time-offset rolling, closed= breadth (both/left/
     //      neither alongside the default right) — all four interval
     //      closures share ONE sort; frames differ only in bounds ----
@@ -659,6 +675,20 @@ object Queries {
            / sqrt((count(*) - sum(CASE WHEN x1 = x2 THEN 1 ELSE 0 END))
                 * (count(*) - sum(CASE WHEN y1 = y2 THEN 1 ELSE 0 END))) + 1e-9, 6) AS kendall
          FROM p""",
+
+    "q_rolling_center" ->
+      """SELECT event_id, user_id,
+         round(CASE WHEN count(*) OVER w5 = 5
+               THEN avg(value) OVER w5 END + 1e-9, 4) AS c5_mean,
+         round(CASE WHEN count(*) OVER w4 = 4
+               THEN sum(value) OVER w4 END + 1e-9, 4) AS c4_sum
+         FROM events
+         WINDOW
+           w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING),
+           w4 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING)
+         ORDER BY user_id, event_id""",
 
     "q_rolling_time_closed" ->
       """SELECT event_id, user_id,

@@ -30,6 +30,14 @@ object WindowOps {
   def rollingSpec(w: WindowSpec, n: Int): WindowSpec =
     w.rowsBetween(-(n - 1), Window.currentRow)
 
+  /** pandas `rolling(n, center=True)`: the same n-row frame with the
+    * result labeled at the center — frame `[-(n-1)+k, k]` with
+    * `k = (n-1)/2` (even n leans left, like pandas). */
+  def rollingSpecCentered(w: WindowSpec, n: Int): WindowSpec = {
+    val k = (n - 1) / 2
+    w.rowsBetween(-(n - 1) + k, k)
+  }
+
   def expandingSpec(w: WindowSpec): WindowSpec =
     w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
