@@ -313,6 +313,18 @@ object Queries {
         .select(r(col("kendall"), 6).as("kendall"))
     }),
 
+    // ---- §2.5 quantile interpolation= breadth: lower/higher/nearest/
+    //      midpoint alongside linear, exact order statistics ----
+    "q_quantile_interp" -> ((s, d) => {
+      Reductions.quantileInterp(T(s, d, "lineitem"), "l_quantity",
+          Seq(0.123, 0.25, 0.77))
+        .select(col("q"), r(col("linear"), 4).as("linear"),
+          r(col("lower"), 4).as("lower_v"), r(col("higher"), 4).as("higher_v"),
+          r(col("nearest"), 4).as("nearest_v"),
+          r(col("midpoint"), 4).as("midpoint_v"))
+        .orderBy("q")
+    }),
+
     // ---- §2.9 rolling center=True (odd + even window; pandas
     //      min_periods default = full window -> null at edges) ----
     "q_rolling_center" -> ((s, d) => {
@@ -675,6 +687,30 @@ object Queries {
            / sqrt((count(*) - sum(CASE WHEN x1 = x2 THEN 1 ELSE 0 END))
                 * (count(*) - sum(CASE WHEN y1 = y2 THEN 1 ELSE 0 END))) + 1e-9, 6) AS kendall
          FROM p""",
+
+    // positions computed with the same double math (q*(n-1)) as the
+    // Spark side; banker's rounding at frac=.5 via the even-index case
+    "q_quantile_interp" ->
+      """WITH s AS (SELECT list(l_quantity ORDER BY l_quantity) AS xs,
+                    count(l_quantity) AS n FROM lineitem),
+         q AS (SELECT unnest([0.123, 0.25, 0.77]) AS qq),
+         p AS (SELECT qq, qq * (n - 1) AS pos, xs, n FROM s, q),
+         e AS (SELECT qq,
+                 xs[CAST(floor(pos) AS BIGINT) + 1] AS lo,
+                 xs[CAST(ceil(pos) AS BIGINT) + 1] AS hi,
+                 pos - floor(pos) AS frac,
+                 CAST(floor(pos) AS BIGINT) AS loi
+               FROM p)
+         SELECT qq AS q,
+           round(lo + frac * (hi - lo) + 1e-9, 4) AS linear,
+           round(lo + 1e-9, 4) AS lower_v,
+           round(hi + 1e-9, 4) AS higher_v,
+           round(CASE WHEN frac > 0.5 THEN hi
+                      WHEN frac < 0.5 THEN lo
+                      WHEN loi % 2 = 0 THEN lo ELSE hi END + 1e-9, 4)
+             AS nearest_v,
+           round((lo + hi) / 2 + 1e-9, 4) AS midpoint_v
+         FROM e ORDER BY q""",
 
     "q_rolling_center" ->
       """SELECT event_id, user_id,

@@ -890,4 +890,50 @@ object Reductions {
                     rsd: Double = 0.01): DataFrame =
     df.agg(approx_count_distinct(col(cols.head), rsd).as(cols.head),
       cols.tail.map(c => approx_count_distinct(col(c), rsd).as(c)): _*)
+
+  /** pandas `quantile(q, interpolation=)` beyond 'linear': lower /
+    * higher / nearest / midpoint, exactly. Position p = q·(n−1); the
+    * non-linear modes are order statistics at ⌊p⌋/⌈p⌉, fetched with the
+    * same exact `percentile` at integer-position fractions (linear
+    * interpolation at an integer position IS the element). 'nearest'
+    * uses numpy's banker's rounding at frac = .5 (even index wins),
+    * matching pandas. One count job + one aggregate for ALL requested
+    * qs and modes; non-null count per column, like pandas. Returns one
+    * row per q: (q, linear, lower, higher, nearest, midpoint). */
+  def quantileInterp(df: DataFrame, c: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      s"quantile: need 0<=q<=1, got $qs")
+    val spark = df.sparkSession
+    val x = col(c).cast("double")
+    val n = df.filter(x.isNotNull && !isnan(x)).count()
+    require(n > 0, s"quantile: no non-null values in $c")
+    def at(pos: Long): Column =
+      if (n == 1) percentile(x, lit(0.0))
+      else percentile(x, lit(pos.toDouble / (n - 1)))
+    val aggs = qs.zipWithIndex.flatMap { case (q, i) =>
+      val p = q * (n - 1)
+      val lo = math.floor(p).toLong
+      val hi = math.ceil(p).toLong
+      val frac = p - lo
+      val near =
+        if (frac > 0.5) hi
+        else if (frac < 0.5) lo
+        else if (lo % 2 == 0) lo else hi // numpy banker's rounding
+      Seq(percentile(x, lit(q)).as(s"__lin$i"), at(lo).as(s"__lo$i"),
+        at(hi).as(s"__hi$i"), at(near).as(s"__nr$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("q", DoubleType),
+      StructField("linear", DoubleType), StructField("lower", DoubleType),
+      StructField("higher", DoubleType), StructField("nearest", DoubleType),
+      StructField("midpoint", DoubleType)))
+    val rows = qs.zipWithIndex.map { case (q, i) =>
+      val lo = one.getDouble(4 * i + 1); val hi = one.getDouble(4 * i + 2)
+      org.apache.spark.sql.Row(q, one.getDouble(4 * i), lo, hi,
+        one.getDouble(4 * i + 3), (lo + hi) / 2.0)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
 }
