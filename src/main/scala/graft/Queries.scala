@@ -313,6 +313,17 @@ object Queries {
         .select(r(col("kendall"), 6).as("kendall"))
     }),
 
+    // ---- §2.3 cumulative skipna=False: first null poisons the rest
+    //      of the group (null-laden column via the click filter) ----
+    "q_cumulative_noskip" -> ((s, d) => {
+      val v = when(col("event_type") === "click", col("value"))
+      T(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        r(Cumulative.cumsumNoSkip(v, byUser), 4).as("cs"),
+        r(Cumulative.cummaxNoSkip(v, byUser), 4).as("cm"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // ---- §2.5 quantile interpolation= breadth: lower/higher/nearest/
     //      midpoint alongside linear, exact order statistics ----
     "q_quantile_interp" -> ((s, d) => {
@@ -687,6 +698,21 @@ object Queries {
            / sqrt((count(*) - sum(CASE WHEN x1 = x2 THEN 1 ELSE 0 END))
                 * (count(*) - sum(CASE WHEN y1 = y2 THEN 1 ELSE 0 END))) + 1e-9, 6) AS kendall
          FROM p""",
+
+    "q_cumulative_noskip" ->
+      """WITH v AS (SELECT event_id, user_id, ts,
+           CASE WHEN event_type = 'click' THEN value END AS v FROM events)
+         SELECT event_id, user_id,
+           round(CASE WHEN max(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                        OVER w = 1 THEN NULL
+                 ELSE sum(v) OVER w END + 1e-9, 4) AS cs,
+           round(CASE WHEN max(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                        OVER w = 1 THEN NULL
+                 ELSE max(v) OVER w END + 1e-9, 4) AS cm
+         FROM v
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING)
+         ORDER BY user_id, event_id""",
 
     // positions computed with the same double math (q*(n-1)) as the
     // Spark side; banker's rounding at frac=.5 via the even-index case

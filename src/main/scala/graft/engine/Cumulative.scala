@@ -36,6 +36,22 @@ object Cumulative {
   def cummin(c: Column, w: WindowSpec): Column = keepNull(c, min(c).over(running(w)))
   def cummax(c: Column, w: WindowSpec): Column = keepNull(c, max(c).over(running(w)))
 
+  /** pandas `skipna=False` mode: the first NaN poisons every later cell
+    * (result is null from the first null input onward). The poison flag
+    * is a running max over the null indicator — same single window
+    * frame as the accumulation itself. */
+  private def poisoned(c: Column, w: WindowSpec, out: Column): Column =
+    when(max(when(c.isNull, 1).otherwise(0)).over(running(w)) === 1,
+      lit(null)).otherwise(out)
+  def cumsumNoSkip(c: Column, w: WindowSpec): Column =
+    poisoned(c, w, sum(c).over(running(w)))
+  def cumminNoSkip(c: Column, w: WindowSpec): Column =
+    poisoned(c, w, min(c).over(running(w)))
+  def cummaxNoSkip(c: Column, w: WindowSpec): Column =
+    poisoned(c, w, max(c).over(running(w)))
+  def cumprodNoSkip(c: Column, w: WindowSpec): Column =
+    poisoned(c, w, udaf(Reductions.productAgg).apply(c).over(running(w)))
+
   /** cumprod via the product Aggregator as a running window function
     * (exact, handles zeros/negatives; WindowExec evaluates the growing
     * frame incrementally, O(n) per partition). */
