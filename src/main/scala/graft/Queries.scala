@@ -189,6 +189,14 @@ object Queries {
         .orderBy("o_orderkey")
     }),
 
+    // ---- §2.7 merge(how='cross') — pandas 2.x cartesian product ----
+    "q_merge_cross" -> ((s, d) => {
+      val reg = T(s, d, "region").select(col("r_regionkey"), col("r_name"))
+      val nat = T(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      GroupOps.merge(reg, nat, on = Seq.empty, how = "cross")
+        .orderBy("r_regionkey", "n_nationkey")
+    }),
+
     // ---- §2.9 rolling stats (grouped, row window, min_periods gate) ----
     "q_rolling_stats" -> ((s, d) => {
       val w = WindowOps.rollingSpec(byUser, 5)
@@ -698,6 +706,11 @@ object Queries {
            / sqrt((count(*) - sum(CASE WHEN x1 = x2 THEN 1 ELSE 0 END))
                 * (count(*) - sum(CASE WHEN y1 = y2 THEN 1 ELSE 0 END))) + 1e-9, 6) AS kendall
          FROM p""",
+
+    "q_merge_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+         FROM region CROSS JOIN nation
+         ORDER BY r_regionkey, n_nationkey""",
 
     "q_cumulative_noskip" ->
       """WITH v AS (SELECT event_id, user_id, ts,

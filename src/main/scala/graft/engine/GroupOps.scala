@@ -216,6 +216,11 @@ object GroupOps {
     val overlap = (left.columns.toSet intersect right.columns.toSet) -- on.toSet
     val l = overlap.foldLeft(left)((d, c) => d.withColumnRenamed(c, c + suffixes._1))
     val r = overlap.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + suffixes._2))
-    l.join(r, on, how)
+    // pandas 2.x how='cross': cartesian product, `on` must be empty
+    if (how == "cross") {
+      require(on.isEmpty,
+        "MergeError: Can not pass on, right_on, left_on with how='cross'")
+      l.crossJoin(r)
+    } else l.join(r, on, how)
   }
 }
