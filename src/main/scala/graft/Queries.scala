@@ -120,6 +120,17 @@ object Queries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // ---- §2.5 rank(ascending=False) — the descending path of the
+    //      distributed rank machinery ----
+    "q_rank_desc" -> ((s, d) => {
+      Reductions.withRankAvg(T(s, d, "lineitem"), "l_quantity",
+        Seq("__rd" -> false, "__rdp" -> true), ascending = false)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r(col("__rd"), 1).as("qty_rank"),
+          r(col("__rdp"), 6).as("qty_rank_pct"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // ---- §2.5 mode (all tied modes) ----
     "q_mode" -> ((s, d) =>
       Reductions.modeAll(T(s, d, "lineitem"), "l_quantity")),
@@ -521,6 +532,15 @@ object Queries {
          round(rank() OVER (ORDER BY l_quantity)
                + (count(*) OVER (PARTITION BY l_quantity) - 1)/2.0 + 1e-9, 1) AS qty_rank,
          round((rank() OVER (ORDER BY l_quantity)
+               + (count(*) OVER (PARTITION BY l_quantity) - 1)/2.0)
+               / count(l_quantity) OVER () + 1e-9, 6) AS qty_rank_pct
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "q_rank_desc" ->
+      """SELECT l_orderkey, l_linenumber,
+         round(rank() OVER (ORDER BY l_quantity DESC)
+               + (count(*) OVER (PARTITION BY l_quantity) - 1)/2.0 + 1e-9, 1) AS qty_rank,
+         round((rank() OVER (ORDER BY l_quantity DESC)
                + (count(*) OVER (PARTITION BY l_quantity) - 1)/2.0)
                / count(l_quantity) OVER () + 1e-9, 6) AS qty_rank_pct
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
