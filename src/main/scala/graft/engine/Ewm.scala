@@ -109,4 +109,94 @@ object Ewm {
   def std(c: Column, w: WindowSpec, alpha: Double,
           ignoreNa: Boolean = false): Column =
     sqrt(variance(c, w, alpha, ignoreNa))
+
+  // ---- pairwise ewm.cov / ewm.corr -----------------------------------
+
+  /** Pairwise decayed co-moment buffer. Weights accrue only on
+    * pairwise-complete rows (pandas masks a pair if EITHER side is NaN);
+    * with ignore_na=False an incomplete row still advances the decay
+    * clock — same convention as the univariate [[Buf]]. `cnt` counts
+    * complete pairs UNdecayed (pandas' nobs): sample cov/corr are
+    * undefined below 2 observations, and the sw^2-sw2 denominator can't
+    * express that gate robustly (for non-binary-exact alphas the two
+    * d^k products round differently, leaving an ulp-sized positive
+    * denominator that would amplify a cancelled co-moment into junk
+    * where pandas emits NaN). */
+  case class Buf2(sw: Double, sw2: Double, sx: Double, sy: Double,
+                  sxy: Double, sxx: Double, syy: Double, n: Long, cnt: Long)
+
+  private def step2(b: Buf2, x: java.lang.Double, y: java.lang.Double,
+                    alpha: Double, ignoreNa: Boolean): Buf2 = {
+    val d = 1.0 - alpha
+    val missing = x == null || x.isNaN || y == null || y.isNaN
+    if (missing) {
+      if (ignoreNa) b
+      else Buf2(b.sw * d, b.sw2 * d * d, b.sx * d, b.sy * d,
+                b.sxy * d, b.sxx * d, b.syy * d, b.n + 1, b.cnt)
+    } else
+      Buf2(b.sw * d + 1.0, b.sw2 * d * d + 1.0,
+           b.sx * d + x, b.sy * d + y, b.sxy * d + x * y,
+           b.sxx * d + x * x, b.syy * d + y * y, b.n + 1, b.cnt + 1)
+  }
+
+  private def combine2(l: Buf2, r: Buf2, alpha: Double): Buf2 = {
+    val d = math.pow(1.0 - alpha, r.n.toDouble)
+    Buf2(l.sw * d + r.sw, l.sw2 * d * d + r.sw2,
+         l.sx * d + r.sx, l.sy * d + r.sy, l.sxy * d + r.sxy,
+         l.sxx * d + r.sxx, l.syy * d + r.syy, l.n + r.n, l.cnt + r.cnt)
+  }
+
+  /** Two-column input shape for the pairwise Aggregators; udaf() maps
+    * `apply(x, y)` onto the two fields positionally. */
+  case class Pair(x: java.lang.Double, y: java.lang.Double)
+
+  private abstract class EwmAgg2(alpha: Double, ignoreNa: Boolean)
+      extends Aggregator[Pair, Buf2, java.lang.Double] {
+    def zero: Buf2 = Buf2(0, 0, 0, 0, 0, 0, 0, 0L, 0L)
+    def reduce(b: Buf2, a: Pair): Buf2 = step2(b, a.x, a.y, alpha, ignoreNa)
+    def merge(b1: Buf2, b2: Buf2): Buf2 = combine2(b1, b2, alpha)
+    def bufferEncoder: Encoder[Buf2] = Encoders.product[Buf2]
+    def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+  }
+
+  /** pandas `ewm.cov(other, bias=False)`: biased decayed co-moment
+    * debiased by sw^2 / (sw^2 - sw2) — identical factor to [[varAgg]]
+    * but over the PAIRWISE weight sums. */
+  def covAgg(alpha: Double, ignoreNa: Boolean = false)
+    : Aggregator[Pair, Buf2, java.lang.Double] =
+    new EwmAgg2(alpha, ignoreNa) {
+      def finish(b: Buf2): java.lang.Double = {
+        val denom = b.sw * b.sw - b.sw2
+        if (b.cnt < 2 || b.sw <= 0 || denom <= 0) null
+        else {
+          val mx = b.sx / b.sw; val my = b.sy / b.sw
+          (b.sw * b.sw / denom) * (b.sxy / b.sw - mx * my)
+        }
+      }
+    }
+
+  /** pandas `ewm.corr(other)`: ratio of BIASED co-moments (the debias
+    * factors cancel, so corr is bias-parameter-free in pandas too). */
+  def corrAgg(alpha: Double, ignoreNa: Boolean = false)
+    : Aggregator[Pair, Buf2, java.lang.Double] =
+    new EwmAgg2(alpha, ignoreNa) {
+      def finish(b: Buf2): java.lang.Double = {
+        val denom = b.sw * b.sw - b.sw2
+        if (b.cnt < 2 || b.sw <= 0 || denom <= 0) null
+        else {
+          val mx = b.sx / b.sw; val my = b.sy / b.sw
+          val vx = b.sxx / b.sw - mx * mx
+          val vy = b.syy / b.sw - my * my
+          val c = b.sxy / b.sw - mx * my
+          if (vx <= 0 || vy <= 0) null else c / math.sqrt(vx * vy)
+        }
+      }
+    }
+
+  def cov(x: Column, y: Column, w: WindowSpec, alpha: Double,
+          ignoreNa: Boolean = false): Column =
+    udaf(covAgg(alpha, ignoreNa)).apply(x, y).over(running(w))
+  def corr(x: Column, y: Column, w: WindowSpec, alpha: Double,
+           ignoreNa: Boolean = false): Column =
+    udaf(corrAgg(alpha, ignoreNa)).apply(x, y).over(running(w))
 }

@@ -301,4 +301,66 @@ class WindowSpec extends SparkSpec {
     val out = df.select(col("us"), count(col("v")).over(spec).as("n")).orderBy("us")
     assert(colD(out, "n") == Seq(Some(1.0), Some(2.0), Some(2.0)))
   }
+
+  // pandas 2.2.2:
+  //   x = Series([1, 3, nan, 2, 5, nan, 4, 1.5])
+  //   y = Series([2, nan, 1, 4, 3, 6, 2.5, 0.5])
+  // (a pair is masked when EITHER side is NaN; sample cov/corr need
+  // >= 2 complete pairs, so the first three rows are NaN)
+  private lazy val xyPairs = Seq(
+    (0L, Some(1.0), Some(2.0)), (1L, Some(3.0), None),
+    (2L, None, Some(1.0)), (3L, Some(2.0), Some(4.0)),
+    (4L, Some(5.0), Some(3.0)), (5L, None, Some(6.0)),
+    (6L, Some(4.0), Some(2.5)), (7L, Some(1.5), Some(0.5)))
+    .toDF("i", "x", "y")
+
+  test("ewm cov/corr pairwise vs pandas (ignore_na=False)") {
+    // x.ewm(alpha=0.25).cov(y)  = [nan,nan,nan,1.0,-0.195505618,
+    //                              -0.195505618,-0.2789780035,1.4756483982]
+    // x.ewm(alpha=0.25).corr(y) = [nan,nan,nan,1.0,-0.1034369424,
+    //                              -0.1034369424,-0.2384278967,0.5956806973]
+    val out = xyPairs.select(col("i"),
+      Ewm.cov(col("x"), col("y"), byI, 0.25).as("c"),
+      Ewm.corr(col("x"), col("y"), byI, 0.25).as("r")).orderBy("i")
+    assertSeqApprox(colD(out, "c"),
+      Seq(None, None, None, Some(1.0), Some(-0.195505618),
+        Some(-0.195505618), Some(-0.2789780035), Some(1.4756483982)), 1e-8)
+    assertSeqApprox(colD(out, "r"),
+      Seq(None, None, None, Some(1.0), Some(-0.1034369424),
+        Some(-0.1034369424), Some(-0.2384278967), Some(0.5956806973)), 1e-8)
+  }
+
+  test("ewm cov/corr pairwise vs pandas (ignore_na=True)") {
+    // x.ewm(alpha=0.25, ignore_na=True).cov(y) =
+    //   [nan,nan,nan,1.0,0.2432432432,0.2432432432,-0.0378378378,
+    //    1.2667349552]
+    // ...corr(y) = [nan,nan,nan,1.0,0.121135928,0.121135928,
+    //    -0.0285514579,0.5278635068]
+    val out = xyPairs.select(col("i"),
+      Ewm.cov(col("x"), col("y"), byI, 0.25, ignoreNa = true).as("c"),
+      Ewm.corr(col("x"), col("y"), byI, 0.25, ignoreNa = true).as("r"))
+      .orderBy("i")
+    assertSeqApprox(colD(out, "c"),
+      Seq(None, None, None, Some(1.0), Some(0.2432432432),
+        Some(0.2432432432), Some(-0.0378378378), Some(1.2667349552)), 1e-8)
+    assertSeqApprox(colD(out, "r"),
+      Seq(None, None, None, Some(1.0), Some(0.121135928),
+        Some(0.121135928), Some(-0.0285514579), Some(0.5278635068)), 1e-8)
+  }
+
+  test("rolling cov/corr pairwise-complete min_periods gate vs pandas") {
+    // x.rolling(3, min_periods=2).cov(y)  = [nan,nan,nan,nan,-1.5,-1.5,
+    //                                        0.25,2.5]
+    // x.rolling(3, min_periods=2).corr(y) = [nan,nan,nan,nan,-1,-1,1,1]
+    val w = WindowOps.rollingSpec(byI, 3)
+    val out = xyPairs.select(col("i"),
+      WindowOps.rCov(col("x"), col("y"), w, 2).as("c"),
+      WindowOps.rCorr(col("x"), col("y"), w, 2).as("r")).orderBy("i")
+    assertSeqApprox(colD(out, "c"),
+      Seq(None, None, None, None, Some(-1.5), Some(-1.5), Some(0.25),
+        Some(2.5)), 1e-8)
+    assertSeqApprox(colD(out, "r"),
+      Seq(None, None, None, None, Some(-1.0), Some(-1.0), Some(1.0),
+        Some(1.0)), 1e-8)
+  }
 }
