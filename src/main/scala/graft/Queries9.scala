@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine._
 import graft.engine.Core.r
+import graft.pipeline.Similarity
 
 /** Ninth tranche (round 8): the pairwise-covariance family the
   * reference's generic window proxy exposes (`parallel_window.py:38-40`
@@ -56,6 +57,35 @@ object Queries9 {
         .orderBy("c1", "c2")
     }),
 
+    // ---- IVF-PQ combined ANN (FAISS IVFPQ shape): coarse cells bound
+    //      candidates (ONE cell-keyed equi-join, ~corpus*nprobe/nlist
+    //      per query, NO corpus broadcast), residual PQ codes bound
+    //      bytes per candidate. Cells pinned to vec_id<8, codebooks to
+    //      sub-slices of vec_id in [16,32) so the oracle replicates
+    //      both verbatim (trained-path quality is spec-gated). ----
+    "q_ivfpq_topk" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val (cells, books) = ivfPqTables(emb)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb,
+          cells, books, k = 5, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          r(col("dist"), 6).as("dist"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- measured recall@5 of the IVF-PQ path vs exact L2 — the
+    //      coarse-probe miss rate is a first-class measured output ----
+    "q_ivfpq_recall" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val (cells, books) = ivfPqTables(emb)
+      val q = emb.filter(col("vec_id") < 10)
+      Similarity.recallAtK(
+          Similarity.ivfPqTopK(q, emb, cells, books, k = 5, nprobe = 2),
+          Similarity.bruteForceTopKL2(q, emb, 5), 5)
+        .select(col("query_id"), r(col("recall"), 6).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // ---- §2.9 ewm.cov / ewm.corr (adjust=True, bias=False):
     //      mergeable pairwise Aggregators as running window fns ----
     "q_ewm_cov" -> ((s, d) => {
@@ -70,7 +100,111 @@ object Queries9 {
         .orderBy("user_id", "event_id")
     }))
 
+  /** Pinned IVF-PQ tables: 8 coarse cells = full vectors of vec_id<8
+    * (vec_id order = cell index), 4x16 residual codebooks = 16-wide
+    * sub-slices of vec_id in [16,32) (vec_id order = code index). */
+  private def ivfPqTables(emb: DataFrame)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    def rows(f: DataFrame): Array[Array[Double]] =
+      f.orderBy("vec_id").select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+    val cells = rows(emb.filter(col("vec_id") < 8))
+    val src = rows(emb.filter(col("vec_id") >= 16 && col("vec_id") < 32))
+    val books = Array.tabulate(4)(s => src.map(_.slice(s * 16, s * 16 + 16)))
+    (cells, books)
+  }
+
+  /** IVF-PQ in SQL, mirroring the engine's pinned tables and EXACT fold
+    * and tie-break orders (same discipline as Queries5.PqCte): squared
+    * distances are indexed-lambda + list_reduce left folds, cell
+    * assignment / probe lists / codebook argmins are
+    * row_number-over-(dist, index), the ADC total is the explicit
+    * ((s0+s1)+s2)+s3 chain. */
+  private val IvfPqCte: String = {
+    def sq(a: String, b: String) =
+      s"list_reduce(list_transform($a, (x, i) -> (x - $b[i]) * (x - $b[i])), (p, q) -> p + q)"
+    s"""cc AS (
+           SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,
+             embedding::DOUBLE[] AS ccv
+           FROM embeddings WHERE vec_id < 8),
+         asg0 AS (
+           SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS x, cl, ccv,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${sq("e.embedding::DOUBLE[]", "ccv")}, cl) AS rn
+           FROM embeddings e, cc),
+         res AS (
+           SELECT id, cl, list_transform(x, (v, i) -> v - ccv[i]) AS rv
+           FROM asg0 WHERE rn = 1),
+         cb AS (
+           SELECT row_number() OVER (PARTITION BY t.s ORDER BY e.vec_id) - 1 AS c,
+             t.s, list_slice(e.embedding, t.s*16 + 1, t.s*16 + 16)::DOUBLE[] AS cv
+           FROM embeddings e, range(4) t(s)
+           WHERE e.vec_id >= 16 AND e.vec_id < 32),
+         ds AS (
+           SELECT id, cl, t.s,
+             list_slice(rv, t.s*16 + 1, t.s*16 + 16) AS dv
+           FROM res, range(4) t(s)),
+         enc0 AS (
+           SELECT id, cl, ds.s, c, cv,
+             row_number() OVER (PARTITION BY id, ds.s
+               ORDER BY ${sq("dv", "cv")}, c) AS rn
+           FROM ds JOIN cb ON ds.s = cb.s),
+         enc AS (SELECT id, cl, s, c, cv FROM enc0 WHERE rn = 1),
+         qp0 AS (
+           SELECT e.vec_id AS qid, e.embedding::DOUBLE[] AS qx, cl, ccv,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${sq("e.embedding::DOUBLE[]", "ccv")}, cl) AS rn
+           FROM embeddings e, cc WHERE e.vec_id < 10),
+         qp AS (
+           SELECT qid, cl, list_transform(qx, (v, i) -> v - ccv[i]) AS qrv
+           FROM qp0 WHERE rn <= 2),
+         qs AS (
+           SELECT qid, cl, t.s,
+             list_slice(qrv, t.s*16 + 1, t.s*16 + 16) AS qv
+           FROM qp, range(4) t(s)),
+         subd AS (
+           SELECT qid, id, enc.s, ${sq("qv", "cv")} AS sd
+           FROM enc JOIN qs ON qs.cl = enc.cl AND qs.s = enc.s
+           WHERE qid <> id),
+         scored AS (
+           SELECT qid, id,
+             ((max(CASE WHEN s = 0 THEN sd END)
+               + max(CASE WHEN s = 1 THEN sd END))
+               + max(CASE WHEN s = 2 THEN sd END))
+               + max(CASE WHEN s = 3 THEN sd END) AS dist
+           FROM subd GROUP BY qid, id),
+         ranked AS (
+           SELECT qid, id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+           FROM scored)"""
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "q_ivfpq_topk" ->
+      s"""WITH $IvfPqCte
+         SELECT qid AS query_id, id AS neighbor_id,
+           round(dist + 1e-9, 6) AS dist, rank
+         FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q_ivfpq_recall" ->
+      s"""WITH $IvfPqCte,
+         ann AS (SELECT qid, id AS nid FROM ranked WHERE rank <= 5),
+         qfull AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 10),
+         bf AS (SELECT qid, nid FROM (
+                  SELECT q.qid, c.vec_id AS nid,
+                    row_number() OVER (PARTITION BY q.qid ORDER BY
+                      list_distance(qv, c.embedding::DOUBLE[]), c.vec_id) AS rank
+                  FROM qfull q, embeddings c WHERE c.vec_id <> q.qid)
+                WHERE rank <= 5),
+         hits AS (SELECT a.qid, count(*) AS h
+                  FROM ann a JOIN bf b ON a.qid = b.qid AND a.nid = b.nid
+                  GROUP BY 1)
+         SELECT b.qid AS query_id,
+           round(coalesce(h, 0) / 5.0 + 1e-9, 6) AS recall
+         FROM (SELECT DISTINCT qid FROM bf) b
+         LEFT JOIN hits USING (qid) ORDER BY query_id""",
 
     "q_rolling_covcorr" ->
       s"""WITH o AS (SELECT event_id, ts, user_id, value,

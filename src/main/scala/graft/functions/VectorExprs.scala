@@ -99,6 +99,57 @@ case class L2Norm(child: Expression)
     copy(child = newChild)
 }
 
+/** sum((x_i - y_i)^2) of two array<double>s, read in place. Ascending-
+  * index accumulation from 0.0 — float-identical to the
+  * `aggregate(zip_with(...))` left fold it replaces (0.0 + d0 == d0
+  * exactly), so SQL oracles built on `list_reduce` stay bit-exact.
+  * The quantizer hot path (IVF cell assignment, PQ codebook argmin,
+  * ADC scoring) evaluates this once per (row, centroid): native eval
+  * beats the interpreted per-element lambda ~20x even when an
+  * enclosing higher-order function keeps the projection off
+  * whole-stage codegen. */
+case class SqDist(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_sqdist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    var s = 0.0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level entry points + SQL registration for the native vector
   * kernels. Library code calls [[dot]]/[[l2norm]] directly (no session
   * registration needed); SQL users get `graft_dot`/`graft_l2norm` via
@@ -114,6 +165,10 @@ object VectorFunctions {
   def l2norm(v: Column): Column =
     GraftSqlShim.column(L2Norm(GraftSqlShim.expression(v)))
 
+  def sqdist(a: Column, b: Column): Column =
+    GraftSqlShim.column(SqDist(GraftSqlShim.expression(a),
+      GraftSqlShim.expression(b)))
+
   private[functions] val registry = Seq(
     ("graft_dot",
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
@@ -121,6 +176,9 @@ object VectorFunctions {
     ("graft_l2norm",
       new ExpressionInfo(classOf[L2Norm].getName, "graft_l2norm"),
       (es: Seq[Expression]) => L2Norm(es.head): Expression),
+    ("graft_sqdist",
+      new ExpressionInfo(classOf[SqDist].getName, "graft_sqdist"),
+      (es: Seq[Expression]) => SqDist(es(0), es(1)): Expression),
     ("graft_rolling_hash",
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
       (es: Seq[Expression]) => RollingHash(es.head): Expression),

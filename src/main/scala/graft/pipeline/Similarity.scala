@@ -612,4 +612,88 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("dist"), col("rank"))
   }
+
+  /** IVF-PQ combined ANN (FAISS IVFPQ shape): coarse cells bound the
+    * candidate set, residual PQ codes bound the bytes read per
+    * candidate — the composition is THE billion-vector layout, and the
+    * genuine scale upgrade over [[pqTopK]]'s broadcast cross join:
+    *
+    *   - corpus side: nearest-cell assignment, residual x - c_cell, and
+    *     m argmin codebook codes — ALL literal-centroid codegen over the
+    *     scan, zero shuffle; the scored representation is
+    *     (id, cell, m codes), independent of dim.
+    *   - query side: `nprobe` nearest cells per query (lexicographic
+    *     struct sort = deterministic dist-then-id tie-break), one
+    *     per-cell residual each.
+    *   - scoring: ONE equi-join keyed by cell — candidate volume is
+    *     ~corpus * nprobe / nlist per query, never all-pairs and never a
+    *     corpus broadcast — then ADC
+    *     `sum_s ||(q - c_cell)_s - book[s][code_s]||^2` inside codegen
+    *     and a WindowGroupLimit top-k.
+    *
+    * `cells`/`books` are literal matrices (nlist x dim, m x k x dim/m):
+    * right for nlist up to a few thousand; beyond that pass centroids
+    * via broadcast UDF ([[ivfTopKWith]]'s pattern) — the join shape is
+    * identical. `nprobe = nlist` degrades to exact-over-codes (= pqTopK
+    * ranking on residual codebooks). Fold/tie-break orders mirror
+    * [[pqTopK]]/[[argminCode]] so a SQL oracle can replicate bit-exact. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                cells: Array[Array[Double]],
+                books: Array[Array[Array[Double]]],
+                k: Int, nprobe: Int,
+                qId: String = "vec_id", qVec: String = "embedding",
+                cId: String = "vec_id", cVec: String = "embedding")
+      : DataFrame = {
+    val w = books(0)(0).length
+    // ONE nested-array Literal per matrix (not a CreateArray-of-
+    // CreateArrays tree): plan size is O(1) in nlist and m*k, which
+    // keeps Catalyst analysis/codegen sub-second where the unrolled
+    // per-centroid expression forest cost ~5s of planning per query
+    val cellsLit = typedlit(cells.map(_.toSeq).toSeq)
+    val booksLit = typedlit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    // native kernel, float-identical to the aggregate(zip_with) left
+    // fold (and so to the SQL oracle's list_reduce)
+    def sqd(a: Column, b: Column): Column =
+      graft.functions.VectorFunctions.sqdist(a, b)
+    // (dist, cell-index) structs; array_min/array_sort lexicographic
+    // order = dist-then-lowest-index tie-break, same as argminCode
+    def cellStructs(v: Column) =
+      transform(sequence(lit(0), lit(cells.length - 1)),
+        i => struct(sqd(v, element_at(cellsLit, i + 1)).as("d"),
+          i.as("c")))
+    val c0 = corpus
+      .select(col(cId).cast("long").as("neighbor_id"),
+        asDouble(col(cVec)).as("x"))
+      .withColumn("cell", array_min(cellStructs(col("x"))).getField("c"))
+      .withColumn("rv", zip_with(col("x"),
+        element_at(cellsLit, col("cell") + 1), (a, b) => a - b))
+    val codes = c0.select(col("neighbor_id"), col("cell"),
+      array(books.indices.map { s =>
+        array_min(transform(sequence(lit(0), lit(books(s).length - 1)),
+          c => struct(sqd(slice(col("rv"), s * w + 1, w),
+            element_at(element_at(booksLit, s + 1), c + 1)).as("d"),
+            c.as("c")))).getField("c")
+      }: _*).as("codes"))
+    val q0 = queries
+      .select(col(qId).cast("long").as("query_id"),
+        asDouble(col(qVec)).as("qx"))
+      .withColumn("cell", explode(transform(
+        slice(array_sort(cellStructs(col("qx"))), 1, nprobe),
+        p => p.getField("c"))))
+      .withColumn("qrv", zip_with(col("qx"),
+        element_at(cellsLit, col("cell") + 1), (a, b) => a - b))
+      .drop("qx")
+    val scored = codes.join(q0, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist", books.indices.map { s =>
+        sqd(slice(col("qrv"), s * w + 1, w),
+          element_at(element_at(booksLit, s + 1),
+            col("codes").getItem(s) + 1))
+      }.reduce(_ + _))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "dist", "rank")
+  }
 }

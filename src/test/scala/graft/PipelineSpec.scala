@@ -265,6 +265,53 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq: trained cells + residual codebooks, blob precision, nprobe widening") {
+    // same 3-blob geometry as the pq test: coarse cells capture the
+    // blobs, PQ codes quantize the in-blob RESIDUALS
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 60L).map { i =>
+      val c = (i % 3).toInt
+      (i, Array.tabulate(8)(j =>
+        (c * 10.0 + rnd.nextGaussian() * 0.3 + j * 0.01).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cells = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 3, 5)
+    // residuals for codebook training (test-sized collect; production
+    // trains on a sample with the same map-side assignment expression)
+    def nearest(v: Array[Double]): Int =
+      cells.indices.minBy(c => cells(c).zip(v).map { case (a, b) =>
+        (a - b) * (a - b) }.sum)
+    val res = emb.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val cv = cells(nearest(v))
+      (r.getLong(0), v.indices.map(i => v(i) - cv(i)).toArray)
+    }.toSeq.toDF("vec_id", "embedding")
+    val books = Similarity.pqTrainCodebooks(res, "vec_id", "embedding",
+      dim = 8, m = 2, k = 4, iters = 3)
+    val q = emb.filter(col("vec_id") < 6)
+    val out = Similarity.ivfPqTopK(q, emb, cells, books, 5, nprobe = 1)
+      .collect()
+    assert(out.length == 6 * 5)
+    // blob precision: with one probed cell every neighbor shares the
+    // query's blob (cells == blobs for this geometry)
+    assert(out.forall(r => r.getLong(1) % 3 == r.getLong(0) % 3),
+      "an IVF-PQ neighbor crossed blobs")
+    out.groupBy(_.getLong(0)).values.foreach { rs =>
+      val byRank = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+    // widening the probe list can only add candidates: nprobe=3 results
+    // must contain every nprobe=1 neighbor set per query or better
+    // (recall vs exact L2 is monotone in nprobe)
+    val bf = Similarity.bruteForceTopKL2(q, emb, 5)
+    val r1 = Similarity.recallAtK(
+      Similarity.ivfPqTopK(q, emb, cells, books, 5, nprobe = 1), bf, 5)
+      .agg(avg("recall")).head.getDouble(0)
+    val r3 = Similarity.recallAtK(
+      Similarity.ivfPqTopK(q, emb, cells, books, 5, nprobe = 3), bf, 5)
+      .agg(avg("recall")).head.getDouble(0)
+    assert(r3 >= r1, s"recall fell when widening probes: $r1 -> $r3")
+  }
+
   test("text analysis: token counts, ratios, quality, fingerprint") {
     val df = Seq("The cat and the dog!").toDF("t")
     val r = df.select(
