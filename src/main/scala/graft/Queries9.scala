@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine._
 import graft.engine.Core.r
-import graft.pipeline.Similarity
+import graft.pipeline.{Curation, Similarity}
 
 /** Ninth tranche (round 8): the pairwise-covariance family the
   * reference's generic window proxy exposes (`parallel_window.py:38-40`
@@ -84,6 +84,23 @@ object Queries9 {
           Similarity.bruteForceTopKL2(q, emb, 5), 5)
         .select(col("query_id"), r(col("recall"), 6).as("recall"))
         .orderBy("query_id")
+    }),
+
+    // ---- PageRank domain/source quality ranking (corpus-curation
+    //      signal): customer -> supplier edges from orders x lineitem;
+    //      2 damped iterations, dangling-mass redistribution. The rank
+    //      frame is node-sized, so each iteration AQE-broadcasts it
+    //      into the edge join — the edge table shuffles once, in the
+    //      contrib aggregate only ----
+    "q_pagerank" -> ((s, d) => {
+      val edges = T(s, d, "orders").select("o_orderkey", "o_custkey")
+        .join(T(s, d, "lineitem").select("l_orderkey", "l_suppkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000000L).as("dst"))
+      Curation.pageRank(edges, "src", "dst", iters = 2)
+        .select(col("node"), r(col("rank"), 6).as("rank"))
+        .orderBy("node")
     }),
 
     // ---- §2.9 ewm.cov / ewm.corr (adjust=True, bias=False):
@@ -180,6 +197,38 @@ object Queries9 {
   }
 
   val oracle: Map[String, String] = Map(
+
+    // two unrolled damped power iterations, dangling mass folded back
+    // uniformly — mirrors Curation.pageRank exactly
+    "q_pagerank" ->
+      """WITH e AS (
+           SELECT DISTINCT o.o_custkey AS src,
+             l.l_suppkey + 1000000000 AS dst
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+         od AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY 1),
+         r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+         c1 AS (SELECT e.dst AS node, sum(r0.rank / od.outdeg) AS contrib
+                FROM e JOIN r0 ON e.src = r0.node
+                JOIN od ON od.src = e.src GROUP BY 1),
+         d1 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r0
+                LEFT JOIN od ON r0.node = od.src WHERE od.src IS NULL),
+         r1 AS (SELECT nodes.node,
+                  0.15 / (SELECT n FROM nn) + 0.85 * (coalesce(contrib, 0)
+                    + (SELECT dm FROM d1) / (SELECT n FROM nn)) AS rank
+                FROM nodes LEFT JOIN c1 USING (node)),
+         c2 AS (SELECT e.dst AS node, sum(r1.rank / od.outdeg) AS contrib
+                FROM e JOIN r1 ON e.src = r1.node
+                JOIN od ON od.src = e.src GROUP BY 1),
+         d2 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r1
+                LEFT JOIN od ON r1.node = od.src WHERE od.src IS NULL),
+         r2 AS (SELECT nodes.node,
+                  0.15 / (SELECT n FROM nn) + 0.85 * (coalesce(contrib, 0)
+                    + (SELECT dm FROM d2) / (SELECT n FROM nn)) AS rank
+                FROM nodes LEFT JOIN c2 USING (node))
+         SELECT node, round(rank + 1e-9, 6) AS rank
+         FROM r2 ORDER BY node""",
 
     "q_ivfpq_topk" ->
       s"""WITH $IvfPqCte

@@ -527,4 +527,65 @@ object Curation {
     }
     df.withColumn("skey", key).orderBy(col("skey"), col(id))
   }
+
+  /** PageRank over a directed edge table — the domain/source quality
+    * signal of web-corpus curation (CommonCrawl-style host ranking
+    * feeding source weights for a pretraining mix). Classic damped
+    * power iteration with dangling-mass redistribution:
+    *
+    *   r'(v) = (1-d)/N + d * (sum_{u->v} r(u)/outdeg(u) + dangling/N)
+    *
+    * so rank mass is conserved (sums to 1 every iteration, spec-gated).
+    *
+    * Scale shape: `iters` is a FIXED small constant (10-20 in
+    * production); per iteration the plan is one join of the edge table
+    * against the node-sized rank frame and one hash aggregate keyed by
+    * dst. The rank frame is |V|-sized — orders of magnitude under the
+    * edge table — so AQE broadcasts it and THE EDGE TABLE IS NEVER
+    * RE-SHUFFLED; per-iteration cost is one broadcast + one contrib
+    * shuffle of degree-bounded partials. The two global scalars
+    * (N, dangling mass) ride a 1-row cross join, not a collect — the
+    * whole loop is lazily composed and runs as ONE job when the result
+    * is consumed. Deterministic: no sampling, float sums are the only
+    * order-dependence (oracle rounds at 6). */
+  def pageRank(edges: DataFrame, src: String, dst: String,
+               iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "pageRank: iters >= 1")
+    val e = edges.select(col(src).cast("long").as("e_src"),
+      col(dst).cast("long").as("e_dst")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the loop invariants — the edge table and the node/outdeg frame —
+    // are materialized ONCE (standard for iterative graph algorithms,
+    // cf. GraphX) and every iteration joins against them; N is a
+    // driver-side count (GraphX's numVertices), not a per-iteration
+    // 1-row cross join, so the per-iteration plan is exactly one
+    // rank-frame broadcast join + one dst-keyed contrib aggregate +
+    // one node-sized dangling-mass aggregate
+    val base = e.select(col("e_src").as("node"))
+      .union(e.select(col("e_dst").as("node"))).distinct()
+      .join(e.groupBy(col("e_src").as("od_node"))
+          .agg(count(lit(1)).as("outdeg")),
+        col("node") === col("od_node"), "left")
+      .select(col("node"), col("outdeg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = base.count().toDouble
+    var ranks = base.select(col("node"), col("outdeg"),
+      lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.filter(col("outdeg").isNotNull)
+        .select(col("node"), (col("rank") / col("outdeg")).as("__share"))
+        .join(e, col("node") === col("e_src"))
+        .groupBy(col("e_dst").as("node2"))
+        .agg(sum(col("__share")).as("contrib"))
+      val dangling = ranks.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+      ranks = base.join(contrib, col("node") === col("node2"), "left")
+        .crossJoin(dangling)
+        .select(col("node"), col("outdeg"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("__dm") / n))
+            .as("rank"))
+    }
+    ranks.select(col("node"), col("rank"))
+  }
 }

@@ -267,4 +267,25 @@ class CurationSpec extends SparkSpec {
       Curation.shuffleOrder(df, "id", 7L, hash = "sha9")
     }
   }
+
+  test("pageRank: damped power iteration, dangling mass, conservation") {
+    // hand-computed (python, d=0.85, 2 iters, dangling node 5):
+    //   edges (1,2),(1,3),(2,3),(3,1),(4,3),(3,5)
+    //   iter2 ranks = [0.263155, 0.118655, 0.299705, 0.05533, 0.263155]
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L),
+      (3L, 5L)).toDF("s", "t")
+    val out = Curation.pageRank(e, "s", "t", iters = 2)
+      .orderBy("node").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    val ranks = out.map(_.getDouble(1))
+    val want = Seq(0.263155, 0.118655, 0.299705, 0.05533, 0.263155)
+    ranks.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-9, s"got $g want $w") }
+    // rank mass conserved exactly (dangling redistribution)
+    assert(math.abs(ranks.sum - 1.0) < 1e-12)
+    // duplicate edges collapse (distinct) — same result
+    val dup = Curation.pageRank(e.union(e), "s", "t", iters = 2)
+      .orderBy("node").collect().map(_.getDouble(1))
+    ranks.zip(dup).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+  }
 }
