@@ -41,7 +41,10 @@ object PlanAudit {
     "q_nlargest" -> "nlargest/nsmallest: TakeOrderedAndProject (per-task top-n + driver merge), never a global sort",
     "q_bigram_lp" -> "bigram LM: sentinel rows carry unigrams, so uni/tot re-aggregate the vocab-sized bigram table (no extra corpus pass); big-count agg combines map-side (exchange moves distinct bigrams); ONE raw-pair shuffle total (the scoring join)",
     "q_dsir" -> "DSIR: raw corpus tokenized ONCE into the (doc,bucket) aggregate; raw unigram model re-aggregates that table (stage-reused exchange); buckets-row model broadcasts into the scoring join",
-    "q_groupby_filter" -> "groupby.filter: groups-sized aggregate broadcast back as LEFT SEMI — the frame itself is never shuffled")
+    "q_groupby_filter" -> "groupby.filter: groups-sized aggregate broadcast back as LEFT SEMI — the frame itself is never shuffled",
+    "q_rolling_covcorr" -> "rolling/expanding cov+corr: ONE shuffle on the group key, both frames evaluated in the same WindowExec pass (builtin covar_samp/corr co-moments in codegen)",
+    "q_ivfpq_topk" -> "IVF-PQ: literal-matrix cell assignment + residual PQ codes map-side over the scan; candidates via ONE cell-keyed equi-join (no corpus broadcast, no cartesian); WindowGroupLimit top-k",
+    "q_pagerank" -> "PageRank iteration: persisted edge/outdeg invariants, node-sized rank frame broadcast into the edge join, ONE dst-keyed contrib aggregate per iteration")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"

@@ -91,4 +91,28 @@ class PlanGuardSpec extends SparkSpec {
       assert(broken.isEmpty,
         s"plans broken under $form events.ts:\n  ${broken.mkString("\n  ")}")
     }
+
+  test("ivfPqTopK scores via an equi-join — never a cartesian/nested-loop") {
+    // the IVF-PQ scale claim is that candidates come from a cell-keyed
+    // equi-join (corpus * nprobe / nlist), unlike pqTopK's documented
+    // broadcast cross join baseline; a regression to a cross product
+    // must fail here, not at 100 TB
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val plan = SparkEntry.queries("q_ivfpq_topk")(spark,
+      "/root/testdata/sf0.001").queryExecution.executedPlan
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p.children ++ (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)
+        case _ => Seq.empty
+      }) ++ p.subqueries
+      p +: kids.flatMap(walk)
+    }
+    val bad = walk(plan).filter {
+      case _: CartesianProductExec => true
+      case _: BroadcastNestedLoopJoinExec => true
+      case _ => false
+    }
+    assert(bad.isEmpty,
+      s"ivf-pq plan contains non-equi joins: ${bad.map(_.nodeName).mkString(", ")}")
+  }
 }
