@@ -86,6 +86,17 @@ object Queries9 {
         .orderBy("query_id")
     }),
 
+    // ---- Series.autocorr(lag) per group: ONE window shuffle feeds
+    //      both lags and the map-side-combinable corr aggregates ----
+    "q_autocorr" -> ((s, d) => {
+      Frame.autocorr(T(s, d, "events"), "value", byUser,
+          Seq("user_id"), lags = Seq(1, 3))
+        .select(col("user_id"),
+          r(col("autocorr_1"), 6).as("ac1"),
+          r(col("autocorr_3"), 6).as("ac3"))
+        .orderBy("user_id")
+    }),
+
     // ---- PageRank domain/source quality ranking (corpus-curation
     //      signal): customer -> supplier edges from orders x lineitem;
     //      2 damped iterations, dangling-mass redistribution. The rank
@@ -197,6 +208,16 @@ object Queries9 {
   }
 
   val oracle: Map[String, String] = Map(
+
+    "q_autocorr" ->
+      s"""WITH l AS (SELECT user_id, value,
+           lag(value, 1) OVER ($evWin) AS l1,
+           lag(value, 3) OVER ($evWin) AS l3
+           FROM events)
+         SELECT user_id,
+           round(corr(value, l1) + 1e-9, 6) AS ac1,
+           round(corr(value, l3) + 1e-9, 6) AS ac3
+         FROM l GROUP BY user_id ORDER BY user_id""",
 
     // two unrolled damped power iterations, dangling mass folded back
     // uniformly — mirrors Curation.pageRank exactly

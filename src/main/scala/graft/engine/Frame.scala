@@ -29,6 +29,22 @@ object Frame {
   def diff(c: Column, periods: Int, w: WindowSpec): Column =
     c - shift(c, periods, w)
 
+  /** pandas `Series.autocorr(lag)`: Pearson correlation of the series
+    * with its own lag, per group — the window lag is the only shuffle
+    * (on the group key) and the corr aggregate combines map-side.
+    * Pairs where either side is null drop out of `corr` exactly like
+    * pandas' pairwise masking (the first `lag` rows per group). */
+  def autocorr(df: DataFrame, c: String, w: WindowSpec,
+               keys: Seq[String], lags: Seq[Int] = Seq(1)): DataFrame = {
+    val lagged = lags.foldLeft(df) { (d, l) =>
+      d.withColumn(s"__lag_$l", shift(col(c), l, w))
+    }
+    lagged.groupBy(keys.map(col): _*)
+      .agg(corr(col(c), col(s"__lag_${lags.head}")).as(s"autocorr_${lags.head}"),
+        lags.tail.map(l =>
+          corr(col(c), col(s"__lag_$l")).as(s"autocorr_$l")): _*)
+  }
+
   /** pandas nlargest(n, column): top n by `c` descending. The
     * `tiebreak` column makes the cut deterministic (pandas keep='first'
     * relies on input order; a distributed frame has none). Plans as

@@ -250,5 +250,28 @@ object Syntax {
     def tokenBudget(id: String, strata: String, tokenCol: String,
                     budget: Long): DataFrame =
       graft.pipeline.Curation.tokenBudget(df, id, strata, tokenCol, budget)
+
+    // ---- round-8 tranche: pairwise covariance family + graph rank ----
+    def covMatrix(cols: String*): DataFrame =
+      Corr.covLong(df, numeric(cols))
+    def rollingCov(a: String, b: String, w: WindowSpec, n: Int,
+                   minPeriods: Int): DataFrame =
+      df.withColumn(s"${a}_${b}_cov", WindowOps.rCov(col(a), col(b),
+        WindowOps.rollingSpec(w, n), minPeriods))
+    def rollingCorr(a: String, b: String, w: WindowSpec, n: Int,
+                    minPeriods: Int): DataFrame =
+      df.withColumn(s"${a}_${b}_corr", WindowOps.rCorr(col(a), col(b),
+        WindowOps.rollingSpec(w, n), minPeriods))
+    def ewmCov(a: String, b: String, w: WindowSpec, alpha: Double,
+               ignoreNa: Boolean = false): DataFrame =
+      df.withColumn(s"${a}_${b}_ewm_cov",
+        Ewm.cov(col(a), col(b), w, alpha, ignoreNa))
+    def ewmCorr(a: String, b: String, w: WindowSpec, alpha: Double,
+                ignoreNa: Boolean = false): DataFrame =
+      df.withColumn(s"${a}_${b}_ewm_corr",
+        Ewm.corr(col(a), col(b), w, alpha, ignoreNa))
+    def pageRank(src: String, dst: String, iters: Int,
+                 damping: Double = 0.85): DataFrame =
+      graft.pipeline.Curation.pageRank(df, src, dst, iters, damping)
   }
 }

@@ -173,4 +173,15 @@ class FrameSpec extends SparkSpec {
     assert(out.getDouble(1) == 2.5 && out.getDouble(2) == 2.5)
     assert(out.getString(3) == "b" && out.getString(4) == "a")
   }
+
+  test("autocorr vs pandas: Series([1,3,2,5,4,6]).autocorr(1)=0.3, (3)=-0.5") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 6.0).zipWithIndex
+      .map { case (v, i) => (1L, i.toLong, v) }.toDF("g", "i", "v")
+    val w = Window.partitionBy("g").orderBy("i")
+    val out = Frame.autocorr(df, "v", w, Seq("g"), lags = Seq(1, 3))
+      .collect().head
+    assert(math.abs(out.getDouble(1) - 0.3) < 1e-12)
+    assert(math.abs(out.getDouble(2) - (-0.5)) < 1e-12)
+  }
 }
