@@ -32,7 +32,8 @@ object StreamQueries {
     "q_stream_sessionize" -> ((s, d) => streamSessionize(s, d)),
     "q_stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "q_stream_window" -> ((s, d) => streamWindow(s, d)),
-    "q_stream_runmean" -> ((s, d) => streamRunMean(s, d)))
+    "q_stream_runmean" -> ((s, d) => streamRunMean(s, d)),
+    "q_stream_interval_join" -> ((s, d) => streamIntervalJoin(s, d)))
 
   val oracle: Map[String, String] = Map(
     // batch gap-sessionization (same 30-min gap as q_sessionize),
@@ -70,7 +71,18 @@ object StreamQueries {
     "q_stream_runmean" ->
       """SELECT user_id, count(*) AS n,
          round(sum(value) / count(*) + 1e-9, 4) AS mean_value
-       FROM events GROUP BY user_id ORDER BY user_id""")
+       FROM events GROUP BY user_id ORDER BY user_id""",
+
+    // stream-stream interval join == the batch attribution join:
+    // every purchase matched to same-user clicks in the trailing hour
+    "q_stream_interval_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         p.user_id AS user_id
+       FROM events p JOIN events c
+         ON p.event_type = 'purchase' AND c.event_type = 'click'
+        AND p.user_id = c.user_id
+        AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+       ORDER BY purchase_id, click_id""")
 
   /** Stage `splits` as one parquet FILE per micro-batch, mtime-ordered
     * (FileStreamSource processes files by modification time), under
@@ -275,5 +287,40 @@ object StreamQueries {
       .filter(col("is_first"))
       .select(col("doc_id"), col("fp"))
       .orderBy("doc_id")
+  }
+
+  /** Stream-stream interval join (click -> purchase attribution within
+    * the trailing hour) replayed over events split into two time-ordered
+    * micro-batches — clicks arriving in batch 1 must still match
+    * purchases arriving in batch 2 (the symmetric-hash-join state
+    * carries across the batch boundary; the generous watermark keeps
+    * boundary-straddling lookback windows alive for the whole replay).
+    * Inner matches emit in append mode as soon as both sides are
+    * present; the result must equal the batch attribution join. */
+  private def streamIntervalJoin(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val ev = Core.normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"))
+    val base = Files.createTempDirectory("q_stream_ivj")
+    val row = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val mid = new java.sql.Timestamp(
+      row.getTimestamp(0).getTime +
+        (row.getTimestamp(1).getTime - row.getTimestamp(0).getTime) / 2)
+    val inDir = stageReplay(base, Seq(
+      ev.filter(col("ts") <= lit(mid)),
+      ev.filter(col("ts") > lit(mid))))
+    val src = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+    val joined = Streams.intervalJoin(
+      src.filter(col("event_type") === "click"),
+      src.filter(col("event_type") === "purchase"),
+      lookbackSec = 3600L, watermark = "24 hours")
+    runToParquet(base, joined)
+      .select(col("r_id").as("purchase_id"), col("l_id").as("click_id"),
+        col("r_key").as("user_id"))
+      .orderBy("purchase_id", "click_id")
   }
 }

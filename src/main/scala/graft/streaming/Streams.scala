@@ -47,6 +47,33 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(valCol).as("sum_value"),
         avg(valCol).as("mean_value"))
 
+  /** Watermarked stream-stream interval join — the attribution shape
+    * (each `right` row joined to `left` rows of the same key whose
+    * event time falls in `[r.ts - lookbackSec, r.ts]`). Both sides
+    * carry the watermark and the join condition bounds both event
+    * times, so Spark's symmetric hash join evicts left-side state once
+    * the watermark passes `ts + lookbackSec` — state is
+    * O(key-rate x lookback), never the full stream. Inner-join matches
+    * emit as soon as both sides arrive (append mode), including across
+    * micro-batches while the older side is still within the watermark
+    * horizon. Columns are prefixed `l_`/`r_` to keep the output
+    * self-describing. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   lookbackSec: Long, watermark: String,
+                   tsCol: String = "ts", keyCol: String = "user_id")
+      : DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+      .select(col(keyCol).as("l_key"), col(tsCol).as("l_ts"),
+        col("event_id").as("l_id"))
+    val r = right.withWatermark(tsCol, watermark)
+      .select(col(keyCol).as("r_key"), col(tsCol).as("r_ts"),
+        col("event_id").as("r_id"))
+    r.join(l,
+      col("l_key") === col("r_key") &&
+        col("l_ts") <= col("r_ts") &&
+        col("l_ts") >= col("r_ts") - expr(s"INTERVAL $lookbackSec SECONDS"))
+  }
+
   /** Gap-based sessionization with explicit state: the streaming
     * equivalent of the batch `q_sessionize` query. A session closes when
     * no event arrives within `gapMs` of the last one. Closure is driven

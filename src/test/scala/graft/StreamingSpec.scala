@@ -6,6 +6,11 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.Streams
 import graft.streaming.Streams.SessionEvent
 
+/** Typed event for the interval-join spec (top-level so the encoder
+  * carries no outer pointer). */
+case class TypedEv(event_id: Long, user_id: Long, ts: Timestamp,
+                   event_type: String)
+
 /** Drive the streaming operators end-to-end over MemoryStream sources. */
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -118,6 +123,38 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .maxBy(_._2)
       assert(last == ((1L, 3L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join matches across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[TypedEv]
+    val src = in.toDF()
+    val joined = Streams.intervalJoin(
+      src.filter($"event_type" === "click"),
+      src.filter($"event_type" === "purchase"),
+      lookbackSec = 3600L, watermark = "24 hours")
+    val q = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: two clicks + one purchase 30 min after click 1
+      in.addData(
+        TypedEv(1L, 1L, ts(0), "click"),
+        TypedEv(2L, 1L, ts(7000), "click"),
+        TypedEv(3L, 1L, ts(1800), "purchase"))
+      q.processAllAvailable()
+      // batch 2: purchase 50 min after click 1 (must match the click
+      // retained in state from batch 1), purchase 2.5h after click 1
+      // (outside lookback -> only click 2 matches), other-user purchase
+      in.addData(
+        TypedEv(4L, 1L, ts(3000), "purchase"),
+        TypedEv(6L, 1L, ts(9000), "purchase"),
+        TypedEv(5L, 2L, ts(3000), "purchase"))
+      q.processAllAvailable()
+      val pairs = spark.table("ivj")
+        .select("r_id", "l_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((3L, 1L), (4L, 1L), (6L, 2L)))
     } finally q.stop()
   }
 }
