@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine._
 import graft.engine.Core.r
-import graft.pipeline.{Curation, Similarity}
+import graft.pipeline.{Curation, Dedup, Similarity}
 
 /** Ninth tranche (round 8): the pairwise-covariance family the
   * reference's generic window proxy exposes (`parallel_window.py:38-40`
@@ -84,6 +84,17 @@ object Queries9 {
           Similarity.bruteForceTopKL2(q, emb, 5), 5)
         .select(col("query_id"), r(col("recall"), 6).as("recall"))
         .orderBy("query_id")
+    }),
+
+    // ---- exact edit-distance similarity join (record linkage):
+    //      q-gram prefix filtering — global gram-frequency order, each
+    //      string joins on only its maxDist*q+1 RAREST (gram,occ) keys,
+    //      then levenshtein verifies distinct candidates. Never an
+    //      all-pairs join ----
+    "q_edit_join" -> ((s, d) => {
+      Dedup.editDistanceJoin(T(s, d, "supplier"), "s_suppkey", "s_name",
+          maxDist = 1)
+        .orderBy("id_a", "id_b")
     }),
 
     // ---- Series.autocorr(lag) per group: ONE window shuffle feeds
@@ -208,6 +219,16 @@ object Queries9 {
   }
 
   val oracle: Map[String, String] = Map(
+
+    // brute force is the oracle's privilege: bench-scale n^2 verifies
+    // the engine's filtered plan
+    "q_edit_join" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+         levenshtein(a.s_name, b.s_name) AS dist
+         FROM supplier a, supplier b
+         WHERE a.s_suppkey < b.s_suppkey
+           AND levenshtein(a.s_name, b.s_name) <= 1
+         ORDER BY id_a, id_b""",
 
     "q_autocorr" ->
       s"""WITH l AS (SELECT user_id, value,

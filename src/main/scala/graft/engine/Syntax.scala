@@ -273,5 +273,8 @@ object Syntax {
     def pageRank(src: String, dst: String, iters: Int,
                  damping: Double = 0.85): DataFrame =
       graft.pipeline.Curation.pageRank(df, src, dst, iters, damping)
+    def editDistanceJoin(id: String, text: String, maxDist: Int,
+                         q: Int = 2): DataFrame =
+      graft.pipeline.Dedup.editDistanceJoin(df, id, text, maxDist, q)
   }
 }

@@ -745,4 +745,71 @@ object Dedup {
         round(coalesce(col("dup_chars"), lit(0L)).cast("double") /
           greatest(col("n_chars"), lit(1L)) + lit(1e-9), 6).as("dup_frac"))
   }
+
+  /** EXACT edit-distance similarity self-join (record linkage): all
+    * pairs with `levenshtein <= maxDist`, via q-gram PREFIX FILTERING
+    * (Chaudhuri/Ganti/Kaushik, ICDE'06) — never an all-pairs join:
+    *
+    *   1. one aggregate computes global q-gram frequencies (vocab-sized,
+    *      broadcast back);
+    *   2. each string keeps only its `maxDist*q + 1` RAREST (gram, occ)
+    *      items under the global (freq, gram, occ) total order — one
+    *      id-keyed window shuffle. An edit destroys at most q gram
+    *      occurrences, so the multiset count filter guarantees matching
+    *      pairs share >= max(|Ga|,|Gb|) - maxDist*q items, and by
+    *      pigeonhole two such prefixes must intersect;
+    *   3. candidates come from ONE equi-join on the kept (gram, occ)
+    *      keys — on adversarial common-prefix corpora (e.g. generated
+    *      name columns) the rare grams are exactly the discriminative
+    *      ones, so the candidate set stays near the true pair count;
+    *   4. `levenshtein` verifies each distinct candidate (builtin,
+    *      codegen).
+    *
+    * Strings with fewer than `maxDist*q + 1` grams (len <= q-1 +
+    * maxDist*q) can evade the filter, so they pair among themselves by
+    * length band (such pairs are only possible when BOTH sides are
+    * short — a short/long pair already violates the length filter).
+    * Occurrence indexes keep duplicate grams multiset-correct.
+    * Returns (id_a, id_b, dist), id_a < id_b. */
+  def editDistanceJoin(df: DataFrame, id: String, text: String,
+                       maxDist: Int, q: Int = 2): DataFrame = {
+    require(maxDist >= 1 && q >= 2, "editDistanceJoin: maxDist>=1, q>=2")
+    val keep = maxDist * q + 1
+    val shortMax = q - 1 + maxDist * q
+    val base = df.select(col(id).cast("long").as("__id"),
+      col(text).as("__txt"))
+    val w = org.apache.spark.sql.expressions.Window
+    // positional grams -> (id, gram, occ)
+    val grams = base.filter(length(col("__txt")) > shortMax)
+      .select(col("__id"), explode(transform(
+        sequence(lit(1), length(col("__txt")) - (q - 1)),
+        p => col("__txt").substr(p, lit(q)))).as("gram"))
+      .withColumn("occ", row_number().over(
+        w.partitionBy("__id", "gram").orderBy("gram")))
+    val freq = grams.groupBy("gram").agg(count(lit(1)).as("__freq"))
+    val kept = grams.join(broadcast(freq), Seq("gram"))
+      .withColumn("__rk", row_number().over(
+        w.partitionBy("__id").orderBy(col("__freq"), col("gram"), col("occ"))))
+      .filter(col("__rk") <= keep)
+      .select(col("__id"), col("gram"), col("occ"))
+    val candLong = kept.as("a").join(kept.as("b"),
+        col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+    // short-string block: all same-band pairs among the filter-exempt
+    val shorts = base.filter(length(col("__txt")) <= shortMax)
+    val candShort = shorts.as("a").join(shorts.as("b"),
+        abs(length(col("a.__txt")) - length(col("b.__txt"))) <= maxDist &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+    val cands = candLong.union(candShort).distinct()
+    cands
+      .join(base.select(col("__id").as("id_a"), col("__txt").as("__ta")),
+        Seq("id_a"))
+      .join(base.select(col("__id").as("id_b"), col("__txt").as("__tb")),
+        Seq("id_b"))
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

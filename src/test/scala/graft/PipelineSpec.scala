@@ -312,6 +312,32 @@ class PipelineSpec extends SparkSpec {
     assert(r3 >= r1, s"recall fell when widening probes: $r1 -> $r3")
   }
 
+  test("editDistanceJoin: exact vs brute force incl. short strings and duplicate grams") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // duplicate grams (banana family), typos, shorts below the filter
+    // floor, and an unrelated string
+    val names = Seq("banana", "banane", "bananna", "market basket",
+      "market bisket", "cat", "cot", "ca", "c", "xylophone")
+    val df = names.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    for (t <- Seq(1, 2)) {
+      val got = Dedup.editDistanceJoin(df, "id", "t", maxDist = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        i <- names.indices; j <- (i + 1) until names.size
+        d = lev(names(i), names(j)) if d <= t
+      } yield (i.toLong, j.toLong, d)).toSet
+      assert(got == want, s"maxDist=$t: got $got want $want")
+    }
+  }
+
   test("text analysis: token counts, ratios, quality, fingerprint") {
     val df = Seq("The cat and the dog!").toDF("t")
     val r = df.select(
