@@ -86,6 +86,23 @@ object Queries9 {
         .orderBy("query_id")
     }),
 
+    // ---- §2.3 cumsum/cummax(axis=1): running accumulation ACROSS
+    //      columns — zero shuffle, plain codegen, pandas null
+    //      passthrough (null cell stays null, accumulation skips) ----
+    "q_rowwise_cum" -> ((s, d) => {
+      val li = T(s, d, "lineitem").withColumn("price_h",
+        when(col("l_linenumber") % 3 =!= 0, col("l_extendedprice")))
+      val cols = Seq(col("l_quantity"), col("price_h"), col("l_discount"))
+      val names = Seq("qty", "price", "disc")
+      val cum = Frame.rowCumsum(cols, names).zip(names).map {
+        case (c, n) => r(c, 6).as(s"${n}_cumsum") }
+      val cmx = Frame.rowCummax(cols, names).zip(names).map {
+        case (c, n) => r(c, 6).as(s"${n}_cummax") }
+      li.select(Seq(col("l_orderkey"), col("l_linenumber")) ++
+          cum ++ cmx: _*)
+        .orderBy("l_orderkey", "l_linenumber", "qty_cumsum", "price_cumsum")
+    }),
+
     // ---- exact edit-distance similarity join (record linkage):
     //      q-gram prefix filtering — global gram-frequency order, each
     //      string joins on only its maxDist*q+1 RAREST (gram,occ) keys,
@@ -219,6 +236,25 @@ object Queries9 {
   }
 
   val oracle: Map[String, String] = Map(
+
+    "q_rowwise_cum" ->
+      """WITH h AS (SELECT l_orderkey, l_linenumber, l_quantity,
+           CASE WHEN l_linenumber % 3 <> 0 THEN l_extendedprice END AS price_h,
+           l_discount
+           FROM lineitem)
+         SELECT l_orderkey, l_linenumber,
+           round(l_quantity + 1e-9, 6) AS qty_cumsum,
+           round(CASE WHEN price_h IS NOT NULL
+             THEN l_quantity + price_h END + 1e-9, 6) AS price_cumsum,
+           round(l_quantity + coalesce(price_h, 0) + l_discount + 1e-9, 6)
+             AS disc_cumsum,
+           round(l_quantity + 1e-9, 6) AS qty_cummax,
+           round(CASE WHEN price_h IS NOT NULL
+             THEN greatest(l_quantity, price_h) END + 1e-9, 6) AS price_cummax,
+           round(greatest(l_quantity, coalesce(price_h, l_quantity),
+             l_discount) + 1e-9, 6) AS disc_cummax
+         FROM h
+         ORDER BY l_orderkey, l_linenumber, qty_cumsum, price_cumsum""",
 
     // brute force is the oracle's privilege: bench-scale n^2 verifies
     // the engine's filtered plan

@@ -29,6 +29,26 @@ object Frame {
   def diff(c: Column, periods: Int, w: WindowSpec): Column =
     c - shift(c, periods, w)
 
+  /** pandas `cumsum(axis=1)` / `cummax(axis=1)`: running accumulation
+    * ACROSS columns per row — zero shuffle, plain codegen expressions
+    * (no HOFs). pandas null semantics: a null cell stays null in the
+    * output but the accumulation skips it (skipna=True). Returns the k
+    * accumulated columns named `<c>_<op>`. */
+  def rowCumsum(cols: Seq[Column], names: Seq[String]): Seq[Column] =
+    names.indices.map { i =>
+      val acc = cols.take(i + 1)
+        .map(c => coalesce(c, lit(0.0)))
+        .reduce(_ + _)
+      when(cols(i).isNotNull, acc).as(s"${names(i)}_cumsum")
+    }
+
+  def rowCummax(cols: Seq[Column], names: Seq[String]): Seq[Column] =
+    names.indices.map { i =>
+      val prefix = cols.take(i + 1)
+      val mx = if (prefix.size == 1) prefix.head else greatest(prefix: _*)
+      when(cols(i).isNotNull, mx).as(s"${names(i)}_cummax")
+    }
+
   /** pandas `Series.autocorr(lag)`: Pearson correlation of the series
     * with its own lag, per group — the window lag is the only shuffle
     * (on the group key) and the corr aggregate combines map-side.

@@ -174,6 +174,32 @@ class FrameSpec extends SparkSpec {
     assert(out.getString(3) == "b" && out.getString(4) == "a")
   }
 
+  test("rowCumsum/rowCummax vs pandas cumsum/cummax(axis=1) with NaN holes") {
+    // pandas: df = {a:[1,nan,3], b:[nan,2,1], c:[2,4,nan]}
+    //   cumsum(axis=1): a=[1,nan,3] b=[nan,2,4] c=[3,6,nan]
+    //   cummax(axis=1): a=[1,nan,3] b=[nan,2,3] c=[2,4,nan]
+    val df = Seq(
+      (0L, Some(1.0), None: Option[Double], Some(2.0)),
+      (1L, None: Option[Double], Some(2.0), Some(4.0)),
+      (2L, Some(3.0), Some(1.0), None: Option[Double]))
+      .toDF("i", "a", "b", "c")
+    val cols = Seq(col("a"), col("b"), col("c"))
+    val names = Seq("a", "b", "c")
+    val out = df.select(Seq(col("i")) ++ Frame.rowCumsum(cols, names) ++
+        Frame.rowCummax(cols, names): _*)
+      .orderBy("i").collect()
+    def d(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    assert(out.map(r => (d(r, 1), d(r, 2), d(r, 3))).toSeq == Seq(
+      (Some(1.0), None, Some(3.0)),
+      (None, Some(2.0), Some(6.0)),
+      (Some(3.0), Some(4.0), None)))
+    assert(out.map(r => (d(r, 4), d(r, 5), d(r, 6))).toSeq == Seq(
+      (Some(1.0), None, Some(2.0)),
+      (None, Some(2.0), Some(4.0)),
+      (Some(3.0), Some(3.0), None)))
+  }
+
   test("autocorr vs pandas: Series([1,3,2,5,4,6]).autocorr(1)=0.3, (3)=-0.5") {
     import org.apache.spark.sql.expressions.Window
     val df = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 6.0).zipWithIndex
