@@ -188,7 +188,13 @@ object Ewm {
           val vx = b.sxx / b.sw - mx * mx
           val vy = b.syy / b.sw - my * my
           val c = b.sxy / b.sw - mx * my
-          if (vx <= 0 || vy <= 0) null else c / math.sqrt(vx * vy)
+          // raw-moment cancellation leaves ~eps*mean^2 where a constant
+          // window's true variance is 0 (pandas' centered online form is
+          // exactly 0 -> NaN); gate on a RELATIVE epsilon so degenerate
+          // windows null out instead of emitting noise-scaled corr
+          val ex = math.max(b.sxx / b.sw, mx * mx) * 1e-12
+          val ey = math.max(b.syy / b.sw, my * my) * 1e-12
+          if (vx <= ex || vy <= ey) null else c / math.sqrt(vx * vy)
         }
       }
     }

@@ -779,8 +779,14 @@ object Dedup {
     val base = df.select(col(id).cast("long").as("__id"),
       col(text).as("__txt"))
     val w = org.apache.spark.sql.expressions.Window
-    // positional grams -> (id, gram, occ)
-    val grams = base.filter(length(col("__txt")) > shortMax)
+    // positional grams -> (id, gram, occ). EVERY string with at least
+    // one gram participates: a string at or below the filter floor can
+    // still pair with a longer one (length diff <= maxDist), and that
+    // pair's guarantee lives in the gram path — its keep bound exceeds
+    // the short string's gram count, so the short side keeps ALL its
+    // grams and the pigeonhole still closes. (Caught by the seeded
+    // brute-force property suite.)
+    val grams = base.filter(length(col("__txt")) >= q)
       .select(col("__id"), explode(transform(
         sequence(lit(1), length(col("__txt")) - (q - 1)),
         p => col("__txt").substr(p, lit(q)))).as("gram"))
