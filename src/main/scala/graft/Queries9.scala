@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine._
 import graft.engine.Core.r
-import graft.pipeline.{Curation, Dedup, Similarity}
+import graft.pipeline.{Curation, Dedup, Similarity, TextAnalysis}
 
 /** Ninth tranche (round 8): the pairwise-covariance family the
   * reference's generic window proxy exposes (`parallel_window.py:38-40`
@@ -84,6 +84,27 @@ object Queries9 {
           Similarity.bruteForceTopKL2(q, emb, 5), 5)
         .select(col("query_id"), r(col("recall"), 6).as("recall"))
         .orderBy("query_id")
+    }),
+
+    // ---- BPE tokenizer training (Sennrich'16): per merge, ONE
+    //      map-side pair explode + ONE combinable hash aggregate + a
+    //      1-row argmax collect (the merge rule IS the model); the
+    //      tokenized corpus persists between rounds ----
+    "q_bpe_train" -> ((s, d) => {
+      TextAnalysis.bpeTrain(T(s, d, "documents"), "doc_id", "text", 6)
+        .orderBy("merge_idx")
+    }),
+
+    // ---- applying the learned merges is a zero-shuffle chain of
+    //      literal replacements; per-doc token counts under the
+    //      trained vocab ----
+    "q_bpe_apply" -> ((s, d) => {
+      val m = TextAnalysis.bpeTrain(T(s, d, "documents"), "doc_id",
+          "text", 6)
+        .orderBy("merge_idx").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeApply(T(s, d, "documents"), "doc_id", "text", m)
+        .orderBy("doc_id")
     }),
 
     // ---- §2.3 cumsum/cummax(axis=1): running accumulation ACROSS
@@ -235,7 +256,69 @@ object Queries9 {
            FROM scored)"""
   }
 
+  /** Program-generated unrolled BPE oracle, mirroring
+    * TextAnalysis.bpeTrain's word-histogram formulation exactly: the
+    * merge loop runs over the (word, count) table with pair counts
+    * weighted by word frequency; each round = weighted pair counts ->
+    * (count desc, lhs, rhs) argmax -> literal replacement on the
+    * `·`-wrapped encoding (same non-overlapping left-to-right
+    * `replace` semantics in DuckDB and Spark). */
+  private def bpeCte(rounds: Int): String = {
+    val sb = new StringBuilder
+    // NB: triple-quoted Scala does not process escapes — `\1` below is
+    // exactly one backslash + 1, the RE2 backreference DuckDB expects
+    sb.append("""t0 AS (SELECT
+        regexp_replace(w, '(.)', '·\1·', 'g') AS t, n
+      FROM (SELECT w, count(*) AS n FROM (
+              SELECT unnest(string_split_regex(text, ' +')) AS w
+              FROM documents)
+            WHERE w <> '' GROUP BY w))""")
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+      p$i AS (SELECT p.l AS l, p.r AS r, sum(n)::BIGINT AS c FROM (
+          SELECT unnest(list_transform(range(1, len(tk)),
+            j -> struct_pack(l := tk[j], r := tk[j + 1]))) AS p, n
+          FROM (SELECT string_split(trim(t, '·'), '··') AS tk, n
+                FROM t${i - 1})
+          WHERE len(tk) >= 2)
+        GROUP BY 1, 2),
+      m$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1),
+      t$i AS (SELECT
+        replace(t, '·' || l || '··' || r || '·',
+          '·' || l || r || '·') AS t, n
+        FROM t${i - 1}, m$i)""")
+    }
+    sb.toString
+  }
+
+  private def bpeTrainOracle(rounds: Int): String = {
+    val unions = (1 to rounds).map(i =>
+      s"SELECT $i AS merge_idx, l AS lhs, r AS rhs, c AS freq FROM m$i")
+      .mkString("\n         UNION ALL ")
+    s"WITH ${bpeCte(rounds)}\n         $unions ORDER BY merge_idx"
+  }
+
+  /** Apply chains the learned merges over the raw corpus (merges never
+    * contain a space, so the full-text wrapped encoding is safe). */
+  private def bpeApplyOracle(rounds: Int): String = {
+    // ordinary quotes here: "\\1" IS backslash-one after Scala escaping
+    val chain = (1 to rounds).foldLeft(
+      "regexp_replace(text, '(.)', '·\\1·', 'g')") {
+      (acc, i) =>
+        s"replace($acc, '·' || (SELECT l FROM m$i) || '··' || " +
+          s"(SELECT r FROM m$i) || '·', " +
+          s"'·' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || '·')"
+    }
+    s"""WITH ${bpeCte(rounds)}
+       SELECT doc_id,
+         len(string_split(trim($chain, '·'), '··'))::BIGINT AS n_tokens
+       FROM documents ORDER BY doc_id"""
+  }
+
   val oracle: Map[String, String] = Map(
+
+    "q_bpe_train" -> bpeTrainOracle(6),
+    "q_bpe_apply" -> bpeApplyOracle(6),
 
     "q_rowwise_cum" ->
       """WITH h AS (SELECT l_orderkey, l_linenumber, l_quantity,

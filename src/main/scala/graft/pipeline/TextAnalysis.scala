@@ -281,4 +281,95 @@ object TextAnalysis {
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_bigrams"), avg(col("__lp")).as("avg_lp"))
   }
+
+  // ---- BPE tokenizer training (round 8) ------------------------------
+
+  /** Token-stream encoding for the BPE loop: every character becomes a
+    * `·`-wrapped token (`ab` -> `·a··b·`), so a merge (l, r) is the
+    * plain string replacement `·l··r·` -> `·lr·` — non-overlapping
+    * left-to-right in both Spark and DuckDB, which is exactly BPE's
+    * greedy merge order, and boundary-safe (a pattern can never match a
+    * token prefix/suffix because each token carries BOTH its wrapping
+    * separators). The separator must not occur in the corpus (the
+    * synthetic documents are [a-z ]). */
+  private val Sep = "·"
+
+  private def wrapped(text: Column): Column =
+    regexp_replace(text, "(.)", s"$Sep$$1$Sep")
+
+  private def tokensOf(t: Column): Column =
+    split(trim(t, Sep), s"$Sep$Sep")
+
+  /** Byte-pair-encoding trainer — the Sennrich et al. (2016) WORD-
+    * HISTOGRAM formulation: merges never cross word boundaries, so the
+    * loop runs over the (word, count) table, which Heaps' law keeps
+    * orders of magnitude under the corpus. The plan:
+    *
+    *   - ONE corpus pass builds the histogram (word explode + hash
+    *     aggregate) and persists it;
+    *   - each of `numMerges` rounds is a VOCAB-sized job: pair explode
+    *     weighted by word count, combinable sum aggregate, a 1-row
+    *     argmax collect (the merge rule IS the model — driver-sized by
+    *     definition), then a literal replacement over the histogram.
+    *
+    * Ties break (count desc, lhs, rhs) — total and reproducible
+    * (binary ASCII order here and in the SQL oracle). Returns
+    * (merge_idx, lhs, rhs, freq). At 100 TB the corpus is touched
+    * exactly once; the loop cost is independent of corpus size. */
+  def bpeTrain(df: DataFrame, id: String, text: String,
+               numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var cur = df
+      .select(explode(split(col(text), " +")).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy("__w").agg(count(lit(1)).as("__n"))
+      .select(wrapped(col("__w")).as("__t"), col("__n"))
+      .persist(lvl)
+    val merges = collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var prev: DataFrame = null
+    for (i <- 1 to numMerges) {
+      val toks = tokensOf(col("__t"))
+      val pairs = cur
+        .select(toks.as("__tk"), col("__n"))
+        .filter(size(col("__tk")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("__tk")) - 1),
+          j => struct(element_at(col("__tk"), j).as("l"),
+            element_at(col("__tk"), j + 1).as("r")))).as("p"), col("__n"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("__n")).as("c"))
+      val top = pairs.orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (prev != null) prev.unpersist()
+      if (top.isEmpty) {
+        prev = null
+      } else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((i, l, r, c))
+        prev = cur
+        cur = cur.withColumn("__t",
+          call_function("replace", col("__t"),
+            lit(s"$Sep$l$Sep$Sep$r$Sep"), lit(s"$Sep$l$r$Sep")))
+          .persist(lvl)
+      }
+    }
+    cur.unpersist()
+    if (prev != null) prev.unpersist()
+    merges.toSeq.toDF("merge_idx", "lhs", "rhs", "freq")
+  }
+
+  /** Apply a learned merge list: the chained literal replacements are
+    * pure map-side codegen (zero shuffle); returns per-doc token count
+    * under the trained vocabulary. */
+  def bpeApply(df: DataFrame, id: String, text: String,
+               merges: Seq[(String, String)]): DataFrame = {
+    val enc = merges.foldLeft(wrapped(col(text))) { case (t, (l, r)) =>
+      call_function("replace", t,
+        lit(s"$Sep$l$Sep$Sep$r$Sep"), lit(s"$Sep$l$r$Sep"))
+    }
+    df.select(col(id).cast("long").as(id),
+      size(tokensOf(enc)).cast("long").as("n_tokens"))
+  }
 }

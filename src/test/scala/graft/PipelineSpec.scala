@@ -312,6 +312,71 @@ class PipelineSpec extends SparkSpec {
     assert(r3 >= r1, s"recall fell when widening probes: $r1 -> $r3")
   }
 
+  test("bpeTrain/bpeApply vs a reference in-memory BPE") {
+    // reference word-histogram BPE (Sennrich): same tie-break
+    def refBpe(words: Map[String, Int], k: Int)
+        : Seq[(String, String, Long)] = {
+      var hist = words.map { case (w, n) => (w.map(_.toString).toList, n) }
+      val out = collection.mutable.ArrayBuffer[(String, String, Long)]()
+      for (_ <- 1 to k) {
+        val counts = collection.mutable.Map[(String, String), Long]()
+        for ((toks, n) <- hist; p <- toks.zip(toks.tail))
+          counts(p) = counts.getOrElse(p, 0L) + n
+        if (counts.nonEmpty) {
+          val ((l, r), c) = counts.toSeq
+            .minBy { case ((l, r), c) => (-c, l, r) }
+          out += ((l, r, c))
+          hist = hist.map { case (toks, n) =>
+            val b = collection.mutable.ListBuffer[String]()
+            var i = 0
+            while (i < toks.length) {
+              if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+                b += l + r; i += 2
+              } else { b += toks(i); i += 1 }
+            }
+            (b.toList, n)
+          }
+        }
+      }
+      out.toSeq
+    }
+    val docs = Seq("low low low lower", "newest newest widest",
+      "low newest newest", "widest widest low").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val words = Seq("low low low lower", "newest newest widest",
+      "low newest newest", "widest widest low")
+      .flatMap(_.split(" +")).groupBy(identity).view
+      .mapValues(_.size).toMap
+    val k = 5
+    val got = TextAnalysis.bpeTrain(docs, "doc_id", "text", k)
+      .orderBy("merge_idx").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == refBpe(words, k), s"got $got want ${refBpe(words, k)}")
+    // apply: token count per doc under the learned merges must equal
+    // the reference re-tokenization (plus the space tokens themselves)
+    val merges = got.map(t => (t._1, t._2))
+    val applied = TextAnalysis.bpeApply(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    def refTokens(text: String): Long = {
+      var hist = text.split(" +").toList.map(_.map(_.toString).toList)
+      for ((l, r) <- merges)
+        hist = hist.map { toks =>
+          val b = collection.mutable.ListBuffer[String]()
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+              b += l + r; i += 2
+            } else { b += toks(i); i += 1 }
+          }
+          b.toList
+        }
+      hist.map(_.size).sum + (text.split(" +").length - 1) // space tokens
+    }
+    val want = Seq("low low low lower", "newest newest widest",
+      "low newest newest", "widest widest low").map(refTokens)
+    assert(applied == want, s"apply: $applied vs $want")
+  }
+
   test("editDistanceJoin: exact vs brute force incl. short strings and duplicate grams") {
     def lev(a: String, b: String): Int = {
       val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
