@@ -86,6 +86,25 @@ object Queries9 {
         .orderBy("query_id")
     }),
 
+    // ---- pandas groupby.corr(): per-group correlation matrix, ONE
+    //      grouped aggregate for all cells (pearson) / group-windowed
+    //      midranks feeding the same aggregate (spearman) ----
+    "q_groupby_corr" -> ((s, d) => {
+      Corr.corrMatrixBy(T(s, d, "lineitem"), "l_returnflag",
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select(col("l_returnflag"), col("c1"), col("c2"),
+          r(col("corr"), 6).as("corr"))
+        .orderBy("l_returnflag", "c1", "c2")
+    }),
+
+    "q_groupby_corr_spearman" -> ((s, d) => {
+      Corr.corrMatrixBy(T(s, d, "lineitem"), "l_returnflag",
+          Seq("l_quantity", "l_extendedprice", "l_discount"), "spearman")
+        .select(col("l_returnflag"), col("c1"), col("c2"),
+          r(col("corr"), 6).as("corr"))
+        .orderBy("l_returnflag", "c1", "c2")
+    }),
+
     // ---- BPE tokenizer training (Sennrich'16): per merge, ONE
     //      map-side pair explode + ONE combinable hash aggregate + a
     //      1-row argmax collect (the merge rule IS the model); the
@@ -319,6 +338,33 @@ object Queries9 {
 
     "q_bpe_train" -> bpeTrainOracle(6),
     "q_bpe_apply" -> bpeApplyOracle(6),
+
+    "q_groupby_corr" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val cells = (for {
+        i <- cols.indices; j <- i until cols.size
+      } yield s"SELECT l_returnflag, '${cols(i)}' AS c1, '${cols(j)}' AS c2, " +
+        s"corr(${cols(i)}, ${cols(j)}) AS c FROM lineitem GROUP BY 1")
+        .mkString("\n         UNION ALL ")
+      s"""SELECT l_returnflag, c1, c2, round(c + 1e-9, 6) AS corr FROM (
+         $cells) ORDER BY l_returnflag, c1, c2"""
+    },
+
+    "q_groupby_corr_spearman" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val ranked = cols.map(c =>
+        s"rank() OVER (PARTITION BY l_returnflag ORDER BY $c) + " +
+          s"(count(*) OVER (PARTITION BY l_returnflag, $c) - 1) / 2.0 AS $c")
+        .mkString(", ")
+      val cells = (for {
+        i <- cols.indices; j <- i until cols.size
+      } yield s"SELECT l_returnflag, '${cols(i)}' AS c1, '${cols(j)}' AS c2, " +
+        s"corr(${cols(i)}, ${cols(j)}) AS c FROM rk GROUP BY 1")
+        .mkString("\n         UNION ALL ")
+      s"""WITH rk AS (SELECT l_returnflag, $ranked FROM lineitem)
+         SELECT l_returnflag, c1, c2, round(c + 1e-9, 6) AS corr FROM (
+         $cells) ORDER BY l_returnflag, c1, c2"""
+    },
 
     "q_rowwise_cum" ->
       """WITH h AS (SELECT l_orderkey, l_linenumber, l_quantity,

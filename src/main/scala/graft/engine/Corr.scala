@@ -38,6 +38,41 @@ object Corr {
     one.select(expr(stacked))
   }
 
+  /** pandas `groupby(key).corr()`: the per-group correlation matrix in
+    * long form (key, c1, c2, corr), upper triangle incl. the diagonal.
+    * pearson: ONE grouped aggregate carries all k(k+1)/2 `corr` cells —
+    * map-side-combinable co-moments, one shuffle on the group key.
+    * spearman: each column midranked WITHIN its group first (rank +
+    * (dups-1)/2 over two window specs), then the same grouped
+    * aggregate; ranks and aggregate share the group-key shuffle.
+    * Degenerate cells (zero variance in a group) are null, like pandas'
+    * NaN. */
+  def corrMatrixBy(df: DataFrame, key: String, cols: Seq[String],
+                   method: String = "pearson"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = method match {
+      case "pearson" => df
+      case "spearman" =>
+        cols.foldLeft(df) { (d, c) =>
+          val r = rank().over(Window.partitionBy(col(key)).orderBy(col(c)))
+          val dups = count(lit(1))
+            .over(Window.partitionBy(col(key), col(c)))
+          d.withColumn(c, r + (dups - 1) / 2.0)
+        }
+      case other => throw new IllegalArgumentException(
+        s"corrMatrixBy: method='$other' (pearson|spearman)")
+    }
+    val pairs = for {
+      i <- cols.indices; j <- i until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      corr(col(a), col(b)).as(s"${a}__$b") }
+    val one = src.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) => s"'$a', '$b', `${a}__$b`" }
+      .mkString(s"stack(${pairs.size}, ", ", ", ") as (c1, c2, corr)")
+    one.select(col(key), expr(stacked))
+  }
+
   /** Pairwise covariance matrix (pandas `DataFrame.cov(ddof=1,
     * min_periods)`) in long form (c1, c2, cov), upper triangle plus the
     * diagonal (pandas' cov matrix carries per-column variance there).

@@ -254,6 +254,9 @@ object Syntax {
     // ---- round-8 tranche: pairwise covariance family + graph rank ----
     def covMatrix(cols: String*): DataFrame =
       Corr.covLong(df, numeric(cols))
+    def corrMatrixBy(key: String, cols: Seq[String],
+                     method: String = "pearson"): DataFrame =
+      Corr.corrMatrixBy(df, key, cols, method)
     def rollingCov(a: String, b: String, w: WindowSpec, n: Int,
                    minPeriods: Int): DataFrame =
       df.withColumn(s"${a}_${b}_cov", WindowOps.rCov(col(a), col(b),

@@ -340,4 +340,36 @@ class GroupCorrSpec extends SparkSpec {
     assertApprox(d1(Corr.kendallApprox(mono, "x", "y", maxRows = 100)),
       Some(1.0), 1e-9)
   }
+
+  test("corrMatrixBy vs pandas groupby.corr()") {
+    // pandas: df.groupby('g')[['x','y','z']].corr() on the frame below:
+    //   g=1: xy=0.848528137, xz=0.316227766, yz=0.223606798
+    //   g=2: xy=-0.277350098, xz=0.038461538, yz=-0.970725343
+    val df = Seq(
+      (1L, 1.0, 2.0, 1.0), (1L, 2.0, 1.0, 1.0), (1L, 4.0, 5.0, 2.0),
+      (1L, 3.0, 4.0, 0.0), (2L, 1.0, 2.0, 5.0), (2L, 5.0, 2.0, 4.0),
+      (2L, 2.0, 8.0, 1.0)).toDF("g", "x", "y", "z")
+    val out = Corr.corrMatrixBy(df, "g", Seq("x", "y", "z"))
+      .collect().map(r => ((r.getLong(0), r.getString(1), r.getString(2)),
+        r.getDouble(3))).toMap
+    val want = Map(
+      (1L, "x", "y") -> 0.8485281374238570, (1L, "x", "z") -> 0.3162277660168379,
+      (1L, "y", "z") -> 0.2236067977499790, (2L, "x", "y") -> -0.2773500981126146,
+      (2L, "x", "z") -> 0.0384615384615385, (2L, "y", "z") -> -0.9707253433941511)
+    want.foreach { case (k, v) =>
+      assert(math.abs(out(k) - v) < 1e-9, s"$k: ${out(k)} vs $v") }
+    // diagonal = 1 for non-degenerate columns
+    Seq("x", "y", "z").foreach { c =>
+      assert(math.abs(out((1L, c, c)) - 1.0) < 1e-12) }
+    // spearman: perfectly monotone within-group pair = 1 regardless of
+    // nonlinearity
+    val m = Seq((1L, 1.0, 10.0), (1L, 2.0, 100.0), (1L, 3.0, 1000.0),
+      (2L, 1.0, 3.0), (2L, 2.0, 1.0), (2L, 3.0, 0.5))
+      .toDF("g", "x", "y")
+    val sp = Corr.corrMatrixBy(m, "g", Seq("x", "y"), "spearman")
+      .collect().map(r => ((r.getLong(0), r.getString(1), r.getString(2)),
+        r.getDouble(3))).toMap
+    assert(math.abs(sp((1L, "x", "y")) - 1.0) < 1e-12)
+    assert(math.abs(sp((2L, "x", "y")) - (-1.0)) < 1e-12)
+  }
 }
