@@ -97,6 +97,14 @@ object Queries9 {
         .orderBy("l_returnflag", "c1", "c2")
     }),
 
+    "q_groupby_cov" -> ((s, d) => {
+      Corr.covMatrixBy(T(s, d, "lineitem"), "l_returnflag",
+          Seq("l_quantity", "l_discount", "l_tax"))
+        .select(col("l_returnflag"), col("c1"), col("c2"),
+          r(col("cov"), 6).as("cov"))
+        .orderBy("l_returnflag", "c1", "c2")
+    }),
+
     "q_groupby_corr_spearman" -> ((s, d) => {
       Corr.corrMatrixBy(T(s, d, "lineitem"), "l_returnflag",
           Seq("l_quantity", "l_extendedprice", "l_discount"), "spearman")
@@ -347,6 +355,17 @@ object Queries9 {
         s"corr(${cols(i)}, ${cols(j)}) AS c FROM lineitem GROUP BY 1")
         .mkString("\n         UNION ALL ")
       s"""SELECT l_returnflag, c1, c2, round(c + 1e-9, 6) AS corr FROM (
+         $cells) ORDER BY l_returnflag, c1, c2"""
+    },
+
+    "q_groupby_cov" -> {
+      val cols = Seq("l_quantity", "l_discount", "l_tax")
+      val cells = (for {
+        i <- cols.indices; j <- i until cols.size
+      } yield s"SELECT l_returnflag, '${cols(i)}' AS c1, '${cols(j)}' AS c2, " +
+        s"covar_samp(${cols(i)}, ${cols(j)}) AS c FROM lineitem GROUP BY 1")
+        .mkString("\n         UNION ALL ")
+      s"""SELECT l_returnflag, c1, c2, round(c + 1e-9, 6) AS cov FROM (
          $cells) ORDER BY l_returnflag, c1, c2"""
     },
 

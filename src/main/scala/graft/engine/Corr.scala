@@ -73,6 +73,26 @@ object Corr {
     one.select(col(key), expr(stacked))
   }
 
+  /** pandas `groupby(key).cov(ddof=1)`: per-group covariance matrix in
+    * long form (key, c1, c2, cov) — same one-grouped-aggregate shape as
+    * [[corrMatrixBy]], with per-group variances on the diagonal. */
+  def covMatrixBy(df: DataFrame, key: String, cols: Seq[String],
+                  minPeriods: Int = 1): DataFrame = {
+    val pairs = for {
+      i <- cols.indices; j <- i until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.flatMap { case (a, b) =>
+      Seq(covar_samp(col(a), col(b)).as(s"${a}__$b"),
+        count(when(col(a).isNotNull && col(b).isNotNull, 1))
+          .as(s"${a}__${b}__n"))
+    }
+    val one = df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) =>
+      s"'$a', '$b', CASE WHEN `${a}__${b}__n` >= $minPeriods THEN `${a}__$b` END"
+    }.mkString(s"stack(${pairs.size}, ", ", ", ") as (c1, c2, cov)")
+    one.select(col(key), expr(stacked))
+  }
+
   /** Pairwise covariance matrix (pandas `DataFrame.cov(ddof=1,
     * min_periods)`) in long form (c1, c2, cov), upper triangle plus the
     * diagonal (pandas' cov matrix carries per-column variance there).

@@ -372,4 +372,21 @@ class GroupCorrSpec extends SparkSpec {
     assert(math.abs(sp((1L, "x", "y")) - 1.0) < 1e-12)
     assert(math.abs(sp((2L, "x", "y")) - (-1.0)) < 1e-12)
   }
+
+  test("covMatrixBy vs pandas groupby.cov()") {
+    // pandas groupby('g')[['x','y']].cov():
+    //   g=1: xx=2.3333, xy=2.6667, yy=4.3333
+    //   g=2: xx=4.3333, xy=-2.0,  yy=12.0
+    val df = Seq((1L, 1.0, 2.0), (1L, 2.0, 1.0), (1L, 4.0, 5.0),
+      (2L, 1.0, 2.0), (2L, 5.0, 2.0), (2L, 2.0, 8.0)).toDF("g", "x", "y")
+    val out = Corr.covMatrixBy(df, "g", Seq("x", "y"))
+      .collect().map(r => ((r.getLong(0), r.getString(1), r.getString(2)),
+        r.getDouble(3))).toMap
+    val want = Map(
+      (1L, "x", "x") -> 7.0 / 3, (1L, "x", "y") -> 8.0 / 3,
+      (1L, "y", "y") -> 13.0 / 3, (2L, "x", "x") -> 13.0 / 3,
+      (2L, "x", "y") -> -2.0, (2L, "y", "y") -> 12.0)
+    want.foreach { case (k, v) =>
+      assert(math.abs(out(k) - v) < 1e-9, s"$k: ${out(k)} vs $v") }
+  }
 }
