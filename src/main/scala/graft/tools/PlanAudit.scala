@@ -44,7 +44,9 @@ object PlanAudit {
     "q_groupby_filter" -> "groupby.filter: groups-sized aggregate broadcast back as LEFT SEMI — the frame itself is never shuffled",
     "q_rolling_covcorr" -> "rolling/expanding cov+corr: ONE shuffle on the group key, both frames evaluated in the same WindowExec pass (builtin covar_samp/corr co-moments in codegen)",
     "q_ivfpq_topk" -> "IVF-PQ: literal-matrix cell assignment + residual PQ codes map-side over the scan; candidates via ONE cell-keyed equi-join (no corpus broadcast, no cartesian); WindowGroupLimit top-k",
-    "q_pagerank" -> "PageRank iteration: persisted edge/outdeg invariants, node-sized rank frame broadcast into the edge join, ONE dst-keyed contrib aggregate per iteration")
+    "q_pagerank" -> "PageRank iteration: persisted edge/outdeg invariants, node-sized rank frame broadcast into the edge join, ONE dst-keyed contrib aggregate per iteration",
+    "q_edit_join" -> "edit-distance join: rare-gram prefix-filter equi-join (candidates ~ true pairs, never all-pairs), codegen levenshtein verify",
+    "q_groupby_corr" -> "groupby.corr: ONE grouped aggregate carries every matrix cell — map-side-combinable co-moments, one group-key shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
