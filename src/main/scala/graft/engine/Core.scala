@@ -111,4 +111,22 @@ object Core {
     * unaffected. */
   def r(c: Column, scale: Int = 4): Column =
     round(noNaN(c) + lit(1e-9), scale)
+
+  /** Degenerate-safe Pearson correlation AGGREGATE: Spark 4's builtin
+    * `corr` divides by the co-moment product under ANSI mode, so a
+    * zero-variance group/frame (constant column after pairwise masking)
+    * throws DIVIDE_BY_ZERO at runtime where pandas yields NaN — found
+    * by the round-8 seeded property suite. This form computes the same
+    * co-moment ratio from covar_samp / stddev_samp (identical state,
+    * ~1-2 ulp apart) and guards the division, so degenerate inputs
+    * produce null. Valid wherever an aggregate expression is
+    * (groupBy().agg, df.agg); the windowed analogue is
+    * [[WindowOps.rCorr]], which applies the frame to each piece. */
+  def safeCorr(a: Column, b: Column): Column = {
+    val aM = when(a.isNotNull && b.isNotNull, a)
+    val bM = when(a.isNotNull && b.isNotNull, b)
+    val sx = stddev_samp(aM)
+    val sy = stddev_samp(bM)
+    when(sx > 0 && sy > 0, covar_samp(a, b) / (sx * sy))
+  }
 }

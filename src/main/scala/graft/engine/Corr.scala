@@ -31,7 +31,7 @@ object Corr {
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
-    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__$b") }
+    val aggs = pairs.map { case (a, b) => Core.safeCorr(col(a), col(b)).as(s"${a}__$b") }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stacked = pairs.map { case (a, b) => s"'$a', '$b', `${a}__$b`" }
       .mkString(s"stack(${pairs.size}, ", ", ", ") as (c1, c2, corr)")
@@ -66,7 +66,7 @@ object Corr {
       i <- cols.indices; j <- i until cols.size
     } yield (cols(i), cols(j))
     val aggs = pairs.map { case (a, b) =>
-      corr(col(a), col(b)).as(s"${a}__$b") }
+      Core.safeCorr(col(a), col(b)).as(s"${a}__$b") }
     val one = src.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
     val stacked = pairs.map { case (a, b) => s"'$a', '$b', `${a}__$b`" }
       .mkString(s"stack(${pairs.size}, ", ", ", ") as (c1, c2, corr)")
@@ -165,7 +165,7 @@ object Corr {
     val ranked = rankCol(
       rankCol(base, "__a", "ra", histOf(0), cutsOf(2), "__ra"),
       "__b", "rb", histOf(1), cutsOf(3), "__rb")
-    ranked.agg(corr(col("ra"), col("rb")).as("spearman"))
+    ranked.agg(Core.safeCorr(col("ra"), col("rb")).as("spearman"))
   }
 
 
@@ -191,7 +191,7 @@ object Corr {
   def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     val (ranked, pairs) = rankedFrame(df, cols)
     val corrAggs = pairs.map { case (i, j) =>
-      corr(col(s"__r$i"), col(s"__r$j")).as(s"s${i}_$j") }
+      Core.safeCorr(col(s"__r$i"), col(s"__r$j")).as(s"s${i}_$j") }
     val one = ranked.agg(corrAggs.head, corrAggs.tail: _*)
     val stacked = pairs.map { case (i, j) =>
       s"'${cols(i)}', '${cols(j)}', `s${i}_$j`" }
@@ -262,8 +262,8 @@ object Corr {
                     kendallMaxRows: Long = 10000000L): DataFrame = {
     val (ranked, pairs) = rankedFrame(df, cols)
     val corrAggs = pairs.flatMap { case (i, j) => Seq(
-      corr(col(s"__c$i"), col(s"__c$j")).as(s"p${i}_$j"),
-      corr(col(s"__r$i"), col(s"__r$j")).as(s"s${i}_$j")) }
+      Core.safeCorr(col(s"__c$i"), col(s"__c$j")).as(s"p${i}_$j"),
+      Core.safeCorr(col(s"__r$i"), col(s"__r$j")).as(s"s${i}_$j")) }
     val one = ranked.agg(corrAggs.head, corrAggs.tail: _*)
     val stacked = pairs.map { case (i, j) =>
       s"'${cols(i)}', '${cols(j)}', `p${i}_$j`, `s${i}_$j`" }
@@ -322,7 +322,7 @@ object Corr {
     val ordered = pairs.flatMap { case (i, j) => Seq((i, j), (j, i)) }
     // ---- probe: pearson + count + per-pair masked histograms, one pass
     val probeAggs = pairs.flatMap { case (i, j) => Seq(
-        corr(col(s"__c$i"), col(s"__c$j")).as(s"p${i}_$j"),
+        Core.safeCorr(col(s"__c$i"), col(s"__c$j")).as(s"p${i}_$j"),
         count(when(col(s"__c$i").isNotNull && col(s"__c$j").isNotNull, 1))
           .as(s"n${i}_$j")) } ++
       ordered.map { case (i, j) =>
@@ -353,7 +353,7 @@ object Corr {
               .drop(s"${p}v", s"${p}_cnt", s"${p}_before", s"${p}_dense")
           }
         val cellAggs = batched.map { case (i, j) =>
-          corr(col(s"__r${i}_$j"), col(s"__r${j}_$i")).as(s"s${i}_$j") }
+          Core.safeCorr(col(s"__r${i}_$j"), col(s"__r${j}_$i")).as(s"s${i}_$j") }
         val one = ranked.agg(cellAggs.head, cellAggs.tail: _*)
         val stacked = batched.map { case (i, j) =>
           s"'${cols(i)}', '${cols(j)}', `s${i}_$j`" }

@@ -60,9 +60,9 @@ object Frame {
       d.withColumn(s"__lag_$l", shift(col(c), l, w))
     }
     lagged.groupBy(keys.map(col): _*)
-      .agg(corr(col(c), col(s"__lag_${lags.head}")).as(s"autocorr_${lags.head}"),
+      .agg(Core.safeCorr(col(c), col(s"__lag_${lags.head}")).as(s"autocorr_${lags.head}"),
         lags.tail.map(l =>
-          corr(col(c), col(s"__lag_$l")).as(s"autocorr_$l")): _*)
+          Core.safeCorr(col(c), col(s"__lag_$l")).as(s"autocorr_$l")): _*)
   }
 
   /** pandas nlargest(n, column): top n by `c` descending. The
@@ -87,7 +87,7 @@ object Frame {
                pairs: Seq[(String, String)]): DataFrame = {
     require(pairs.nonEmpty, "corrwith: need at least one column pair")
     val j = left.join(right, on, "inner")
-    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"$a") }
+    val aggs = pairs.map { case (a, b) => Core.safeCorr(col(a), col(b)).as(s"$a") }
     val one = j.agg(aggs.head, aggs.tail: _*)
     val stack = pairs.map { case (a, _) => s"'$a', `$a`" }.mkString(", ")
     one.select(expr(s"stack(${pairs.size}, $stack) AS (colname, corr)")

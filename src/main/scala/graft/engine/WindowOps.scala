@@ -184,10 +184,21 @@ object WindowOps {
     when(pairs >= mp, covar_samp(a, b).over(w))
   }
 
-  /** pandas `Rolling.corr(other)` between two columns (pearson). */
+  /** pandas `Rolling.corr(other)` between two columns (pearson).
+    * Spark 4's builtin `corr` throws DIVIDE_BY_ZERO under ANSI mode on
+    * a zero-variance frame (constant values after pairwise masking)
+    * where pandas yields NaN — the windowed analogue of
+    * [[graft.engine.Core.safeCorr]]: same co-moment ratio built from
+    * covar_samp / stddev_samp window aggregates (all five share the
+    * frame, ONE WindowExec pass), division guarded so degenerate
+    * frames produce null. */
   def rCorr(a: Column, b: Column, w: WindowSpec, mp: Int): Column = {
-    val pairs = count(when(a.isNotNull && b.isNotNull, 1)).over(w)
-    when(pairs >= mp, corr(a, b).over(w))
+    val aM = when(a.isNotNull && b.isNotNull, a)
+    val bM = when(a.isNotNull && b.isNotNull, b)
+    val pairs = count(aM).over(w)
+    val sx = stddev_samp(aM).over(w)
+    val sy = stddev_samp(bM).over(w)
+    when(pairs >= mp && sx > 0 && sy > 0, covar_samp(a, b).over(w) / (sx * sy))
   }
 
   /** pandas `Rolling.agg(['mean','std',...])` / `.aggregate(spec)`: the

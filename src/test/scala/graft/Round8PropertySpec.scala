@@ -105,6 +105,84 @@ class Round8PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rolling cov/corr equals a per-window brute force (random)") {
+    var seed = Seed(23L)
+    for (round <- 1 to 6) {
+      val gen = for {
+        n <- Gen.choose(3, 30)
+        win <- Gen.choose(2, 8)
+        mp <- Gen.choose(2, 4)
+        xs <- Gen.listOfN(n, Gen.option(Gen.choose(-9, 9).map(_.toDouble)))
+        ys <- Gen.listOfN(n, Gen.option(Gen.choose(-9, 9).map(_.toDouble)))
+      } yield (win, mp, xs, ys)
+      val ((win, mp, xs, ys), s2) = draw(gen, seed); seed = s2
+      val df = xs.zip(ys).zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x, y) }.toDF("i", "x", "y")
+      val w = graft.engine.WindowOps.rollingSpec(
+        Window.partitionBy(lit(1)).orderBy("i"), win)
+      val got = df.select(col("i"),
+          graft.engine.WindowOps.rCov(col("x"), col("y"), w, mp).as("c"),
+          graft.engine.WindowOps.rCorr(col("x"), col("y"), w, mp).as("r"))
+        .orderBy("i").collect()
+      for (i <- xs.indices) {
+        val lo = math.max(0, i - win + 1)
+        val pairsC = (lo to i).collect {
+          case j if xs(j).nonEmpty && ys(j).nonEmpty => (xs(j).get, ys(j).get)
+        }
+        val wantC =
+          if (pairsC.size < mp || pairsC.size < 2) None
+          else {
+            val mx = pairsC.map(_._1).sum / pairsC.size
+            val my = pairsC.map(_._2).sum / pairsC.size
+            Some(pairsC.map { case (x, y) => (x - mx) * (y - my) }.sum /
+              (pairsC.size - 1))
+          }
+        val gc = if (got(i).isNullAt(1)) None else Some(got(i).getDouble(1))
+        (gc, wantC) match {
+          case (Some(a), Some(b)) =>
+            assert(math.abs(a - b) < 1e-9, s"round $round cov row $i: $a vs $b")
+          case (a, b) => assert(a == b, s"round $round cov row $i: $a vs $b")
+        }
+        // corr: additionally NaN (null) on zero-variance frames — the
+        // degenerate case where Spark 4's builtin corr throws under
+        // ANSI mode (the bug this suite caught in rCorr)
+        val wantR = wantC.flatMap { _ =>
+          val mx = pairsC.map(_._1).sum / pairsC.size
+          val my = pairsC.map(_._2).sum / pairsC.size
+          val vx = pairsC.map(p => (p._1 - mx) * (p._1 - mx)).sum
+          val vy = pairsC.map(p => (p._2 - my) * (p._2 - my)).sum
+          if (vx == 0 || vy == 0) None
+          else Some(pairsC.map(p => (p._1 - mx) * (p._2 - my)).sum /
+            math.sqrt(vx * vy))
+        }
+        val gr = if (got(i).isNullAt(2)) None else Some(got(i).getDouble(2))
+        (gr, wantR) match {
+          case (Some(a), Some(b)) =>
+            assert(math.abs(a - b) < 1e-9, s"round $round corr row $i: $a vs $b")
+          case (a, b) => assert(a == b, s"round $round corr row $i: $a vs $b")
+        }
+      }
+    }
+  }
+
+  test("corr family is degenerate-safe: constant inputs null, never throw") {
+    val df = Seq((1L, 1.0, 2.0), (1L, 1.0, 3.0), (1L, 1.0, 4.0),
+      (2L, 1.0, 5.0), (2L, 2.0, 5.0), (2L, 3.0, 5.0)).toDF("g", "x", "y")
+    // groupby matrix: x constant in g=1, y constant in g=2
+    val m = graft.engine.Corr.corrMatrixBy(df, "g", Seq("x", "y"))
+      .filter(col("c1") === "x" && col("c2") === "y").orderBy("g").collect()
+    assert(m.forall(_.isNullAt(3)), "degenerate group cells must be null")
+    // global long form on a constant column
+    val p = graft.engine.Corr.pearsonLong(
+      df.filter(col("g") === 1), Seq("x", "y")).collect()
+    assert(p.head.isNullAt(2))
+    // autocorr of a constant series
+    val w = Window.partitionBy("g").orderBy("y")
+    val a = graft.engine.Frame.autocorr(df.filter(col("g") === 1),
+      "x", w, Seq("g")).collect()
+    assert(a.head.isNullAt(1))
+  }
+
   /** Closed-form pandas ewm.cov/corr (adjust=True, bias=False,
     * ignore_na=False): explicit weights (1-a)^(rows-since) over
     * pairwise-complete rows — decay indexed by ROW distance. */
