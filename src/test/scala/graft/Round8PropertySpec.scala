@@ -165,6 +165,32 @@ class Round8PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("stat family degenerate-input sweep: constant series never throw") {
+    import graft.engine._
+    import graft.engine.{WindowOps, Reductions, Cumulative}
+    val const = Seq.fill(5)(2.5).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("i", "v")
+    val byI = Window.partitionBy(lit(1)).orderBy("i")
+    val w3 = byI.rowsBetween(-2, 0)
+    // every moment/ratio op must survive zero variance (ANSI mode is
+    // the default; unguarded internal divisions throw — corr did)
+    const.agg(Reductions.sampleSkew(col("v")),
+      Reductions.sampleKurt(col("v")), Reductions.sem(col("v")),
+      Reductions.varDdof(col("v"), 2)).collect()
+    const.select(WindowOps.rSkew(col("v"), w3, 3),
+      WindowOps.rKurt(col("v"), w3, 3), WindowOps.rSem(col("v"), w3, 2),
+      WindowOps.rCorr(col("v"), col("v"), w3, 2),
+      WindowOps.weightedVar(col("v"), byI, Seq(1.0, 2.0, 1.0))).collect()
+    Corr.spearman(const.withColumn("u", col("v")), "v", "u").collect()
+    Corr.kendallFast(const.withColumn("u", col("v")), "v", "u").collect()
+    Reductions.describe(const, Seq("v")).collect()
+    const.select(Ewm.variance(col("v"), byI, 0.3),
+      Ewm.corr(col("v"), col("v"), byI, 0.3)).collect()
+    // pct_change over a zero base (division) must not throw either
+    Seq((0L, 0.0), (1L, 5.0)).toDF("i", "v")
+      .select(Cumulative.pctChange(col("v"), byI)).collect()
+  }
+
   test("corr family is degenerate-safe: constant inputs null, never throw") {
     val df = Seq((1L, 1.0, 2.0), (1L, 1.0, 3.0), (1L, 1.0, 4.0),
       (2L, 1.0, 5.0), (2L, 2.0, 5.0), (2L, 3.0, 5.0)).toDF("g", "x", "y")
