@@ -257,6 +257,9 @@ object Syntax {
     def corrMatrixBy(key: String, cols: Seq[String],
                      method: String = "pearson"): DataFrame =
       Corr.corrMatrixBy(df, key, cols, method)
+    def covMatrixBy(key: String, cols: Seq[String],
+                    minPeriods: Int = 1): DataFrame =
+      Corr.covMatrixBy(df, key, cols, minPeriods)
     def rollingCov(a: String, b: String, w: WindowSpec, n: Int,
                    minPeriods: Int): DataFrame =
       df.withColumn(s"${a}_${b}_cov", WindowOps.rCov(col(a), col(b),
