@@ -772,48 +772,83 @@ object Dedup {
     * Occurrence indexes keep duplicate grams multiset-correct.
     * Returns (id_a, id_b, dist), id_a < id_b. */
   def editDistanceJoin(df: DataFrame, id: String, text: String,
-                       maxDist: Int, q: Int = 2): DataFrame = {
+                       maxDist: Int, q: Int = 2): DataFrame =
+    edJoinCore(
+      df.select(lit(0).as("__side"), col(id).cast("long").as("__id"),
+        col(text).as("__txt")),
+      maxDist, q,
+      pairPred = (col("a.__id") < col("b.__id")),
+      aSide = 0, bSide = 0)
+
+  /** Two-table record linkage: all (left, right) pairs with
+    * `levenshtein <= maxDist` — the cross-source form of
+    * [[editDistanceJoin]] (matching a new batch against a canonical
+    * entity table). Same prefix-filter machinery; the gram-frequency
+    * total order is computed over BOTH sides so the pigeonhole
+    * guarantee spans the cross join. Returns (id_a from left, id_b
+    * from right, dist); many-to-many matches are all emitted. */
+  def editDistanceJoinTables(left: DataFrame, right: DataFrame,
+                             leftId: String, leftText: String,
+                             rightId: String, rightText: String,
+                             maxDist: Int, q: Int = 2): DataFrame =
+    edJoinCore(
+      left.select(lit(0).as("__side"), col(leftId).cast("long").as("__id"),
+          col(leftText).as("__txt"))
+        .union(right.select(lit(1).as("__side"),
+          col(rightId).cast("long").as("__id"),
+          col(rightText).as("__txt"))),
+      maxDist, q,
+      pairPred = (col("a.__side") === 0 && col("b.__side") === 1),
+      aSide = 0, bSide = 1)
+
+  /** Shared prefix-filter core over a (side, id, text) frame; `pairPred`
+    * selects which (a, b) aliases form a candidate (self: id<id;
+    * cross: side 0 x side 1), `aSide`/`bSide` name the side each end of
+    * a candidate comes from — ids may collide ACROSS sides, so every
+    * join-back filters by side. */
+  private def edJoinCore(base: DataFrame, maxDist: Int, q: Int,
+                         pairPred: Column, aSide: Int,
+                         bSide: Int): DataFrame = {
     require(maxDist >= 1 && q >= 2, "editDistanceJoin: maxDist>=1, q>=2")
     val keep = maxDist * q + 1
     val shortMax = q - 1 + maxDist * q
-    val base = df.select(col(id).cast("long").as("__id"),
-      col(text).as("__txt"))
     val w = org.apache.spark.sql.expressions.Window
-    // positional grams -> (id, gram, occ). EVERY string with at least
-    // one gram participates: a string at or below the filter floor can
-    // still pair with a longer one (length diff <= maxDist), and that
-    // pair's guarantee lives in the gram path — its keep bound exceeds
-    // the short string's gram count, so the short side keeps ALL its
-    // grams and the pigeonhole still closes. (Caught by the seeded
-    // brute-force property suite.)
+    // positional grams -> (side, id, gram, occ). EVERY string with at
+    // least one gram participates: a string at or below the filter
+    // floor can still pair with a longer one (length diff <= maxDist),
+    // and that pair's guarantee lives in the gram path — its keep bound
+    // exceeds the short string's gram count, so the short side keeps
+    // ALL its grams and the pigeonhole still closes. (Caught by the
+    // seeded brute-force property suite.)
     val grams = base.filter(length(col("__txt")) >= q)
-      .select(col("__id"), explode(transform(
+      .select(col("__side"), col("__id"), explode(transform(
         sequence(lit(1), length(col("__txt")) - (q - 1)),
         p => col("__txt").substr(p, lit(q)))).as("gram"))
       .withColumn("occ", row_number().over(
-        w.partitionBy("__id", "gram").orderBy("gram")))
+        w.partitionBy("__side", "__id", "gram").orderBy("gram")))
     val freq = grams.groupBy("gram").agg(count(lit(1)).as("__freq"))
     val kept = grams.join(broadcast(freq), Seq("gram"))
       .withColumn("__rk", row_number().over(
-        w.partitionBy("__id").orderBy(col("__freq"), col("gram"), col("occ"))))
+        w.partitionBy("__side", "__id")
+          .orderBy(col("__freq"), col("gram"), col("occ"))))
       .filter(col("__rk") <= keep)
-      .select(col("__id"), col("gram"), col("occ"))
+      .select(col("__side"), col("__id"), col("gram"), col("occ"))
     val candLong = kept.as("a").join(kept.as("b"),
         col("a.gram") === col("b.gram") && col("a.occ") === col("b.occ") &&
-          col("a.__id") < col("b.__id"))
+          pairPred)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
     // short-string block: all same-band pairs among the filter-exempt
     val shorts = base.filter(length(col("__txt")) <= shortMax)
     val candShort = shorts.as("a").join(shorts.as("b"),
         abs(length(col("a.__txt")) - length(col("b.__txt"))) <= maxDist &&
-          col("a.__id") < col("b.__id"))
+          pairPred)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
     val cands = candLong.union(candShort).distinct()
     cands
-      .join(base.select(col("__id").as("id_a"), col("__txt").as("__ta")),
-        Seq("id_a"))
-      .join(base.select(col("__id").as("id_b"), col("__txt").as("__tb")),
-        Seq("id_b"))
+      .join(base.filter(col("__side") === aSide)
+        .select(col("__id").as("id_a"), col("__txt").as("__ta")), Seq("id_a"))
+      .join(base.filter(col("__side") === bSide)
+        .select(col("__id").as("id_b"), col("__txt").as("__tb")), Seq("id_b"))
       .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))

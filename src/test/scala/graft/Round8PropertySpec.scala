@@ -63,6 +63,40 @@ class Round8PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("editDistanceJoinTables equals brute force (cross, colliding ids)") {
+    var seed = Seed(29L)
+    for (round <- 1 to 4) {
+      val gen = for {
+        nl <- Gen.choose(5, 18)
+        nr <- Gen.choose(5, 18)
+        t <- Gen.choose(1, 2)
+        ls <- Gen.listOfN(nl, for {
+          len <- Gen.choose(0, 9)
+          cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+        } yield cs.mkString)
+        rs <- Gen.listOfN(nr, for {
+          len <- Gen.choose(0, 9)
+          cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+        } yield cs.mkString)
+      } yield (t, ls, rs)
+      val ((t, ls, rs), s2) = draw(gen, seed); seed = s2
+      // ids deliberately collide across the two tables (both 0-based)
+      val ldf = ls.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "t")
+      val rdf = rs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", "t")
+      val got = Dedup.editDistanceJoinTables(ldf, rdf, "id", "t", "id", "t",
+          maxDist = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        i <- ls.indices; j <- rs.indices
+        d = lev(ls(i), rs(j)) if d <= t
+      } yield (i.toLong, j.toLong, d)).toSet
+      assert(got == want,
+        s"round $round (t=$t): missing=${want -- got} spurious=${got -- want}")
+    }
+  }
+
   private def refPageRank(edges: Set[(Long, Long)], iters: Int,
                           d: Double): Map[Long, Double] = {
     val nodes = edges.flatMap(e => Seq(e._1, e._2))
