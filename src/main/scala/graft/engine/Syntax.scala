@@ -282,5 +282,15 @@ object Syntax {
     def editDistanceJoin(id: String, text: String, maxDist: Int,
                          q: Int = 2): DataFrame =
       graft.pipeline.Dedup.editDistanceJoin(df, id, text, maxDist, q)
+    def editDistanceJoinTables(right: DataFrame, id: String, text: String,
+                               rightId: String, rightText: String,
+                               maxDist: Int, q: Int = 2): DataFrame =
+      graft.pipeline.Dedup.editDistanceJoinTables(df, right, id, text,
+        rightId, rightText, maxDist, q)
+    def bpeTrain(id: String, text: String, numMerges: Int): DataFrame =
+      graft.pipeline.TextAnalysis.bpeTrain(df, id, text, numMerges)
+    def bpeApply(id: String, text: String,
+                 merges: Seq[(String, String)]): DataFrame =
+      graft.pipeline.TextAnalysis.bpeApply(df, id, text, merges)
   }
 }

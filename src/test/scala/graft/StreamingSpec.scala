@@ -157,4 +157,50 @@ class StreamingSpec extends SparkSpec {
       assert(pairs == Set((3L, 1L), (4L, 1L), (6L, 2L)))
     } finally q.stop()
   }
+
+  test("stream-stream interval join equals the batch join on random replays") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    for (round <- 1 to 3) {
+      val n = 30 + rnd.nextInt(30)
+      val evs = (0 until n).map { i =>
+        TypedEv(i.toLong, 1L + rnd.nextInt(3),
+          ts(rnd.nextInt(12000).toLong),
+          if (rnd.nextBoolean()) "click" else "purchase")
+      }
+      // batch reference
+      val want = (for {
+        p <- evs if p.event_type == "purchase"
+        c <- evs if c.event_type == "click"
+        if c.user_id == p.user_id &&
+          !c.ts.after(p.ts) &&
+          c.ts.getTime >= p.ts.getTime - 3600L * 1000
+      } yield (p.event_id, c.event_id)).toSet
+      val in = MemoryStream[TypedEv]
+      val src = in.toDF()
+      val joined = Streams.intervalJoin(
+        src.filter($"event_type" === "click"),
+        src.filter($"event_type" === "purchase"),
+        lookbackSec = 3600L, watermark = "24 hours")
+      val table = s"ivj_prop_$round"
+      val q = joined.writeStream.format("memory").queryName(table)
+        .outputMode(OutputMode.Append).start()
+      try {
+        // random batch boundaries over the TIME-SORTED stream (late
+        // data beyond the watermark is a different contract)
+        val sorted = evs.sortBy(_.ts.getTime)
+        var rest = sorted
+        while (rest.nonEmpty) {
+          val k = 1 + rnd.nextInt(rest.size)
+          in.addData(rest.take(k): _*)
+          q.processAllAvailable()
+          rest = rest.drop(k)
+        }
+        val got = spark.table(table).select("r_id", "l_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == want,
+          s"round $round: missing=${want -- got} spurious=${got -- want}")
+      } finally q.stop()
+    }
+  }
 }
