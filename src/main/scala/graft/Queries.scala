@@ -310,13 +310,14 @@ object Queries {
     // ---- §2.6 correlation: pearson matrix + spearman ----
     "q_corr" -> ((s, d) => {
       val li = T(s, d, "lineitem")
+      val sc = Core.safeCorr _   // degenerate-safe under ANSI (r8)
       val pear = li.agg(
-        r(corr(col("l_quantity"), col("l_extendedprice")), 6).as("c_qty_price"),
-        r(corr(col("l_quantity"), col("l_discount")), 6).as("c_qty_disc"),
-        r(corr(col("l_quantity"), col("l_tax")), 6).as("c_qty_tax"),
-        r(corr(col("l_extendedprice"), col("l_discount")), 6).as("c_price_disc"),
-        r(corr(col("l_extendedprice"), col("l_tax")), 6).as("c_price_tax"),
-        r(corr(col("l_discount"), col("l_tax")), 6).as("c_disc_tax"))
+        r(sc(col("l_quantity"), col("l_extendedprice")), 6).as("c_qty_price"),
+        r(sc(col("l_quantity"), col("l_discount")), 6).as("c_qty_disc"),
+        r(sc(col("l_quantity"), col("l_tax")), 6).as("c_qty_tax"),
+        r(sc(col("l_extendedprice"), col("l_discount")), 6).as("c_price_disc"),
+        r(sc(col("l_extendedprice"), col("l_tax")), 6).as("c_price_tax"),
+        r(sc(col("l_discount"), col("l_tax")), 6).as("c_disc_tax"))
       val sp = Corr.spearman(li, "l_quantity", "l_extendedprice")
         .select(r(col("spearman"), 6).as("spearman_qty_price"))
       pear.crossJoin(sp)

@@ -191,7 +191,8 @@ object Queries2 {
       T(s, d, "events")
         .withColumn("tsu", Core.usOf(col("ts")).cast("double"))
         .groupBy("user_id")
-        .agg(r(when(count(lit(1)) >= 60, corr(col("value"), col("tsu"))), 6)
+        .agg(r(when(count(lit(1)) >= 60,
+            Core.safeCorr(col("value"), col("tsu"))), 6)
           .as("corr_vt"), count(lit(1)).as("n"))
         .orderBy("user_id")
     }),
