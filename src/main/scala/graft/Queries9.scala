@@ -86,6 +86,20 @@ object Queries9 {
         .orderBy("query_id")
     }),
 
+    // ---- semantic decontamination: map-side max-cosine of every
+    //      corpus vector against the literal benchmark matrix (native
+    //      dot kernel), ZERO shuffle — the embedding-space complement
+    //      of the k-gram q_decontam ----
+    "q_semantic_decontam" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      Similarity.semanticDecontaminate(
+          emb.filter(col("vec_id") >= 16),
+          emb.filter(col("vec_id") < 16), threshold = 0.4)
+        .select(col("id"), r(col("max_cos"), 6).as("max_cos"),
+          col("contaminated"))
+        .orderBy("id")
+    }),
+
     // ---- pandas groupby.corr(): per-group correlation matrix, ONE
     //      grouped aggregate for all cells (pearson) / group-windowed
     //      midranks feeding the same aggregate (spearman) ----
@@ -346,6 +360,17 @@ object Queries9 {
 
     "q_bpe_train" -> bpeTrainOracle(6),
     "q_bpe_apply" -> bpeApplyOracle(6),
+
+    "q_semantic_decontam" ->
+      """WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS bv
+                    FROM embeddings WHERE vec_id < 16),
+         m AS (SELECT c.vec_id AS id,
+                 max(list_cosine_similarity(c.embedding::DOUBLE[], b.bv))
+                   AS mc
+               FROM embeddings c, b WHERE c.vec_id >= 16 GROUP BY 1)
+         SELECT id, round(mc + 1e-9, 6) AS max_cos,
+           mc >= 0.4 AS contaminated
+         FROM m ORDER BY id""",
 
     "q_groupby_corr" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount")

@@ -215,6 +215,11 @@ object Syntax {
     def decontaminate(bench: DataFrame, id: String, text: String,
                       k: Int = 3): DataFrame =
       graft.pipeline.Curation.decontaminate(df, bench, id, text, k)
+    def semanticDecontaminate(bench: DataFrame, threshold: Double,
+                              id: String = "vec_id",
+                              vec: String = "embedding"): DataFrame =
+      graft.pipeline.Similarity.semanticDecontaminate(df, bench,
+        threshold, id, vec)
     def dedupIncremental(seen: DataFrame, id: String, text: String,
                          bloomExpectedItems: Long = 0L,
                          bloomFpp: Double = 0.01): DataFrame =

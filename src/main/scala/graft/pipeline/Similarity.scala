@@ -611,6 +611,39 @@ object Similarity {
         col("dist"), col("rank"))
   }
 
+  /** Semantic decontamination: flag corpus documents whose embedding is
+    * too close to ANY benchmark/eval-set embedding — the embedding-space
+    * complement of the k-gram [[Curation.decontaminate]] (catches
+    * paraphrased eval leakage that exact n-grams miss). The benchmark
+    * suite is SMALL by definition, so its vectors (and precomputed
+    * norms) ride a single nested-array Literal; each corpus row takes a
+    * map-side max over the bench matrix via the native dot kernel —
+    * ZERO shuffle, scan-speed at any corpus size, O(|bench| * d) per
+    * row. Returns (id, max_cos, contaminated); filter on the flag to
+    * drop. Zero-norm vectors score null (never match). */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+                            threshold: Double,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    def l2(v: Array[Double]): Double =
+      math.sqrt(v.map(x => x * x).sum)
+    val bvecs: Array[Array[Double]] = bench.orderBy(col(idCol))
+      .select(asDouble(col(vecCol)).as("v")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(bvecs.nonEmpty, "semanticDecontaminate: empty benchmark set")
+    val bLit = typedlit(bvecs.map(_.toSeq).toSeq)
+    val bNorms = typedlit(bvecs.map(l2).toSeq)
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", l2norm(col("__v")))
+    val mx = array_max(transform(sequence(lit(0), lit(bvecs.length - 1)),
+      i => when(col("__n") > 0 && element_at(bNorms, i + 1) > 0,
+        dotNative(col("__v"), element_at(bLit, i + 1)) /
+          (col("__n") * element_at(bNorms, i + 1)))))
+    base.select(col("id"), mx.as("max_cos"),
+      (mx >= threshold).as("contaminated"))
+  }
+
   /** IVF-PQ combined ANN (FAISS IVFPQ shape): coarse cells bound the
     * candidate set, residual PQ codes bound the bytes read per
     * candidate — the composition is THE billion-vector layout, and the
