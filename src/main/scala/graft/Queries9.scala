@@ -7,14 +7,16 @@ import graft.engine._
 import graft.engine.Core.r
 import graft.pipeline.{Curation, Dedup, Similarity, TextAnalysis}
 
-/** Ninth tranche (round 8): the pairwise-covariance family the
-  * reference's generic window proxy exposes (`parallel_window.py:38-40`
-  * resolves ANY pandas rolling/ewm method name, so `rolling.cov`,
-  * `rolling.corr`, `ewm.cov`, `ewm.corr` and `DataFrame.cov` are all
-  * reachable surface) — previously implemented in the engine
-  * ([[graft.engine.WindowOps.rCov]], [[graft.engine.Corr.covLong]]) but
-  * not oracle-gated, plus the new pairwise EWM aggregators
-  * ([[graft.engine.Ewm.covAgg]]). Same conventions as [[Queries]]. */
+/** Ninth tranche (round 8):
+  *   - the pairwise-covariance family the reference's generic window
+  *     proxy exposes (`parallel_window.py:38-40` resolves ANY pandas
+  *     rolling/ewm method name): rolling/expanding/ewm cov + corr,
+  *     DataFrame.cov, groupby corr/cov matrices, Series.autocorr,
+  *     cumsum/cummax(axis=1);
+  *   - pipeline flagships: IVF-PQ combined ANN (+recall gate),
+  *     PageRank, exact edit-distance join, BPE tokenizer train/apply,
+  *     semantic decontamination.
+  * Same conventions as [[Queries]]. */
 object Queries9 {
 
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
