@@ -53,6 +53,30 @@ object Bench {
           .select((col("doc_id") * 10 + col("__c")).as("doc_id"), col("text"))
         graft.pipeline.Dedup.fuzzy(big, "doc_id", "text",
           k = 3, bands = 4, rowsPerBand = 2)
+      },
+      // 10x corpus through the IVF-PQ cell-keyed equi-join: 20k vectors
+      // x 64d against 64 queries with 8 coarse cells / nprobe 2 —
+      // candidate volume and code-table size both scale 10x while the
+      // plan stays broadcast-free; evidence for the FAISS-layout claim.
+      "bench_ivfpq_10x" -> { (s, d) =>
+        import org.apache.spark.sql.functions._
+        val emb = s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val big = emb
+          .select(explode(sequence(lit(0), lit(9))).as("__c"),
+            col("vec_id"), col("embedding"))
+          .select((col("vec_id") * 10 + col("__c")).as("vec_id"),
+            col("embedding"))
+        def rows(f: org.apache.spark.sql.DataFrame): Array[Array[Double]] =
+          f.orderBy("vec_id").select(col("embedding").cast("array<double>"))
+            .collect().map(_.getSeq[Double](0).toArray)
+        val cells = rows(emb.filter(col("vec_id") < 8))
+        val src = rows(emb.filter(col("vec_id") >= 16 && col("vec_id") < 32))
+        val books = Array.tabulate(4)(sub =>
+          src.map(_.slice(sub * 16, sub * 16 + 16)))
+        graft.pipeline.Similarity.ivfPqTopK(
+          big.filter(col("vec_id") < 64), big, cells, books,
+          k = 5, nprobe = 2)
       })
     // Deterministic order. Between queries: drop any cached plans, then
     // two GC passes so the ContextCleaner reaps the previous query's
