@@ -115,4 +115,37 @@ class PlanGuardSpec extends SparkSpec {
     assert(bad.isEmpty,
       s"ivf-pq plan contains non-equi joins: ${bad.map(_.nodeName).mkString(", ")}")
   }
+
+  test("claimed zero-shuffle operators have NO Exchange in their plans") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def walk(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p.children ++ (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)
+        case _ => Seq.empty
+      }) ++ p.subqueries
+      p +: kids.flatMap(walk)
+    }
+    // each of these documents "zero shuffle / scan speed" in its
+    // scaladoc or SCALE.md — a regression adding an Exchange fails here
+    val zeroShuffle = Seq(
+      "semanticDecontaminate" -> graft.pipeline.Similarity
+        .semanticDecontaminate(emb.filter(col("vec_id") >= 16),
+          emb.filter(col("vec_id") < 16), 0.4),
+      "bpeApply" -> graft.pipeline.TextAnalysis.bpeApply(docs, "doc_id",
+        "text", Seq(("e", "r"), ("e", " "))),
+      "pii+clean" -> docs.select(
+        graft.pipeline.Curation.redact(col("text")),
+        graft.pipeline.Curation.cleanText(col("text"))))
+    zeroShuffle.foreach { case (name, df) =>
+      val shuffles = walk(df.queryExecution.executedPlan).collect {
+        case s: ShuffleExchangeLike => s
+      }
+      assert(shuffles.isEmpty,
+        s"$name claims zero-shuffle but plans ${shuffles.size} Exchange(s)")
+    }
+  }
 }
