@@ -139,7 +139,24 @@ class PlanGuardSpec extends SparkSpec {
         "text", Seq(("e", "r"), ("e", " "))),
       "pii+clean" -> docs.select(
         graft.pipeline.Curation.redact(col("text")),
-        graft.pipeline.Curation.cleanText(col("text"))))
+        graft.pipeline.Curation.cleanText(col("text"))),
+      "pqEncode" -> {
+        val src = emb.filter(col("vec_id") < 16).orderBy("vec_id")
+          .select(col("embedding").cast("array<double>")).collect()
+          .map(_.getSeq[Double](0).toArray)
+        val books = Array.tabulate(4)(s => src.map(_.slice(s * 16, s * 16 + 16)))
+        graft.pipeline.Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      },
+      "melt" -> graft.engine.Reshape.melt(
+        spark.read.parquet(s"$sf/lineitem.parquet"),
+        Seq("l_orderkey"), Seq("l_quantity", "l_discount")),
+      "explodeCol+concat" -> graft.engine.Frame.concatOuter(Seq(
+        docs.select("doc_id", "lang"), docs.select("doc_id", "source"))),
+      "rowCumsum" -> {
+        val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        li.select(graft.engine.Frame.rowCumsum(
+          Seq(col("l_quantity"), col("l_discount")), Seq("q", "d")): _*)
+      })
     zeroShuffle.foreach { case (name, df) =>
       val shuffles = walk(df.queryExecution.executedPlan).collect {
         case s: ShuffleExchangeLike => s
