@@ -312,6 +312,30 @@ class PipelineSpec extends SparkSpec {
     assert(r3 >= r1, s"recall fell when widening probes: $r1 -> $r3")
   }
 
+  test("semanticDecontaminate: max-cosine flags, zero-norm never matches") {
+    val bench = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(0.9f, 0.1f, 0.0f)),   // close to bench 0
+      (11L, Array(0.0f, 0.0f, 1.0f)),   // orthogonal to both
+      (12L, Array(0.0f, 0.0f, 0.0f)),   // zero norm -> null, unflagged
+      (13L, Array(-1.0f, 0.0f, 0.0f)))  // anti-parallel
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(corpus, bench, 0.8)
+      .orderBy("id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getBoolean(2)))).toMap
+    assert(math.abs(byId(10L)._1.get - 0.9 / math.sqrt(0.82)) < 1e-6)
+    assert(byId(10L)._2.contains(true))   // 0.9939 >= 0.8
+    assert(byId(11L)._1.contains(0.0) && byId(11L)._2.contains(false))
+    assert(byId(12L)._1.isEmpty)          // zero norm: no score
+    assert(byId(13L)._1.contains(-0.0) || byId(13L)._1.contains(0.0) ||
+      byId(13L)._1.get <= 0.0)            // max over {-1, 0} = 0
+    assert(byId(13L)._2.contains(false))
+  }
+
   test("bpeTrain/bpeApply vs a reference in-memory BPE") {
     // reference word-histogram BPE (Sennrich): same tie-break
     def refBpe(words: Map[String, Int], k: Int)
