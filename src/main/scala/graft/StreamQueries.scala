@@ -84,6 +84,19 @@ object StreamQueries {
         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
        ORDER BY purchase_id, click_id""")
 
+  /** Replay scratch space (staging files, checkpoints, sink): prefer
+    * the tmpfs at /dev/shm — streaming checkpoints are many small
+    * fsync-heavy writes, worth ~1s/query on ext4 /tmp. Production
+    * deployments point checkpointLocation at durable storage; this is
+    * bench/verify harness plumbing only. */
+  private def scratchDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm))
+      Files.createTempDirectory(shm, prefix)
+    else Files.createTempDirectory(prefix)
+  }
+
   /** Stage `splits` as one parquet FILE per micro-batch, mtime-ordered
     * (FileStreamSource processes files by modification time), under
     * `base/in`. Returns the input dir path. */
@@ -143,7 +156,7 @@ object StreamQueries {
     val ev = Core.normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
       .select(col("user_id"), col("ts"), col("value"))
 
-    val base = Files.createTempDirectory("q_stream_sessionize")
+    val base = scratchDir("q_stream_sessionize")
     // Two halves split at the event-time midpoint (so session state
     // genuinely crosses a batch boundary), then a flush sentinel one
     // day after the max so the watermark passes every open session's
@@ -185,7 +198,7 @@ object StreamQueries {
     import spark.implicits._
     val ev = Core.normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
       .select(col("user_id"), col("ts"), col("value"))
-    val base = Files.createTempDirectory("q_stream_window")
+    val base = scratchDir("q_stream_window")
     val row = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
     val mid = new java.sql.Timestamp(
       row.getTimestamp(0).getTime +
@@ -222,7 +235,7 @@ object StreamQueries {
     import spark.implicits._
     val ev = Core.normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
       .select(col("user_id"), col("ts"), col("value"))
-    val base = Files.createTempDirectory("q_stream_runmean")
+    val base = scratchDir("q_stream_runmean")
     val row = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
     val mid = new java.sql.Timestamp(
       row.getTimestamp(0).getTime +
@@ -269,7 +282,7 @@ object StreamQueries {
       .select(col("doc_id").cast("long").as("doc_id"),
         timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
         col("text"))
-    val base = Files.createTempDirectory("q_stream_dedup")
+    val base = scratchDir("q_stream_dedup")
     val row = docs.agg(max(col("doc_id"))).head()
     val midId = row.getLong(0) / 2
     val inDir = stageReplay(base, Seq(
@@ -302,7 +315,7 @@ object StreamQueries {
     val ev = Core.normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
       .select(col("event_id"), col("user_id"), col("ts"),
         col("event_type"))
-    val base = Files.createTempDirectory("q_stream_ivj")
+    val base = scratchDir("q_stream_ivj")
     val row = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
     val mid = new java.sql.Timestamp(
       row.getTimestamp(0).getTime +
