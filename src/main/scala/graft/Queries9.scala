@@ -50,6 +50,18 @@ object Queries9 {
         .orderBy("user_id", "event_id")
     }),
 
+    // ---- rolling(window, step=k): step is a row-number FILTER in the
+    //      same WindowExec pass — no extra shuffle ----
+    "q_rolling_step" -> ((s, d) => {
+      val w5 = WindowOps.rollingSpec(byUser, 5)
+      T(s, d, "events").select(col("event_id"), col("user_id"),
+          r(WindowOps.rMean(col("value"), w5, 5), 4).as("roll_mean"),
+          r(WindowOps.rSum(col("value"), w5, 1), 4).as("roll_sum"),
+          WindowOps.stepKeep(byUser, 3).as("__keep"))
+        .filter(col("__keep")).drop("__keep")
+        .orderBy("user_id", "event_id")
+    }),
+
     // ---- DataFrame.cov matrix (upper triangle + variance diagonal):
     //      ONE aggregate pass, all co-moments map-side combinable ----
     "q_cov_matrix" -> ((s, d) => {
@@ -362,6 +374,18 @@ object Queries9 {
 
     "q_bpe_train" -> bpeTrainOracle(6),
     "q_bpe_apply" -> bpeApplyOracle(6),
+
+    "q_rolling_step" ->
+      s"""WITH o AS (SELECT event_id, user_id, value,
+           row_number() OVER ($evWin) AS rn,
+           CASE WHEN count(value) OVER w >= 5
+             THEN round(avg(value) OVER w + 1e-9, 4) END AS roll_mean,
+           round(sum(value) OVER w + 1e-9, 4) AS roll_sum
+           FROM events WINDOW w AS ($evWin ROWS BETWEEN 4 PRECEDING
+                                    AND CURRENT ROW))
+         SELECT event_id, user_id, roll_mean, roll_sum
+         FROM o WHERE (rn - 1) % 3 = 0
+         ORDER BY user_id, event_id""",
 
     "q_semantic_decontam" ->
       """WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS bv

@@ -68,6 +68,18 @@ object WindowOps {
   def gated(c: Column, w: WindowSpec, minPeriods: Int)(agg: Column => Column): Column =
     when(count(c).over(w) >= minPeriods, agg(c).over(w))
 
+  /** pandas `rolling(step=k)` row selection: keep positions 0, k, 2k, …
+    * per group (0-indexed over the same ordering the frame uses). The
+    * rolling expressions themselves are unchanged — step is a FILTER on
+    * which result rows survive, evaluated in the same WindowExec pass
+    * (row_number shares the partition/order spec, so no extra shuffle).
+    * Compose: `df.select(..., rMean(c, rollingSpec(w, n), mp))
+    * .filter(stepKeep(w, k))`. */
+  def stepKeep(w: WindowSpec, step: Int): Column = {
+    require(step >= 1, s"rolling step must be >= 1, got $step")
+    (row_number().over(w) - 1) % step === 0
+  }
+
   // --- the 12 registered stat ops (main.py:44-45) over any frame spec ---
   def rMean(c: Column, w: WindowSpec, mp: Int): Column = gated(c, w, mp)(avg)
   def rSum(c: Column, w: WindowSpec, mp: Int): Column = gated(c, w, mp)(sum)

@@ -348,6 +348,29 @@ class WindowSpec extends SparkSpec {
         Some(0.121135928), Some(-0.0285514579), Some(0.5278635068)), 1e-8)
   }
 
+  test("rolling step=k keeps pandas' 0-indexed positions") {
+    // pandas: Series([1,3,2,5,4,6,8]).rolling(3, step=2).mean()
+    //   -> index {0: nan, 2: 2.0, 4: 3.6667, 6: 6.0}
+    // Series.rolling(3, min_periods=1, step=3).sum() -> {0:1, 3:10, 6:18}
+    val s7 = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 8.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("i", "v")
+    val w3 = WindowOps.rollingSpec(byI, 3)
+    val m = s7.select(col("i"),
+        WindowOps.rMean(col("v"), w3, 3).as("m"),
+        WindowOps.stepKeep(byI, 2).as("k"))
+      .filter(col("k")).orderBy("i").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(m.map(_._1).toSeq == Seq(0L, 2L, 4L, 6L))
+    assertSeqApprox(m.map(_._2).toSeq,
+      Seq(None, Some(2.0), Some(11.0 / 3), Some(6.0)))
+    val sm = s7.select(col("i"),
+        WindowOps.rSum(col("v"), w3, 1).as("s"),
+        WindowOps.stepKeep(byI, 3).as("k"))
+      .filter(col("k")).orderBy("i").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(sm.toSeq == Seq((0L, 1.0), (3L, 10.0), (6L, 18.0)))
+  }
+
   test("rolling cov/corr pairwise-complete min_periods gate vs pandas") {
     // x.rolling(3, min_periods=2).cov(y)  = [nan,nan,nan,nan,-1.5,-1.5,
     //                                        0.25,2.5]
