@@ -114,4 +114,33 @@ class SyntaxSpec extends SparkSpec {
       .pp.explodeCol("arr", "t").count() == 2)
     assert(ev.pp.getDummies("u", "u").columns.count(_.startsWith("u_")) == 2)
   }
+
+  test("round-8 surface: cov family / pageRank / linkage / bpe / semantic decontam") {
+    import org.apache.spark.sql.expressions.Window
+    val xy = Seq((1L, 0L, 1.0, 2.0), (1L, 1L, 2.0, 1.0), (1L, 2L, 4.0, 5.0),
+      (1L, 3L, 3.0, 4.0)).toDF("g", "i", "x", "y")
+    val w = Window.partitionBy("g").orderBy("i")
+    assert(xy.pp.covMatrix("x", "y").count() == 3)       // xx, xy, yy
+    assert(xy.pp.covMatrixBy("g", Seq("x", "y")).count() == 3)
+    assert(xy.pp.corrMatrixBy("g", Seq("x", "y")).count() == 3)
+    assert(xy.pp.rollingCov("x", "y", w, 2, 2).columns.contains("x_y_cov"))
+    assert(xy.pp.ewmCorr("x", "y", w, 0.3).columns.contains("x_y_ewm_corr"))
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "t")
+    val pr = edges.pp.pageRank("s", "t", iters = 2).collect()
+    assert(pr.length == 3 && math.abs(pr.map(_.getDouble(1)).sum - 1.0) < 1e-12)
+    val names = Seq((1L, "abc"), (2L, "abd"), (3L, "xyz")).toDF("id", "t")
+    assert(names.pp.editDistanceJoin("id", "t", 1).count() == 1)
+    assert(names.pp.editDistanceJoinTables(names, "id", "t", "id", "t", 1)
+      .count() >= 3)  // self-matches at dist 0 + the abc~abd pair
+    val docs = Seq((1L, "aa ab aa"), (2L, "ab aa")).toDF("doc_id", "text")
+    val merges = docs.pp.bpeTrain("doc_id", "text", 2)
+    assert(merges.count() == 2)
+    val ms = merges.orderBy("merge_idx").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(docs.pp.bpeApply("doc_id", "text", ms).count() == 2)
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(vecs.pp.semanticDecontaminate(vecs.filter(col("vec_id") === 1), 0.9)
+      .filter(col("contaminated")).count() == 1)
+  }
 }
