@@ -62,7 +62,19 @@ for name in sorted(oracle):
                 mismatch = f"COL {c}: dtype spark={a.dtype} oracle={b.dtype} (int vs float)"
                 break
             if af or bf:
-                bad = ~((a.isna() & b.isna()) | ((a - b).abs() < 1e-9))
+                # driver semantics: EXACT value hash — repr-level compare,
+                # so 0.0 vs -0.0 and last-ulp drift FAIL here like they
+                # fail driver-side (the r8 q_groupby_cov lesson: a 1e-9
+                # tolerance hid a signed-zero mismatch).
+                aa = a.map(repr).where(~a.isna(), "<NA>")
+                bb = b.map(repr).where(~b.isna(), "<NA>")
+                bad = aa != bb
+                if bad.any() and ((a - b).abs().fillna(0) < 1e-9).all():
+                    i = bad.idxmax()
+                    mismatch = (f"COL {c} row {i}: spark={a[i]!r} "
+                                f"oracle={b[i]!r} (EXACT-ONLY: within 1e-9 "
+                                f"tolerance but driver hashes exact)")
+                    break
             else:
                 aa = a.astype(str).where(~a.isna(), "<NA>")
                 bb = b.astype(str).where(~b.isna(), "<NA>")

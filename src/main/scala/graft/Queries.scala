@@ -594,7 +594,7 @@ object Queries {
     "q_groupby_transform" ->
       """SELECT event_id, user_id,
          round(avg(value) OVER w + 1e-9, 4) AS user_mean,
-         round((value - avg(value) OVER w) / stddev_samp(value) OVER w + 1e-9, 4) AS zscore,
+         round((value - avg(value) OVER w) / stddev_samp(value) OVER w + 1e-9, 4) + 0.0 AS zscore,
          count(value) OVER w AS user_n
          FROM events WINDOW w AS (PARTITION BY user_id)
          ORDER BY user_id, event_id""",

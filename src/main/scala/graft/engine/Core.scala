@@ -108,9 +108,18 @@ object Core {
     * last ulp — and Spark's run-to-run partial-merge order — decides the
     * direction. With the shift, both engines round such values up,
     * deterministically. Values not within 1e-9 below a boundary are
-    * unaffected. */
+    * unaffected.
+    *
+    * The trailing + 0.0 normalizes SIGNED ZERO: a tiny negative value
+    * (e.g. covar_samp ≈ -2.4e-7) rounds to -0.0 in engines that keep
+    * the sign through round() (DuckDB does) and +0.0 in engines that
+    * normalize (Spark's BigDecimal round does). -0.0 + 0.0 = +0.0 in
+    * IEEE 754 round-to-nearest, so adding it on BOTH sides (here and a
+    * literal `+ 0.0` in the affected oracle SQL) makes the exact-hash
+    * compare deterministic. scripts/oracle_audit.py sweeps the oracle
+    * corpus for this class. */
   def r(c: Column, scale: Int = 4): Column =
-    round(noNaN(c) + lit(1e-9), scale)
+    round(noNaN(c) + lit(1e-9), scale) + lit(0.0)
 
   /** Degenerate-safe Pearson correlation AGGREGATE: Spark 4's builtin
     * `corr` divides by the co-moment product under ANSI mode, so a
