@@ -42,23 +42,32 @@ object Corr {
     * long form (key, c1, c2, corr), upper triangle incl. the diagonal.
     * pearson: ONE grouped aggregate carries all k(k+1)/2 `corr` cells —
     * map-side-combinable co-moments, one shuffle on the group key.
-    * spearman: each column midranked WITHIN its group first (rank +
-    * (dups-1)/2 over two window specs), then the same grouped
-    * aggregate; ranks and aggregate share the group-key shuffle.
+    * spearman: each column midranked WITHIN its group via
+    * [[Reductions.withMidrankBy]] — (key, value-quantile-bucket)
+    * windows, NOT `Window.partitionBy(key)`, so a low-cardinality group
+    * key (l_returnflag: 3 values) never serializes n/3 of the corpus
+    * through one sort task; all columns' bucket cuts come from ONE
+    * approxQuantile probe. NULL cells midrank to NULL and are pairwise-
+    * masked by the correlation (the old group-window form ranked nulls
+    * first, polluting the coefficient). Like [[spearmanMatrix]], ranks
+    * are computed per COLUMN (not per pair): on null-laden data this is
+    * rank-then-mask, whereas pandas re-ranks each pair's common rows —
+    * the documented fast-path deviation; see [[corrMatrixPairwise]] for
+    * the exact per-pair semantics ungrouped.
     * Degenerate cells (zero variance in a group) are null, like pandas'
     * NaN. */
   def corrMatrixBy(df: DataFrame, key: String, cols: Seq[String],
                    method: String = "pearson"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val src = method match {
       case "pearson" => df
       case "spearman" =>
-        cols.foldLeft(df) { (d, c) =>
-          val r = rank().over(Window.partitionBy(col(key)).orderBy(col(c)))
-          val dups = count(lit(1))
-            .over(Window.partitionBy(col(key), col(c)))
-          d.withColumn(c, r + (dups - 1) / 2.0)
-        }
+        val n = df.sparkSession.sparkContext.defaultParallelism
+        val probs = (1 until n).map(_.toDouble / n).toArray
+        val allCuts = df.stat.approxQuantile(cols.toArray, probs, 0.01)
+        cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+          Reductions.withMidrankBy(d, key, c, s"__mr_$c", n,
+              knownCuts = Some(allCuts(i)))
+        }.select(col(key) +: cols.map(c => col(s"__mr_$c").as(c)): _*)
       case other => throw new IllegalArgumentException(
         s"corrMatrixBy: method='$other' (pearson|spearman)")
     }

@@ -326,6 +326,51 @@ object Reductions {
       .drop("__bkt", "__off")
   }
 
+  /** GROUPED analogue of [[withMidrank]]: per-group average midranks of
+    * `c` without a `Window.partitionBy(key).orderBy(c)` — which puts a
+    * whole group (~n/NDV(key) rows) on ONE task when the group key is
+    * low-cardinality (`l_returnflag` has 3 values; at 100 TB that is a
+    * third of the corpus through one sorter). Instead the value axis is
+    * cut into ~`buckets` GLOBAL quantile buckets (shared across groups —
+    * cut quality affects only balance, never correctness) and the
+    * window partitions by (key, bucket):
+    *   - per-(key,bucket) row counts → per-key running offsets, a
+    *     window over the (NDV(key) × buckets)-row AGGREGATE — bounded;
+    *   - one (key,bucket)-partitioned window gives within-bucket
+    *     cumulative and tie counts (RANGE(0,0) = the tie group);
+    *   - midrank = offset + cum − tie + (tie+1)/2, WITHIN the group.
+    * NULL cells get a NULL midrank (never a numeric rank), so
+    * downstream pairwise-complete correlation masks them like pandas —
+    * the partitionBy(key).orderBy(c) form ranked nulls first.
+    * `knownCuts` lets callers batch several columns' cut probes into
+    * one aggregation job. */
+  def withMidrankBy(df: DataFrame, key: String, c: String, out: String,
+                    buckets: Int = 0,
+                    knownCuts: Option[Array[Double]] = None): DataFrame = {
+    val n = if (buckets > 0) buckets
+            else df.sparkSession.sparkContext.defaultParallelism
+    val cuts = knownCuts.getOrElse(df.select(col(c)).stat.approxQuantile(
+      c, (1 until n).map(_.toDouble / n).toArray, 0.01)).distinct.sorted
+    def bucketOf(v: Column): Column =
+      coalesce(graft.functions.BucketBin.bucketBin(v, cuts), lit(0))
+    val offs = df.filter(col(c).isNotNull)
+      .groupBy(col(key), bucketOf(col(c)).as("__bkt"))
+      .agg(count(lit(1)).cast("double").as("__pn"))
+      .withColumn("__off", coalesce(sum(col("__pn")).over(
+        Window.partitionBy(col(key)).orderBy("__bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      .select(col(key), col("__bkt"), col("__off"))
+    val wCum = Window.partitionBy(col(key), col("__bkt")).orderBy(col(c))
+    val wTie = wCum.rangeBetween(Window.currentRow, Window.currentRow)
+    df.withColumn("__bkt", bucketOf(col(c)))
+      .join(broadcast(offs), Seq(key, "__bkt"), "left")
+      .withColumn(out, when(col(c).isNotNull,
+        col("__off") + count(col(c)).over(wCum).cast("double")
+          - count(col(c)).over(wTie)
+          + (count(col(c)).over(wTie) + 1) / 2.0))
+      .drop("__bkt", "__off")
+  }
+
   /** Within-tie ordinal — the 1-based position of each row inside its
     * value's tie group under `tiebreak` ordering (what pandas
     * `rank(method='first')` adds on top of the min rank) — WITHOUT a

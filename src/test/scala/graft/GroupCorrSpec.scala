@@ -373,6 +373,21 @@ class GroupCorrSpec extends SparkSpec {
     assert(math.abs(sp((2L, "x", "y")) - (-1.0)) < 1e-12)
   }
 
+  test("corrMatrixBy spearman: NULL cells get NULL midranks (pairwise-masked)") {
+    // ADVICE r8: the old group-window form ranked nulls FIRST (Spark
+    // sort order), so a null y polluted the coefficient. With null->null
+    // midranks, the masked pearson runs over the complete rows only:
+    // g=1: x=[1,2,3,4,5] ranks [1..5], y=[4,null,2,1,3] ranks [4,-,2,1,3]
+    // -> corr of ([1,3,4,5],[4,2,1,3]) = -3.5/sqrt(8.75*5)
+    val df = Seq(
+      (1L, 1.0, Some(4.0)), (1L, 2.0, None), (1L, 3.0, Some(2.0)),
+      (1L, 4.0, Some(1.0)), (1L, 5.0, Some(3.0))).toDF("g", "x", "y")
+    val sp = Corr.corrMatrixBy(df, "g", Seq("x", "y"), "spearman")
+      .filter(col("c1") === "x" && col("c2") === "y").head()
+    assert(math.abs(sp.getDouble(3) - (-0.5291502622129181)) < 1e-12,
+      s"got ${sp.getDouble(3)}")
+  }
+
   test("covMatrixBy vs pandas groupby.cov()") {
     // pandas groupby('g')[['x','y']].cov():
     //   g=1: xx=2.3333, xy=2.6667, yy=4.3333
