@@ -17,6 +17,11 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // let AQE re-plan INSIDE cached-plan materialization (off by
+      // default): iterative ops persist their invariants, and without
+      // this the cached subtree runs with static 32-partition shuffles
+      // — measured 7.5 -> 5.7 s on the q_pagerank row alone
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

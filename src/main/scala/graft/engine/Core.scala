@@ -138,4 +138,32 @@ object Core {
     val sy = stddev_samp(bM)
     when(sx > 0 && sy > 0, covar_samp(a, b) / (sx * sy))
   }
+
+  /** A lineage-truncated frame plus the handle to free its storage.
+    * `release()` drops the checkpointed blocks — call it only after the
+    * NEXT iteration's state is materialized; the frame is unusable
+    * afterwards. */
+  final case class Truncated(df: DataFrame,
+      ck: Option[org.apache.spark.rdd.RDD[_]]) {
+    def release(): Unit = ck.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Cut a DataFrame's lineage for ITERATIVE algorithms (pageRank,
+    * cluster contraction): eager `localCheckpoint` + re-wrap through
+    * `createDataFrame`, because a bare localCheckpoint CARRIES the
+    * origin plan's estimated sizeInBytes into its LogicalRDD — an
+    * iterative self-join then squares the estimate every round until
+    * the planner multiplies million-digit BigInts (found in round 6's
+    * cluster work). The re-wrap resets stats AND caps plan depth at
+    * O(1) per iteration, so Catalyst analysis stays constant-time at
+    * production iteration counts instead of doubling per round. */
+  def truncatePlan(df: DataFrame): Truncated = {
+    val spark = df.sparkSession
+    val ck = df.localCheckpoint()
+    val inner = ck.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+    Truncated(spark.createDataFrame(ck.rdd, ck.schema), inner)
+  }
 }

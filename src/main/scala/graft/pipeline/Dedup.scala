@@ -454,10 +454,8 @@ object Dedup {
                driverEdgeLimit: Long = 2000000L, maxContract: Int = 6): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    def truncate(df: DataFrame): DataFrame = {
-      val ck = df.localCheckpoint()
-      spark.createDataFrame(ck.rdd, ck.schema)
-    }
+    def truncate(df: DataFrame): DataFrame =
+      graft.engine.Core.truncatePlan(df).df
     // no distinct here: the driver union-find tolerates duplicate edges,
     // and the contraction loop dedups whenever it actually runs
     var edges = truncate(pairs
