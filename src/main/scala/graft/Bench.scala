@@ -90,27 +90,50 @@ object Bench {
     // isolated runs purely from accumulated JVM/Spark state, and the
     // post-GC heap line below makes any remaining inflation diagnosable
     // from the driver's record alone.
-    val results = (SparkEntry.queries ++ benchOnly).toSeq.sortBy(_._1)
+    // Per-query MEDIAN of `reps` runs (default 3): round-8 recorded a
+    // 136.8-200.2 s same-tree total drift band (ambient, uniform
+    // ~1.1-1.4x per query), which made per-row regressions invisible.
+    // The median is robust to a one-off inflated rep; all reps ride
+    // BENCH.json under "runs" so the spread stays auditable.
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
+    val runs = (SparkEntry.queries ++ benchOnly).toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          errors(name) = e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300)
-          System.err.println(s"[bench] FAILED $name")
-          e.printStackTrace()
+      val times = (1 to reps).flatMap { rep =>
+        if (errors.contains(name)) None // don't repeat a failed query
+        else {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch {
+            case e: Throwable =>
+              errors(name) = e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300)
+              System.err.println(s"[bench] FAILED $name (rep $rep)")
+              e.printStackTrace()
+          }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // between reps: drop cached plans + one GC pass so a rep
+          // never reads the previous rep's cache/broadcast state
+          spark.catalog.clearCache()
+          System.gc()
+          if (errors.contains(name)) None else Some(dt)
+        }
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
       System.gc(); System.gc()
       Thread.sleep(50)
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
-      System.err.println(f"[bench] $name%-28s ${dt}%8.3fs  postGcHeap=${heapMb}MB")
       // a failed query reports -1, never its partial wall time: a broken
       // query must not masquerade as a fast bench row
-      name -> (if (errors.contains(name)) -1.0 else dt)
+      val med =
+        if (times.isEmpty) -1.0
+        else times.sorted.apply(times.size / 2)
+      System.err.println(f"[bench] $name%-28s med=${med}%8.3fs  " +
+        s"runs=${times.map(t => f"$t%.3f").mkString(",")}  postGcHeap=${heapMb}MB")
+      (name, med, times)
     }
+    val results = runs.map { case (name, med, _) => name -> med }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val runsJson = runs.map { case (k, _, ts) =>
+      s"\"" + k + "\":[" + ts.mkString(",") + "]" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
@@ -120,7 +143,7 @@ object Bench {
     // clean one without seeing the flag (ADVICE r7)
     val rc = if (errors.nonEmpty) 1 else 0
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"nerrors":${errors.size},"rc":$rc,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"nerrors":${errors.size},"rc":$rc,"reps":$reps,"aggregation":"median","queries":$qs,"runs":$runsJson,"errors":$errJson,"sf":"$sfDir"}"""
     // The per-query map is ~100 entries and outgrew the driver's tail
     // capture in round 4 (BENCH_r04.json: parsed null). Emit the full
     // record first (and persist it to BENCH.json for the repo), then the
