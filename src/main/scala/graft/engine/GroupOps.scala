@@ -223,4 +223,76 @@ object GroupOps {
       l.crossJoin(r)
     } else l.join(r, on, how)
   }
+
+  /** pandas `merge(left_on=, right_on=, left_index=, right_index=)` —
+    * the asymmetric-key forms (reference `parallel_dataframe.py:660-672`
+    * passes all four through to pandas). The engine materializes the
+    * pandas index as an ordinary column at ingest ([[IO.withRowId]]),
+    * so `left_index=True` is simply `leftOn = Seq("row_id")`: one entry
+    * point covers left_on+right_index, left_index+right_on and
+    * index-to-index. Differing key names keep BOTH key columns (pandas
+    * left_on/right_on behavior); identical key lists delegate to
+    * [[merge]], which emits the single shared key column. `indicator`
+    * adds pandas' `_merge` column (left_only/right_only/both) from
+    * presence FLAGS, not value nullability — correct even when payload
+    * columns are legitimately null. Plain equi-join underneath: shuffle
+    * on the keys, AQE broadcast when one side is small. */
+  def mergeOn(left: DataFrame, right: DataFrame,
+              leftOn: Seq[String], rightOn: Seq[String],
+              how: String = "inner",
+              suffixes: (String, String) = ("_x", "_y"),
+              indicator: Boolean = false,
+              validate: Option[String] = None): DataFrame = {
+    require(leftOn.nonEmpty && leftOn.size == rightOn.size,
+      s"MergeError: len(left_on)=${leftOn.size} must equal " +
+        s"len(right_on)=${rightOn.size} and be nonzero")
+    val l0 = if (indicator) left.withColumn("__ml", lit(1)) else left
+    val r0 = if (indicator) right.withColumn("__mr", lit(1)) else right
+    def finish(j: DataFrame): DataFrame =
+      if (!indicator) j
+      else j.withColumn("_merge",
+          when(col("__ml").isNull, "right_only")
+            .when(col("__mr").isNull, "left_only")
+            .otherwise("both"))
+        .drop("__ml", "__mr")
+    if (leftOn == rightOn)
+      return finish(merge(l0, r0, leftOn, how, suffixes, validate))
+    validate.foreach { v =>
+      def unique(df: DataFrame, ks: Seq[String]): Boolean =
+        df.groupBy(ks.map(col): _*).count()
+          .agg(coalesce(max(col("count")), lit(0L)).as("m"))
+          .collect()(0).getLong(0) <= 1
+      def fail(side: String, kind: String): Nothing =
+        throw new IllegalArgumentException(
+          s"MergeError: Merge keys are not unique in $side dataset; " +
+            s"not a $kind merge")
+      v match {
+        case "1:1" | "one_to_one" =>
+          if (!unique(left, leftOn)) fail("left", "one-to-one")
+          if (!unique(right, rightOn)) fail("right", "one-to-one")
+        case "1:m" | "one_to_many" =>
+          if (!unique(left, leftOn)) fail("left", "one-to-many")
+        case "m:1" | "many_to_one" =>
+          if (!unique(right, rightOn)) fail("right", "many-to-one")
+        case "m:m" | "many_to_many" => ()
+        case other => throw new IllegalArgumentException(
+          s""""$other" is not a valid argument. Valid arguments are:
+             |- "1:1"
+             |- "1:m"
+             |- "m:1"
+             |- "m:m"""".stripMargin)
+      }
+    }
+    // overlapping names (keys with DIFFERENT names are not exempt —
+    // pandas suffixes any shared name that isn't a shared key)
+    val overlap = l0.columns.toSet intersect r0.columns.toSet
+    val l = overlap.foldLeft(l0)((d, c) => d.withColumnRenamed(c, c + suffixes._1))
+    val r = overlap.foldLeft(r0)((d, c) => d.withColumnRenamed(c, c + suffixes._2))
+    def named(side: DataFrame, c: String, suf: String): Column =
+      if (overlap.contains(c)) side(c + suf) else side(c)
+    val cond = leftOn.zip(rightOn).map { case (a, b) =>
+      named(l, a, suffixes._1) === named(r, b, suffixes._2) }
+      .reduce(_ && _)
+    finish(l.join(r, cond, how))
+  }
 }

@@ -76,6 +76,42 @@ class GroupCorrSpec extends SparkSpec {
     assert(out.count() == 3)
   }
 
+  test("mergeOn: index/asymmetric keys, suffixes, flag indicator") {
+    // left_index + right_on: both key columns kept, pandas-style
+    val l = Seq((10L, "a"), (11L, "b"), (12L, "c")).toDF("row_id", "tag")
+    val r = Seq((10L, 1.0), (12L, 2.0), (13L, 3.0)).toDF("k", "v")
+    val out = GroupOps.mergeOn(l, r, Seq("row_id"), Seq("k"),
+      how = "outer", indicator = true)
+    assert(out.columns.toSet == Set("row_id", "tag", "k", "v", "_merge"))
+    val m = out.collect().map(x =>
+      (Option(x.get(0)), Option(x.get(2)), x.getString(4))).toSet
+    assert(m == Set(
+      (Some(10L), Some(10L), "both"), (Some(11L), None, "left_only"),
+      (Some(12L), Some(12L), "both"), (None, Some(13L), "right_only")))
+    // indicator comes from presence FLAGS: a legitimately-null payload
+    // on a matched row must still read 'both'
+    val rn = Seq((10L, Option.empty[Double])).toDF("k", "v")
+    val fl = GroupOps.mergeOn(l, rn, Seq("row_id"), Seq("k"),
+      how = "left", indicator = true)
+      .filter(col("row_id") === 10L).head()
+    assert(fl.getAs[String]("_merge") == "both" && fl.isNullAt(fl.fieldIndex("v")))
+    // shared non-key names are suffixed even under asymmetric keys
+    val l2 = Seq((1L, 5.0)).toDF("idx", "score")
+    val r2 = Seq((1L, 6.0)).toDF("kk", "score")
+    val s2 = GroupOps.mergeOn(l2, r2, Seq("idx"), Seq("kk"))
+    assert(s2.columns.toSet == Set("idx", "score_x", "kk", "score_y"))
+    // identical key lists delegate to merge(): single shared key column
+    val s3 = GroupOps.mergeOn(l, l.withColumnRenamed("tag", "t2"),
+      Seq("row_id"), Seq("row_id"))
+    assert(s3.columns.toSet == Set("row_id", "tag", "t2"))
+    // validate applies to each side's own keys
+    val dup = Seq((10L, 1.0), (10L, 2.0)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      GroupOps.mergeOn(l, dup, Seq("row_id"), Seq("k"), validate = Some("1:1"))
+    }
+    assert(e.getMessage.contains("not unique in right dataset"))
+  }
+
   test("merge(validate=) passes valid shapes and fails fast like pandas") {
     val l = Seq((1, 10.0), (2, 20.0)).toDF("id", "a")
     val dupL = Seq((1, 10.0), (1, 11.0), (2, 20.0)).toDF("id", "a")
