@@ -43,6 +43,19 @@ object Queries10 {
         .select(col("row_id"), col("o_custkey"), col("total"),
           col("l_orderkey"), col("n_hi"), col("hi_price"), col("_merge"))
         .orderBy("row_id")
+    }),
+
+    // ---- §2.9 ewm(times=, halflife=Timedelta).mean(): weights decay
+    //      by ACTUAL timestamp deltas (0.5^(Δt/halflife)), not row
+    //      position — the irregular-series decay the reference's EWM
+    //      proxy forwards. One running-window Aggregator per group;
+    //      the oracle is the closed form over each row's history. ----
+    "q_ewm_times" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      T(s, d, "events").select(col("event_id"), col("user_id"),
+          r(Ewm.meanTimes(col("value"), col("ts"), w,
+            halflifeMicros = 7.0 * 24 * 3600 * 1000000), 4).as("ewm_t"))
+        .orderBy("user_id", "event_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -58,5 +71,24 @@ object Queries10 {
              round(sum(l_extendedprice) + 1e-9, 2) AS hi_price
            FROM lineitem WHERE l_quantity > 45 GROUP BY 1) rr
          ON o.o_orderkey = rr.l_orderkey
-         ORDER BY row_id""")
+         ORDER BY row_id""",
+
+    // closed-form time-decay: w_j = 0.5^((t_i - t_j)/halflife) over the
+    // row's (ts, event_id)-ordered history; null values contribute
+    // nothing and don't matter to the clock (weights are pure time
+    // functions). O(n²) per user — oracle-only shape.
+    "q_ewm_times" ->
+      """SELECT e1.event_id, e1.user_id, round(
+           (SELECT sum(e2.value *
+              pow(0.5, (epoch_us(e1.ts) - epoch_us(e2.ts)) / 604800000000.0))
+            FROM events e2
+            WHERE e2.user_id = e1.user_id AND e2.value IS NOT NULL
+              AND (e2.ts < e1.ts OR (e2.ts = e1.ts AND e2.event_id <= e1.event_id))) /
+           (SELECT sum(
+              pow(0.5, (epoch_us(e1.ts) - epoch_us(e2.ts)) / 604800000000.0))
+            FROM events e2
+            WHERE e2.user_id = e1.user_id AND e2.value IS NOT NULL
+              AND (e2.ts < e1.ts OR (e2.ts = e1.ts AND e2.event_id <= e1.event_id)))
+           + 1e-9, 4) + 0.0 AS ewm_t
+         FROM events e1 ORDER BY e1.user_id, e1.event_id""")
 }

@@ -191,9 +191,11 @@ object Ewm {
           // raw-moment cancellation leaves ~eps*mean^2 where a constant
           // window's true variance is 0 (pandas' centered online form is
           // exactly 0 -> NaN); gate on a RELATIVE epsilon so degenerate
-          // windows null out instead of emitting noise-scaled corr
-          val ex = math.max(b.sxx / b.sw, mx * mx) * 1e-12
-          val ey = math.max(b.syy / b.sw, my * my) * 1e-12
+          // windows null out instead of emitting noise-scaled corr.
+          // 1e-14 ≈ actual double-cancellation scale (ADVICE r8: the old
+          // 1e-12 nulled genuine tiny-relative-variance series too)
+          val ex = math.max(b.sxx / b.sw, mx * mx) * 1e-14
+          val ey = math.max(b.syy / b.sw, my * my) * 1e-14
           if (vx <= ex || vy <= ey) null else c / math.sqrt(vx * vy)
         }
       }
@@ -205,4 +207,57 @@ object Ewm {
   def corr(x: Column, y: Column, w: WindowSpec, alpha: Double,
            ignoreNa: Boolean = false): Column =
     udaf(corrAgg(alpha, ignoreNa)).apply(x, y).over(running(w))
+
+  // ---- ewm(times=, halflife=timedelta) --------------------------------
+
+  /** Time-decayed buffer: weights are a pure function of TIME DISTANCE
+    * (w_j at evaluation time t = 0.5^((t - t_j)/halflife)), so nulls
+    * neither contribute nor matter to the clock — the decay telescopes
+    * over actual timestamp deltas instead of row positions. `lastT`
+    * rides in microseconds-as-double (exact to 2^53 µs ≈ 285 years). */
+  case class TBuf(sw: Double, swx: Double, lastT: Double, n: Long)
+
+  /** (timestamp µs, value) input row for the times-aware Aggregator. */
+  case class TPoint(t: java.lang.Double, x: java.lang.Double)
+
+  /** pandas `ewm(times=..., halflife=Timedelta).mean()` — the only ewm
+    * op pandas defines for irregular times. Same running-window
+    * evaluation as [[meanAgg]]; the recurrence multiplies by
+    * 0.5^(Δt/halflife) ≤ 1 per step (rows arrive time-ordered via the
+    * window's orderBy), so it is overflow-free for arbitrary spans,
+    * unlike the closed-form 0.5^(-t/hl) rebase. merge() decays the
+    * earlier buffer by the inter-buffer gap — usable as a grouped
+    * last-value aggregate with map-side partials, like the positional
+    * Aggregators above. */
+  def meanTimesAgg(halflifeMicros: Double)
+    : Aggregator[TPoint, TBuf, java.lang.Double] =
+    new Aggregator[TPoint, TBuf, java.lang.Double] {
+      def zero: TBuf = TBuf(0, 0, Double.NaN, 0L)
+      def reduce(b: TBuf, a: TPoint): TBuf = {
+        if (a.t == null || a.x == null || a.x.isNaN) b
+        else if (b.n == 0L) TBuf(1.0, a.x, a.t, 1L)
+        else {
+          val d = math.pow(0.5, (a.t - b.lastT) / halflifeMicros)
+          TBuf(b.sw * d + 1.0, b.swx * d + a.x, a.t, b.n + 1)
+        }
+      }
+      def merge(l: TBuf, r: TBuf): TBuf =
+        if (l.n == 0L) r
+        else if (r.n == 0L) l
+        else {
+          val d = math.pow(0.5, (r.lastT - l.lastT) / halflifeMicros)
+          TBuf(l.sw * d + r.sw, l.swx * d + r.swx, r.lastT, l.n + r.n)
+        }
+      def finish(b: TBuf): java.lang.Double =
+        if (b.sw <= 0) null else b.swx / b.sw
+      def bufferEncoder: Encoder[TBuf] = Encoders.product[TBuf]
+      def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+    }
+
+  /** `times` is any timestamp-castable column; `halflifeMicros` the
+    * pandas halflife Timedelta in microseconds. */
+  def meanTimes(c: Column, times: Column, w: WindowSpec,
+                halflifeMicros: Double): Column =
+    udaf(meanTimesAgg(halflifeMicros))
+      .apply(Core.usOf(times).cast("double"), c).over(running(w))
 }

@@ -371,6 +371,26 @@ class WindowSpec extends SparkSpec {
     assert(sm.toSeq == Seq((0L, 1.0), (3L, 10.0), (6L, 18.0)))
   }
 
+  test("ewm(times=, halflife=) mean decays by timestamp deltas vs pandas") {
+    // pandas: s.ewm(halflife='2h', times=t).mean() with
+    //   t = [0h, 1h, 3h, 4h], s = [1, 2, NaN, 4]
+    // = [1.0, 1.585786437626905, 1.585786437626905, 3.091326307103841]
+    // (row 2: a null contributes nothing and the ratio is decay-
+    //  invariant, so the mean carries forward)
+    import graft.engine.Ewm
+    val df = Seq((0L, Some(1.0)), (3600L, Some(2.0)),
+        (10800L, Option.empty[Double]), (14400L, Some(4.0)))
+      .toDF("sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("sec")
+    val out = df.select(col("sec"),
+      Ewm.meanTimes(col("v"), col("ts"), w, 2.0 * 3600 * 1000000).as("m"))
+      .orderBy("sec")
+    assertSeqApprox(colD(out, "m"),
+      Seq(Some(1.0), Some(1.585786437626905), Some(1.585786437626905),
+        Some(3.091326307103841)), 1e-12)
+  }
+
   test("rolling cov/corr pairwise-complete min_periods gate vs pandas") {
     // x.rolling(3, min_periods=2).cov(y)  = [nan,nan,nan,nan,-1.5,-1.5,
     //                                        0.25,2.5]
