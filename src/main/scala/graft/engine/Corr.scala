@@ -511,13 +511,47 @@ object Corr {
   }
 
   /** pandas `p_corr(method=…)` matrix dispatch: full col×col matrix in
-    * long form for all three methods. */
+    * long form for all three methods. For `method=callable`
+    * (`parallel_dataframe.py:285,311`) use [[corrMatrixWith]]. */
   def corrMatrix(df: DataFrame, cols: Seq[String],
                  method: String = "pearson"): DataFrame = method match {
     case "pearson"  => pearsonLong(df, cols)
     case "spearman" => spearmanMatrix(df, cols)
     case "kendall"  => kendallMatrix(df, cols)
-    case other => throw new IllegalArgumentException(s"corr method: $other")
+    case other => throw new IllegalArgumentException(
+      s"corr method: $other (pearson|spearman|kendall; " +
+        "for method=callable use corrMatrixWith)")
+  }
+
+  /** pandas `p_corr(method=callable)` — the reference masks each pair
+    * to its finite rows and calls `corrf(a, b)` per pair
+    * (`parallel_dataframe.py:265-283`). The Spark-first hook takes the
+    * callable as an AGGREGATE-expression builder `(x, y) => Column`
+    * (builtin functions, or `udaf(Aggregator)` for arbitrary typed
+    * logic), so ONE ungrouped aggregate computes every k(k+1)/2 cell
+    * distributively with map-side partials — no per-pair collect, no
+    * driver arrays, unlike the reference's in-memory `mat[:, i]` form.
+    * Each cell sees ITS OWN pairwise-finite mask (both inputs null on
+    * incomplete rows) and is gated on `minPeriods` complete pairs like
+    * the named methods. */
+  def corrMatrixWith(df: DataFrame, cols: Seq[String],
+                     corrf: (Column, Column) => Column,
+                     minPeriods: Int = 1): DataFrame = {
+    val pairs = for {
+      i <- cols.indices; j <- i until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.flatMap { case (a, b) =>
+      val ca = col(a).cast("double"); val cb = col(b).cast("double")
+      val ok = ca.isNotNull && !isnan(ca) && cb.isNotNull && !isnan(cb)
+      Seq(corrf(when(ok, ca), when(ok, cb)).as(s"${a}__$b"),
+        count(when(ok, 1)).as(s"${a}__${b}__n"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) =>
+      s"'$a', '$b', CASE WHEN `${a}__${b}__n` >= $minPeriods " +
+        s"THEN `${a}__$b` END"
+    }.mkString(s"stack(${pairs.size}, ", ", ", ") as (c1, c2, corr)")
+    one.select(expr(stacked))
   }
 
   /** Full pearson matrix for WIDE frames via a NATIVE one-pass Gramian
