@@ -123,7 +123,7 @@ object Bench {
       // a failed query reports -1, never its partial wall time: a broken
       // query must not masquerade as a fast bench row
       val med =
-        if (times.isEmpty) -1.0
+        if (errors.contains(name) || times.isEmpty) -1.0
         else times.sorted.apply(times.size / 2)
       System.err.println(f"[bench] $name%-28s med=${med}%8.3fs  " +
         s"runs=${times.map(t => f"$t%.3f").mkString(",")}  postGcHeap=${heapMb}MB")

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.engine._
@@ -56,7 +56,37 @@ object Queries10 {
           r(Ewm.meanTimes(col("value"), col("ts"), w,
             halflifeMicros = 7.0 * 24 * 3600 * 1000000), 4).as("ewm_t"))
         .orderBy("user_id", "event_id")
+    }),
+
+    // ---- §2.6 corr(method=callable) (`parallel_dataframe.py:285,310`,
+    //      exercised by tests/test_apply_corr.py's callable case): the
+    //      callable here is COSINE similarity expressed as an aggregate
+    //      builder, so ONE ungrouped aggregate computes every
+    //      off-diagonal cell with map-side partials; the diagonal is
+    //      literal 1.0 (np.fill_diagonal) and each cell masks its own
+    //      pair to np.isfinite rows. The frame punches deterministic
+    //      NULL holes in one column and +Inf holes in another to prove
+    //      both legs of the mask. ----
+    "q_corr_callable" -> ((s, d) => {
+      val li = T(s, d, "lineitem").filter(col("l_partkey") < 200)
+      val holed = li.select(
+        when(col("l_orderkey") % 7 =!= 0, col("l_quantity"))
+          .as("l_quantity"),
+        when(col("l_orderkey") % 5 =!= 1, col("l_extendedprice"))
+          .otherwise(lit(Double.PositiveInfinity)).as("l_extendedprice"),
+        col("l_discount").cast("double").as("l_discount"),
+        col("l_tax").cast("double").as("l_tax"))
+      val cosine = (x: Column, y: Column) =>
+        sum(x * y) / sqrt(sum(x * x) * sum(y * y))
+      Corr.corrMatrixWith(holed, CallableCols, cosine)
+        .select(col("c1"), col("c2"), r(col("corr"), 6).as("corr"))
+        .orderBy("c1", "c2")
     }))
+
+  /** Columns of the q_corr_callable matrix, in matrix order (pair
+    * orientation (i, j), i<j follows this order on BOTH sides). */
+  private val CallableCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   val oracle: Map[String, String] = Map(
 
@@ -90,5 +120,27 @@ object Queries10 {
             WHERE e2.user_id = e1.user_id AND e2.value IS NOT NULL
               AND (e2.ts < e1.ts OR (e2.ts = e1.ts AND e2.event_id <= e1.event_id)))
            + 1e-9, 4) + 0.0 AS ewm_t
-         FROM events e1 ORDER BY e1.user_id, e1.event_id""")
+         FROM events e1 ORDER BY e1.user_id, e1.event_id""",
+
+    "q_corr_callable" -> {
+      val diag = CallableCols.map(c =>
+        s"SELECT '$c' AS c1, '$c' AS c2, round(1.0 + 1e-9, 6) + 0.0 AS corr")
+      val off = for {
+        i <- CallableCols.indices; j <- (i + 1) until CallableCols.size
+        a = CallableCols(i); b = CallableCols(j)
+      } yield
+        s"""SELECT '$a' AS c1, '$b' AS c2,
+            round(sum($a * $b) / sqrt(sum($a * $a) * sum($b * $b))
+              + 1e-9, 6) + 0.0 AS corr
+            FROM holed WHERE isfinite($a) AND isfinite($b)"""
+      s"""WITH holed AS (SELECT
+            CASE WHEN l_orderkey % 7 <> 0 THEN l_quantity END AS l_quantity,
+            CASE WHEN l_orderkey % 5 <> 1 THEN l_extendedprice
+                 ELSE CAST('inf' AS DOUBLE) END AS l_extendedprice,
+            CAST(l_discount AS DOUBLE) AS l_discount,
+            CAST(l_tax AS DOUBLE) AS l_tax
+          FROM lineitem WHERE l_partkey < 200)
+          SELECT * FROM (${(diag ++ off).mkString(" UNION ALL ")})
+          ORDER BY c1, c2"""
+    })
 }

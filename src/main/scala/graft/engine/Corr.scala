@@ -532,25 +532,38 @@ object Corr {
     * distributively with map-side partials — no per-pair collect, no
     * driver arrays, unlike the reference's in-memory `mat[:, i]` form.
     * Each cell sees ITS OWN pairwise-finite mask (both inputs null on
-    * incomplete rows) and is gated on `minPeriods` complete pairs like
-    * the named methods. */
+    * incomplete rows — `np.isfinite`, so ±Inf rows are excluded too)
+    * and is gated on `minPeriods` complete pairs like the named
+    * methods. Diagonal cells are emitted as literal 1.0 without
+    * invoking the callable, matching the reference's
+    * `np.fill_diagonal(result_mat, 1)` — a zero-variance column still
+    * self-correlates at 1, and a covariance-style callable doesn't
+    * leak its own diagonal. */
   def corrMatrixWith(df: DataFrame, cols: Seq[String],
                      corrf: (Column, Column) => Column,
                      minPeriods: Int = 1): DataFrame = {
     val pairs = for {
-      i <- cols.indices; j <- i until cols.size
+      i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
     val aggs = pairs.flatMap { case (a, b) =>
       val ca = col(a).cast("double"); val cb = col(b).cast("double")
-      val ok = ca.isNotNull && !isnan(ca) && cb.isNotNull && !isnan(cb)
+      def fin(c: Column) =
+        c.isNotNull && !isnan(c) && abs(c) =!= Double.PositiveInfinity
+      val ok = fin(ca) && fin(cb)
       Seq(corrf(when(ok, ca), when(ok, cb)).as(s"${a}__$b"),
         count(when(ok, 1)).as(s"${a}__${b}__n"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = pairs.map { case (a, b) =>
+    val one =
+      if (aggs.isEmpty) df.agg(count(lit(1)).as("__dummy"))
+      else df.agg(aggs.head, aggs.tail: _*)
+    val diag = cols.map(a => s"'$a', '$a', CAST(1.0 AS DOUBLE)")
+    val off = pairs.map { case (a, b) =>
       s"'$a', '$b', CASE WHEN `${a}__${b}__n` >= $minPeriods " +
         s"THEN `${a}__$b` END"
-    }.mkString(s"stack(${pairs.size}, ", ", ", ") as (c1, c2, corr)")
+    }
+    val stacked = (diag ++ off)
+      .mkString(s"stack(${cols.size + pairs.size}, ", ", ",
+        ") as (c1, c2, corr)")
     one.select(expr(stacked))
   }
 

@@ -225,10 +225,15 @@ object Ewm {
     * evaluation as [[meanAgg]]; the recurrence multiplies by
     * 0.5^(Δt/halflife) ≤ 1 per step (rows arrive time-ordered via the
     * window's orderBy), so it is overflow-free for arbitrary spans,
-    * unlike the closed-form 0.5^(-t/hl) rebase. merge() decays the
-    * earlier buffer by the inter-buffer gap — usable as a grouped
-    * last-value aggregate with map-side partials, like the positional
-    * Aggregators above. */
+    * unlike the closed-form 0.5^(-t/hl) rebase. merge() rebases the
+    * earlier buffer onto the later one's clock (order-insensitive:
+    * the decay factor is always ≤ 1, never an overflow-prone
+    * amplification). NOTE: reduce() still assumes rows arrive
+    * time-ordered (each step decays relative to the previous row's
+    * timestamp), so this is only a valid GROUPED aggregate when each
+    * partition's rows are pre-sorted by `times` — the running-window
+    * path (`meanTimes` over `running(w)`) guarantees that; arbitrary
+    * groupBy input does not. */
   def meanTimesAgg(halflifeMicros: Double)
     : Aggregator[TPoint, TBuf, java.lang.Double] =
     new Aggregator[TPoint, TBuf, java.lang.Double] {
@@ -245,8 +250,13 @@ object Ewm {
         if (l.n == 0L) r
         else if (r.n == 0L) l
         else {
-          val d = math.pow(0.5, (r.lastT - l.lastT) / halflifeMicros)
-          TBuf(l.sw * d + r.sw, l.swx * d + r.swx, r.lastT, l.n + r.n)
+          // rebase BOTH buffers to the later clock so the decay factor
+          // is ≤ 1 whichever order partials arrive in (ADVICE r9)
+          val tMax = math.max(l.lastT, r.lastT)
+          val dl = math.pow(0.5, (tMax - l.lastT) / halflifeMicros)
+          val dr = math.pow(0.5, (tMax - r.lastT) / halflifeMicros)
+          TBuf(l.sw * dl + r.sw * dr, l.swx * dl + r.swx * dr,
+            tMax, l.n + r.n)
         }
       def finish(b: TBuf): java.lang.Double =
         if (b.sw <= 0) null else b.swx / b.sw

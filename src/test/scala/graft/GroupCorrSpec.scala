@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.engine.{Corr, GroupOps}
 
@@ -439,5 +440,62 @@ class GroupCorrSpec extends SparkSpec {
       (2L, "x", "y") -> -2.0, (2L, "y", "y") -> 12.0)
     want.foreach { case (k, v) =>
       assert(math.abs(out(k) - v) < 1e-9, s"$k: ${out(k)} vs $v") }
+  }
+
+  // ---- corr(method=callable) — corrMatrixWith (VERDICT r9 item 1) ----
+
+  /** Degenerate-safe pearson as a callable aggregate builder: the same
+    * arithmetic pandas runs per pair, so corrMatrixWith(pearsonf) must
+    * reproduce the builtin pearson matrix cell for cell. */
+  private def pearsonf(x: Column, y: Column): Column = {
+    val n = count(when(x.isNotNull, 1)).cast("double")
+    val cov = sum(x * y) - sum(x) * sum(y) / n
+    val vx = sum(x * x) - sum(x) * sum(x) / n
+    val vy = sum(y * y) - sum(y) * sum(y) / n
+    cov / sqrt(vx * vy)
+  }
+
+  test("corrMatrixWith(pearson callable) equals the builtin pearson matrix") {
+    val df = Seq((1.0, 4.0, 2.0), (2.0, 1.0, 5.0), (2.0, 3.0, 1.0),
+      (3.0, 2.0, 7.0), (5.0, 6.0, 2.0)).toDF("x", "y", "z")
+    val cols = Seq("x", "y", "z")
+    val want = Corr.pearsonLong(df, cols).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val got = Corr.corrMatrixWith(df, cols, pearsonf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    want.foreach { case (k, v) =>
+      assert(math.abs(got(k) - v) < 1e-12, s"$k: ${got(k)} vs $v") }
+  }
+
+  test("corrMatrixWith: diagonal is literal 1.0 even for zero-variance " +
+    "or covariance-style callables (np.fill_diagonal)") {
+    val df = Seq((1.0, 7.0), (2.0, 7.0), (3.0, 7.0)).toDF("x", "c")
+    // covariance callable — would put var(x)≠1 (and 0 for the constant
+    // column) on the diagonal if the callable ran there
+    val covf = (x: Column, y: Column) => {
+      val n = count(when(x.isNotNull, 1)).cast("double")
+      (sum(x * y) - sum(x) * sum(y) / n) / (n - 1)
+    }
+    val got = Corr.corrMatrixWith(df, Seq("x", "c"), covf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got(("x", "x")) == 1.0 && got(("c", "c")) == 1.0)
+    assert(math.abs(got(("x", "c")) - 0.0) < 1e-12) // cov(x, const)=0
+  }
+
+  test("corrMatrixWith: pairwise mask excludes null, NaN AND ±Inf " +
+    "(np.isfinite), and minPeriods gates cells to null") {
+    val df = Seq(
+      (Some(1.0), Some(2.0)), (Some(2.0), Some(Double.PositiveInfinity)),
+      (Some(3.0), Some(6.0)), (None, Some(8.0)),
+      (Some(Double.NaN), Some(1.0)), (Some(5.0), Some(10.0)),
+      (Some(4.0), Some(Double.NegativeInfinity))).toDF("x", "y")
+    // finite-complete rows: (1,2),(3,6),(5,10) — exactly collinear
+    val cell = Corr.corrMatrixWith(df, Seq("x", "y"), pearsonf)
+      .filter(col("c1") === "x" && col("c2") === "y").head()
+    assert(math.abs(cell.getDouble(2) - 1.0) < 1e-12)
+    // 3 complete pairs < minPeriods=4 -> null cell
+    val gated = Corr.corrMatrixWith(df, Seq("x", "y"), pearsonf,
+      minPeriods = 4).filter(col("c1") === "x" && col("c2") === "y").head()
+    assert(gated.isNullAt(2))
   }
 }

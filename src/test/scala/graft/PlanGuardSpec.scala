@@ -94,7 +94,7 @@ class PlanGuardSpec extends SparkSpec {
             if (rows >= 900 && biggest.toDouble / rows > 0.2)
               Some(s"$name: window by ${w.partitionSpec.map(_.sql).mkString(",")} " +
                 s"over $rows rows, biggest partition $biggest " +
-                f"(${biggest.toDouble / rows}%.0f%%)")
+                f"(${biggest.toDouble / rows * 100}%.0f%%)")
             else None
           }).map(msg => s"$name -> $msg")
         }
