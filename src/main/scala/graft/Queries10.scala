@@ -81,6 +81,23 @@ object Queries10 {
       Corr.corrMatrixWith(holed, CallableCols, cosine)
         .select(col("c1"), col("c2"), r(col("corr"), 6).as("corr"))
         .orderBy("c1", "c2")
+    }),
+
+    // ---- §2.10 str accessor, tranche 9 — the LAST proxy names:
+    //      wrap (native greedy-fold kernel, see TextWrapKernel's
+    //      contract), rpartition head/tail (last-occurrence split,
+    //      absent sep -> whole string in the tail), index/rindex
+    //      (find/rfind that fail the job when absent; p_name always
+    //      contains a space so the oracle row never trips it) ----
+    "q_str_ops9" -> ((s, d) => {
+      T(s, d, "part").select(
+        col("p_partkey"),
+        StrDt.strWrap(col("p_name"), 12).as("wr"),
+        StrDt.strRpartitionBefore(col("p_name"), " ").as("rp_head"),
+        StrDt.strRpartitionAfter(col("p_name"), " ").as("rp_tail"),
+        StrDt.strIndex(col("p_name"), " ").as("ix"),
+        StrDt.strRindex(col("p_name"), " ").as("rix"))
+        .orderBy("p_partkey")
     }))
 
   /** Columns of the q_corr_callable matrix, in matrix order (pair
@@ -142,5 +159,29 @@ object Queries10 {
           FROM lineitem WHERE l_partkey < 200)
           SELECT * FROM (${(diag ++ off).mkString(" UNION ALL ")})
           ORDER BY c1, c2"""
-    })
+    },
+
+    // wrap: the same greedy token fold as TextWrapKernel, as a
+    // list_reduce over single-spaced words (p_name words are all
+    // shorter than the width, so break_long_words never fires — that
+    // leg is covered by StrDtSpec's CPython-generated differentials)
+    "q_str_ops9" ->
+      """SELECT p_partkey,
+           list_reduce(string_split(p_name, ' '), (acc, w) ->
+             CASE WHEN length(string_split(acc, chr(10))[-1])
+                       + 1 + length(w) <= 12
+               THEN acc || ' ' || w
+               ELSE acc || chr(10) || w END) AS wr,
+           CASE WHEN strpos(reverse(p_name), ' ') > 0
+             THEN substr(p_name, 1,
+                    length(p_name) - strpos(reverse(p_name), ' '))
+             ELSE '' END AS rp_head,
+           CASE WHEN strpos(reverse(p_name), ' ') > 0
+             THEN substr(p_name,
+                    length(p_name) - strpos(reverse(p_name), ' ') + 2)
+             ELSE p_name END AS rp_tail,
+           CAST(strpos(p_name, ' ') - 1 AS INTEGER) AS ix,
+           CAST(length(p_name) - strpos(reverse(p_name), ' ')
+             AS INTEGER) AS rix
+         FROM part ORDER BY p_partkey""")
 }

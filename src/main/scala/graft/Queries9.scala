@@ -395,7 +395,7 @@ object Queries9 {
                    AS mc
                FROM embeddings c, b WHERE c.vec_id >= 16 GROUP BY 1)
          SELECT id, round(mc + 1e-9, 6) AS max_cos,
-           mc >= 0.4 AS contaminated
+           coalesce(mc >= 0.4, false) AS contaminated
          FROM m ORDER BY id""",
 
     "q_groupby_corr" -> {

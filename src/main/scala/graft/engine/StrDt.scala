@@ -339,10 +339,10 @@ object StrDt {
   def dtIsoYear(c: Column): Column =
     year(date_add(date_sub(to_date(c), dtDayOfWeek(c)), 3))
 
-  // ---- tranche 8: Unicode normalization + bytes encode (closes the
-  // last exactly-implementable exclusions; str.wrap stays excluded —
-  // textwrap's break_long_words interplay has no faithful declarative
-  // form and a near-miss is worse than the documented compile error) ----
+  // ---- tranche 8: Unicode normalization + bytes encode (str.wrap,
+  // excluded here in r8 for lack of a faithful declarative form, is
+  // lifted in tranche 9 below via a native compiled kernel with an
+  // explicitly documented contract) ----
 
   /** pandas str.normalize(form) — real Unicode NFC/NFD/NFKC/NFKD via a
     * native codegen'd expression ([[graft.functions.UnicodeNormalize]]);
@@ -352,4 +352,50 @@ object StrDt {
   /** pandas str.encode(charset): string -> binary payload. */
   def strEncode(c: Column, charset: String = "UTF-8"): Column =
     encode(c, charset)
+
+  // ---- tranche 9 (round 10): the last proxy names — wrap,
+  // rpartition, index/rindex (reference proxy parallel_str_dt.py:91-116)
+
+  /** pandas str.wrap(width): textwrap.wrap joined with '\n', under the
+    * curated contract documented on [[graft.functions.TextWrapKernel]]
+    * (single-space collapse, break_long_words, no hyphen breaking).
+    * Native codegen'd kernel — lifts tranche 8's wrap exclusion. */
+  def strWrap(c: Column, width: Int): Column =
+    graft.functions.TextWrap.wrap(c, width)
+
+  /** pandas str.rpartition(sep) head/tail: text before / after the
+    * LAST separator occurrence. NOT-found puts the whole string in the
+    * TAIL — ('', '', s) — the mirror image of partition's (s, '', ''). */
+  def strRpartitionBefore(c: Column, sep: String): Column = {
+    require(sep.nonEmpty, "rpartition: need a non-empty separator")
+    val pos = strRfind(c, sep)
+    when(pos >= 0, c.substr(lit(1), pos)).otherwise(lit(""))
+  }
+  def strRpartitionAfter(c: Column, sep: String): Column = {
+    require(sep.nonEmpty, "rpartition: need a non-empty separator")
+    val pos = strRfind(c, sep)
+    when(pos >= 0, c.substr(pos + lit(sep.length + 1), length(c)))
+      .otherwise(c)
+  }
+
+  /** pandas str.index / rindex: find/rfind that FAIL when the
+    * substring is absent (pandas raises ValueError) — here the job
+    * fails via `raise_error`, the distributed analogue of a per-row
+    * exception; null input stays null (NaN propagation), like pandas. */
+  def strIndex(c: Column, sub: String): Column = {
+    val pos = strFind(c, sub)
+    when(c.isNull, lit(null).cast("int"))
+      .when(pos >= 0, pos)
+      .otherwise(raise_error(
+        concat(lit(s"str.index: substring '$sub' not found in "), c))
+        .cast("int"))
+  }
+  def strRindex(c: Column, sub: String): Column = {
+    val pos = strRfind(c, sub)
+    when(c.isNull, lit(null).cast("int"))
+      .when(pos >= 0, pos)
+      .otherwise(raise_error(
+        concat(lit(s"str.rindex: substring '$sub' not found in "), c))
+        .cast("int"))
+  }
 }

@@ -620,7 +620,9 @@ object Similarity {
     * map-side max over the bench matrix via the native dot kernel —
     * ZERO shuffle, scan-speed at any corpus size, O(|bench| * d) per
     * row. Returns (id, max_cos, contaminated); filter on the flag to
-    * drop. Zero-norm vectors score null (never match). */
+    * drop. Zero-norm vectors score null max_cos but a FALSE (not null)
+    * contaminated flag, so `filter(!contaminated)` keeps them — a
+    * three-valued null flag would silently drop clean rows. */
   def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
                             threshold: Double,
                             idCol: String = "vec_id",
@@ -641,7 +643,7 @@ object Similarity {
         dotNative(col("__v"), element_at(bLit, i + 1)) /
           (col("__n") * element_at(bNorms, i + 1)))))
     base.select(col("id"), mx.as("max_cos"),
-      (mx >= threshold).as("contaminated"))
+      coalesce(mx >= threshold, lit(false)).as("contaminated"))
   }
 
   /** IVF-PQ combined ANN (FAISS IVFPQ shape): coarse cells bound the

@@ -331,6 +331,9 @@ class PipelineSpec extends SparkSpec {
     assert(byId(10L)._2.contains(true))   // 0.9939 >= 0.8
     assert(byId(11L)._1.contains(0.0) && byId(11L)._2.contains(false))
     assert(byId(12L)._1.isEmpty)          // zero norm: no score
+    // ...but the flag must be FALSE, not null: filter(!contaminated)
+    // must keep the row (ADVICE r8 — null would silently drop it)
+    assert(byId(12L)._2.contains(false))
     assert(byId(13L)._1.contains(-0.0) || byId(13L)._1.contains(0.0) ||
       byId(13L)._1.get <= 0.0)            // max over {-1, 0} = 0
     assert(byId(13L)._2.contains(false))

@@ -264,4 +264,60 @@ class StrDtSpec extends SparkSpec {
     assert(rows(1).isNullAt(1) && rows(1).isNullAt(2))
     assert(rows(2).getString(1) == "xy" && rows(2).getString(2) == "99")
   }
+
+  test("str.wrap matches '\\n'.join(textwrap.wrap(s, w, " +
+    "break_on_hyphens=False)) on single-spaced input") {
+    // expected values generated with CPython 3.11 textwrap
+    val cases = Seq(
+      ("the quick brown fox jumps over the lazy dog", 10,
+        "the quick\nbrown fox\njumps over\nthe lazy\ndog"),
+      ("a bb ccc dddd", 5, "a bb\nccc\ndddd"),
+      // break_long_words: whole-width slices from a line start
+      ("supercalifragilisticexpialidocious", 10,
+        "supercalif\nragilistic\nexpialidoc\nious"),
+      // ...and fill-the-remainder when the line is already started
+      ("ab supercalifragilistic xy", 10, "ab superca\nlifragilis\ntic xy"),
+      ("hello", 10, "hello"),
+      ("", 10, ""),
+      // a word longer than width following a FULL line: line break
+      // first, then slices (no zero-char fill)
+      ("one two three", 3, "one\ntwo\nthr\nee"),
+      ("abcdef", 2, "ab\ncd\nef"))
+    cases.foreach { case (s, w, want) =>
+      assert(graft.functions.TextWrapKernel.wrap(s, w) == want,
+        s"wrap('$s', $w)")
+    }
+    // through the native expression, incl. null passthrough
+    val out = Seq(Some("a bb ccc dddd"), None).toDF("s")
+      .select(StrDt.strWrap(col("s"), 5)).collect()
+    assert(out(0).getString(0) == "a bb\nccc\ndddd" && out(1).isNullAt(0))
+    intercept[IllegalArgumentException] { StrDt.strWrap(col("s"), 0) }
+  }
+
+  test("str.rpartition: last-occurrence split; absent sep puts the " +
+    "whole string in the tail") {
+    val df = Seq("a-b-c", "nodash", "-lead", "trail-").toDF("s")
+    val rows = df.select(col("s"),
+      StrDt.strRpartitionBefore(col("s"), "-"),
+      StrDt.strRpartitionAfter(col("s"), "-")).orderBy("s").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(rows("a-b-c") == ("a-b", "c"))       // LAST dash, not first
+    assert(rows("nodash") == ("", "nodash"))    // python ('', '', s)
+    assert(rows("-lead") == ("", "lead"))
+    assert(rows("trail-") == ("trail", ""))
+  }
+
+  test("str.index/rindex: position when present, job failure when " +
+    "absent, null passthrough") {
+    val ok = Seq(Some("abcabc"), None).toDF("s")
+      .select(StrDt.strIndex(col("s"), "bc"),
+        StrDt.strRindex(col("s"), "bc")).collect()
+    assert(ok(0).getInt(0) == 1 && ok(0).getInt(1) == 4)
+    assert(ok(1).isNullAt(0) && ok(1).isNullAt(1))
+    val err = intercept[Exception] {
+      Seq("abc").toDF("s").select(StrDt.strIndex(col("s"), "zz")).collect()
+    }
+    assert(err.toString.contains("not found") ||
+      err.getCause != null && err.getCause.toString.contains("not found"))
+  }
 }
