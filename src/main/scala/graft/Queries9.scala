@@ -356,18 +356,29 @@ object Queries9 {
   /** Apply chains the learned merges over the raw corpus (merges never
     * contain a space, so the full-text wrapped encoding is safe). */
   private def bpeApplyOracle(rounds: Int): String = {
+    // word-based like the engine: each word encoded independently,
+    // token counts SUMMED per doc (spaces never count; empty doc = 0).
+    // The merge pair (l_i, r_i) rides a single-row cross-joined CTE so
+    // the replace chain inside the list_transform lambda references
+    // plain columns, not subqueries.
     // ordinary quotes here: "\\1" IS backslash-one after Scala escaping
     val chain = (1 to rounds).foldLeft(
-      "regexp_replace(text, '(.)', '·\\1·', 'g')") {
+      "regexp_replace(w, '(.)', '·\\1·', 'g')") {
       (acc, i) =>
-        s"replace($acc, '·' || (SELECT l FROM m$i) || '··' || " +
-          s"(SELECT r FROM m$i) || '·', " +
-          s"'·' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || '·')"
+        s"replace($acc, '·' || l$i || '··' || r$i || '·', " +
+          s"'·' || l$i || r$i || '·')"
     }
-    s"""WITH ${bpeCte(rounds)}
+    val mm = (1 to rounds).map(i =>
+      s"(SELECT l FROM m$i) AS l$i, (SELECT r FROM m$i) AS r$i")
+      .mkString(", ")
+    s"""WITH ${bpeCte(rounds)},
+       mm AS (SELECT $mm)
        SELECT doc_id,
-         len(string_split(trim($chain, '·'), '··'))::BIGINT AS n_tokens
-       FROM documents ORDER BY doc_id"""
+         coalesce(list_sum(list_transform(
+           list_filter(string_split_regex(text, ' +'), w -> w <> ''),
+           w -> len(string_split(trim($chain, '·'), '··')))), 0)::BIGINT
+           AS n_tokens
+       FROM documents, mm ORDER BY doc_id"""
   }
 
   val oracle: Map[String, String] = Map(

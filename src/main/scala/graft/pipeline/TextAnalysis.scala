@@ -360,16 +360,24 @@ object TextAnalysis {
     merges.toSeq.toDF("merge_idx", "lhs", "rhs", "freq")
   }
 
-  /** Apply a learned merge list: the chained literal replacements are
-    * pure map-side codegen (zero shuffle); returns per-doc token count
-    * under the trained vocabulary. */
+  /** Apply a learned merge list, WORD-BASED like the trainer: the text
+    * splits on ' +', each word is encoded independently (merges never
+    * cross word boundaries — Sennrich BPE), and n_tokens is the SUM of
+    * per-word token counts, so spaces are never counted as tokens and
+    * an empty document is 0 tokens. The whole thing is one chain of
+    * higher-order array expressions over a literal merge list — pure
+    * map-side codegen, zero shuffle. */
   def bpeApply(df: DataFrame, id: String, text: String,
                merges: Seq[(String, String)]): DataFrame = {
-    val enc = merges.foldLeft(wrapped(col(text))) { case (t, (l, r)) =>
-      call_function("replace", t,
-        lit(s"$Sep$l$Sep$Sep$r$Sep"), lit(s"$Sep$l$r$Sep"))
-    }
+    def encode(w: Column): Column =
+      merges.foldLeft(wrapped(w)) { case (t, (l, r)) =>
+        call_function("replace", t,
+          lit(s"$Sep$l$Sep$Sep$r$Sep"), lit(s"$Sep$l$r$Sep"))
+      }
+    val words = filter(split(col(text), " +"), w => w =!= "")
     df.select(col(id).cast("long").as(id),
-      size(tokensOf(enc)).cast("long").as("n_tokens"))
+      aggregate(words, lit(0L),
+        (acc, w) => acc + size(tokensOf(encode(w))).cast("long"))
+        .as("n_tokens"))
   }
 }

@@ -380,7 +380,8 @@ class PipelineSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got == refBpe(words, k), s"got $got want ${refBpe(words, k)}")
     // apply: token count per doc under the learned merges must equal
-    // the reference re-tokenization (plus the space tokens themselves)
+    // the reference re-tokenization — word-based sum, NO space tokens
+    // (Sennrich BPE; ADVICE/VERDICT r9 item 4)
     val merges = got.map(t => (t._1, t._2))
     val applied = TextAnalysis.bpeApply(docs, "doc_id", "text", merges)
       .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
@@ -397,11 +398,16 @@ class PipelineSpec extends SparkSpec {
           }
           b.toList
         }
-      hist.map(_.size).sum + (text.split(" +").length - 1) // space tokens
+      hist.map(_.size).sum
     }
     val want = Seq("low low low lower", "newest newest widest",
       "low newest newest", "widest widest low").map(refTokens)
     assert(applied == want, s"apply: $applied vs $want")
+    // empty and multi-space docs: zero tokens / no phantom word tokens
+    val edge = Seq((0L, ""), (1L, "  low   low  ")).toDF("doc_id", "text")
+    val edgeGot = TextAnalysis.bpeApply(edge, "doc_id", "text", merges)
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    assert(edgeGot == Seq(0L, refTokens("low low")))
   }
 
   test("editDistanceJoin: exact vs brute force incl. short strings and duplicate grams") {
