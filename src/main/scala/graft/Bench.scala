@@ -82,6 +82,48 @@ object Bench {
         graft.pipeline.Similarity.ivfPqTopK(
           big.filter(col("vec_id") < 64), big, cells, books,
           k = 5, nprobe = 2)
+      },
+      // qcut's 100-TB path: percentile_approx probe (bounded per-partial
+      // buffer) instead of the exact value-buffering percentile — the
+      // oracle-gated q_cut_qcut keeps the exact probe; this row keeps
+      // the approx path's cost visible next to it.
+      "bench_qcut_approx" -> { (s, d) =>
+        import org.apache.spark.sql.functions._
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+        graft.engine.Reshape.qcut(li, "l_extendedprice", 4, out = "qc",
+            exact = false)
+          .select(col("l_orderkey"), col("l_linenumber"), col("qc"))
+      },
+      // 10x stress for the corr-matrix family (VERDICT r9 item 7): the
+      // full pearson+spearman matrix over a 10-copy lineitem union —
+      // the midrank bucketing and the single corr aggregate both see
+      // 10x rows; a regression in either plan shows here first.
+      "bench_corr_matrix_10x" -> { (s, d) =>
+        import org.apache.spark.sql.functions._
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax"))
+        val big = li.select(explode(sequence(lit(0), lit(9))).as("__c"),
+            col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax"))
+          .drop("__c")
+        graft.engine.Corr.corrMatrixAll(big,
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      },
+      // 10x stress for substring-span dedup: the Rabin-Karp window-hash
+      // explode + hash agg + semi-join over a 10-copy documents union —
+      // explode volume and dup-group sizes both scale 10x.
+      "bench_substring_10x" -> { (s, d) =>
+        import org.apache.spark.sql.functions._
+        val docs = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val big = docs
+          .select(explode(sequence(lit(0), lit(9))).as("__c"),
+            col("doc_id"), col("text"))
+          .select((col("doc_id") * 10 + col("__c")).as("doc_id"),
+            col("text"))
+        graft.pipeline.Dedup.substringSpans(big, "doc_id", "text",
+          win = 30)
       })
     // Deterministic order. Between queries: drop any cached plans, then
     // two GC passes so the ContextCleaner reaps the previous query's

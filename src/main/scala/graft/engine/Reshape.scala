@@ -71,20 +71,35 @@ object Reshape {
     }
   }
 
-  /** pandas qcut(x, q, labels=False): codes from exact-quantile edges.
-    * ONE exact-quantile probe (the §2.5 `percentile` machinery — a
-    * single aggregate job) computes the q+1 cut points; the bucketing
-    * itself is then a [[cut]] when-chain with include_lowest. Edges are
-    * rounded to 6 decimals on BOTH engine and oracle sides: the two
-    * engines' linear interpolations can differ by an ulp, and an
-    * unrounded edge could flip a point sitting exactly on it. */
+  /** pandas qcut(x, q, labels=False): codes from quantile edges.
+    * ONE quantile probe (a single aggregate job) computes the q+1 cut
+    * points; the bucketing itself is then a [[cut]] when-chain with
+    * include_lowest. Edges are rounded to 6 decimals on BOTH engine
+    * and oracle sides: the two engines' linear interpolations can
+    * differ by an ulp, and an unrounded edge could flip a point
+    * sitting exactly on it.
+    *
+    * `exact=true` (the pandas-parity default, and what the DuckDB
+    * oracle replicates) probes with [[Reductions.quantilesBySort]] — a
+    * range-partitioned distributed sort plus a rank lookup, NO
+    * per-partial value buffer, so the exact path itself survives scale
+    * (and runs ~5x faster than Catalyst `percentile`'s boxed
+    * value->count map on mostly-distinct doubles). `exact=false`
+    * probes with `percentile_approx` (bounded ~`accuracy` buffer per
+    * partial, ONE aggregate job, no shuffle-sort); edges then sit
+    * within 1/accuracy quantile rank of exact, so only points in that
+    * sliver of each edge can land one code off — same toggle pattern
+    * as `describeApprox`. */
   def qcut(df: DataFrame, c: String, q: Int,
-           out: String = "code"): DataFrame = {
+           out: String = "code", exact: Boolean = true,
+           accuracy: Int = 10000): DataFrame = {
     require(q >= 2, "qcut: need q >= 2")
     val probs = (0 to q).map(_.toDouble / q)
-    val edges = df.agg(percentile(col(c).cast("double"),
-        array(probs.map(lit): _*)).as("p"))
-      .collect()(0).getSeq[Double](0)
+    val edges =
+      (if (exact) Reductions.quantilesBySort(df, c, probs)
+       else df.agg(percentile_approx(col(c).cast("double"),
+           array(probs.map(lit): _*), lit(accuracy)).as("p"))
+         .collect()(0).getSeq[Double](0))
       .map(v => math.rint(v * 1e6) / 1e6)
     df.withColumn(out, cut(col(c).cast("double"), edges, includeLowest = true))
   }

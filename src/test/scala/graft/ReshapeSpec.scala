@@ -54,6 +54,24 @@ class ReshapeSpec extends SparkSpec {
     assert(out.toSeq == Seq(0 -> 25L, 1 -> 25L, 2 -> 25L, 3 -> 25L))
   }
 
+  test("qcut exact=false: approx edges land every code within one " +
+    "bucket of exact, identical here (accuracy >> n)") {
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    // at accuracy=10000 on 100 rows the sketch is lossless: codes match
+    // the exact path cell for cell
+    val exact = Reshape.qcut(df, "v", 4, "q").orderBy("v")
+      .collect().map(_.getInt(1)).toSeq
+    val approx = Reshape.qcut(df, "v", 4, "q", exact = false).orderBy("v")
+      .collect().map(_.getInt(1)).toSeq
+    assert(approx == exact)
+    // at a coarse accuracy the codes may differ only NEAR an edge, and
+    // never by more than one bucket
+    val coarse = Reshape.qcut(df, "v", 4, "q", exact = false,
+      accuracy = 10).orderBy("v").collect().map(_.getInt(1)).toSeq
+    coarse.zip(exact).foreach { case (a, e) =>
+      assert(math.abs(a - e) <= 1, s"approx code $a vs exact $e") }
+  }
+
   test("drop_duplicates: keep first / last / none under explicit order") {
     val df = Seq((1L, "k1", "a"), (2L, "k1", "b"), (3L, "k2", "c"))
       .toDF("ord", "k", "payload")
