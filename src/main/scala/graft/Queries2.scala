@@ -28,6 +28,8 @@ object Queries2 {
   private val blackW: Seq[Double] = WindowOps.blackmanWeights(5)
   private val bartW: Seq[Double] = WindowOps.bartlettWeights(5)
   private val hannW: Seq[Double] = WindowOps.hannWeights(5)
+  private val kaisW: Seq[Double] = WindowOps.kaiserWeights(5, 4.0)
+  private val expW: Seq[Double] = WindowOps.exponentialWeights(5, 2.0)
   private def lit17(d: Double): String =
     "%.17g".formatLocal(java.util.Locale.ROOT, d)
 
@@ -270,7 +272,17 @@ object Queries2 {
         r(WindowOps.weightedMean(col("value"), byUser, bartW), 4)
           .as("bartlett_mean"),
         r(WindowOps.weightedMean(col("value"), byUser, hannW), 4)
-          .as("hann_mean"))
+          .as("hann_mean"),
+        // r9 generators, oracle-gated in r10: kaiser rides the
+        // power-series Bessel I0, exponential the center-decay form —
+        // weights are inlined literals on BOTH sides, so the oracle
+        // checks the generator values, not just the window algebra
+        r(WindowOps.weightedMean(col("value"), byUser, hammW), 4)
+          .as("hamming_mean"),
+        r(WindowOps.weightedMean(col("value"), byUser, kaisW), 4)
+          .as("kaiser_mean"),
+        r(WindowOps.weightedMean(col("value"), byUser, expW), 4)
+          .as("exp_mean"))
         .orderBy("user_id", "event_id")
     }),
 
@@ -514,7 +526,10 @@ object Queries2 {
       s"""SELECT event_id, user_id,
          round(${wMeanSql(blackW)} + 1e-9, 4) AS blackman_mean,
          round(${wMeanSql(bartW)} + 1e-9, 4) AS bartlett_mean,
-         round(${wMeanSql(hannW)} + 1e-9, 4) AS hann_mean
+         round(${wMeanSql(hannW)} + 1e-9, 4) AS hann_mean,
+         round(${wMeanSql(hammW)} + 1e-9, 4) AS hamming_mean,
+         round(${wMeanSql(kaisW)} + 1e-9, 4) AS kaiser_mean,
+         round(${wMeanSql(expW)} + 1e-9, 4) AS exp_mean
          FROM events WINDOW w AS ($evWin) ORDER BY user_id, event_id""",
 
     "q_groupby_transform_udf" ->

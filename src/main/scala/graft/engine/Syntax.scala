@@ -124,6 +124,13 @@ object Syntax {
               suffixes: (String, String) = ("_x", "_y"),
               validate: Option[String] = None): DataFrame =
       GroupOps.merge(df, right, on, how, suffixes, validate)
+    /** pandas merge(left_on/right_on | left_index/right_index) —
+      * asymmetric keys, both kept, optional _merge indicator. */
+    def mergeOn(right: DataFrame, leftOn: Seq[String], rightOn: Seq[String],
+                how: String = "inner",
+                suffixes: (String, String) = ("_x", "_y"),
+                indicator: Boolean = false): DataFrame =
+      GroupOps.mergeOn(df, right, leftOn, rightOn, how, suffixes, indicator)
     def pctChange(c: String, w: WindowSpec): DataFrame =
       df.withColumn(s"${c}_pct_change", Cumulative.pctChange(col(c), w))
 
@@ -281,6 +288,12 @@ object Syntax {
                 ignoreNa: Boolean = false): DataFrame =
       df.withColumn(s"${a}_${b}_ewm_corr",
         Ewm.corr(col(a), col(b), w, alpha, ignoreNa))
+    /** pandas ewm(times=, halflife=Timedelta).mean() — irregular
+      * time-decay; `w` must order by `times` (+ a tiebreak). */
+    def ewmMeanTimes(c: String, times: String, w: WindowSpec,
+                     halflifeMicros: Double): DataFrame =
+      df.withColumn(s"${c}_ewm_times",
+        Ewm.meanTimes(col(c), col(times), w, halflifeMicros))
     def pageRank(src: String, dst: String, iters: Int,
                  damping: Double = 0.85): DataFrame =
       graft.pipeline.Curation.pageRank(df, src, dst, iters, damping)

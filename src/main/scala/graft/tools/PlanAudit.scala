@@ -46,7 +46,9 @@ object PlanAudit {
     "q_ivfpq_topk" -> "IVF-PQ: literal-matrix cell assignment + residual PQ codes map-side over the scan; candidates via ONE cell-keyed equi-join (no corpus broadcast, no cartesian); WindowGroupLimit top-k",
     "q_pagerank" -> "PageRank iteration: persisted edge/outdeg invariants, node-sized rank frame broadcast into the edge join, ONE dst-keyed contrib aggregate per iteration",
     "q_edit_join" -> "edit-distance join: rare-gram prefix-filter equi-join (candidates ~ true pairs, never all-pairs), codegen levenshtein verify",
-    "q_groupby_corr" -> "groupby.corr: ONE grouped aggregate carries every matrix cell — map-side-combinable co-moments, one group-key shuffle")
+    "q_groupby_corr" -> "groupby.corr: ONE grouped aggregate carries every matrix cell — map-side-combinable co-moments, one group-key shuffle",
+    "q_cut_qcut" -> "cut+qcut: bucketing is a pure codegen when-chain over the scan (edges are driver literals from the eager sort-based quantile probe) — the ONLY exchange is the final presentation sort",
+    "q_corr_matrix_full" -> "full-scale corr matrix: spearman midranks via broadcast rank-stats joins + bucketed windows (no value-partitioned window), then ONE aggregate evaluates every pearson+spearman cell")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"

@@ -222,4 +222,54 @@ class PlanGuardSpec extends SparkSpec {
         s"$name claims zero-shuffle but plans ${shuffles.size} Exchange(s)")
     }
   }
+
+  // ---- PLANS.md pins for the two most expensive non-streaming rows
+  // (VERDICT r9 item 8) ----
+
+  private def walkPlan(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p.children ++ (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.initialPlan)
+      case _ => Seq.empty
+    }) ++ p.subqueries
+    p +: kids.flatMap(walkPlan)
+  }
+
+  test("q_cut_qcut: bucketing is codegen-only — ONE exchange total " +
+    "(the presentation range sort), no window, no join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val plan = SparkEntry.queries("q_cut_qcut")(spark,
+      "/root/testdata/sf0.001").queryExecution.executedPlan
+    val nodes = walkPlan(plan)
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.size == 1,
+      s"qcut planned ${shuffles.size} exchanges (want the single " +
+        s"presentation sort): ${shuffles.map(_.nodeName).mkString(", ")}")
+    assert(shuffles.head.outputPartitioning.toString.contains("range"),
+      s"qcut's only exchange should be the range sort, got " +
+        shuffles.head.outputPartitioning)
+    assert(!nodes.exists(_.nodeName.contains("Window")) &&
+      !nodes.exists(_.nodeName.contains("Join")),
+      "qcut bucketing must stay a pure when-chain projection")
+  }
+
+  test("q_corr_matrix_full: corpus is NEVER shuffled — rank stats ride " +
+    "broadcasts, the only exchange is the one-row-per-partial " +
+    "SinglePartition aggregate merge") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val plan = SparkEntry.queries("q_corr_matrix_full")(spark,
+      "/root/testdata/sf0.001").queryExecution.executedPlan
+    val nodes = walkPlan(plan)
+    val dataShuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+      .filterNot(_.outputPartitioning.toString.contains("SinglePartition"))
+      // the presentation sort of the 6-row result is allowed
+      .filterNot(_.outputPartitioning.toString.contains("range"))
+    assert(dataShuffles.isEmpty,
+      s"corr matrix shuffled the corpus: " +
+        dataShuffles.map(_.outputPartitioning.toString).mkString(", "))
+    assert(!nodes.exists {
+      case _: CartesianProductExec | _: BroadcastNestedLoopJoinExec => true
+      case _ => false
+    }, "corr matrix must not plan non-equi joins")
+  }
 }

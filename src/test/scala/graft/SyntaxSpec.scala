@@ -143,4 +143,24 @@ class SyntaxSpec extends SparkSpec {
     assert(vecs.pp.semanticDecontaminate(vecs.filter(col("vec_id") === 1), 0.9)
       .filter(col("contaminated")).count() == 1)
   }
+
+  test("round-9 surface: mergeOn (index/asymmetric keys) + ewm times=") {
+    import org.apache.spark.sql.expressions.Window
+    val left = Seq((1L, "a"), (2L, "b")).toDF("row_id", "v")
+    val right = Seq((1L, 10.0)).toDF("k", "x")
+    val m = left.pp.mergeOn(right, Seq("row_id"), Seq("k"),
+      how = "left", indicator = true)
+    assert(m.columns.toSeq == Seq("row_id", "v", "k", "x", "_merge"))
+    assert(m.filter(col("_merge") === "left_only").count() == 1)
+    val ts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-08 00:00:00"), 3.0))
+      .toDF("g", "t", "v")
+    val w = Window.partitionBy("g").orderBy("t")
+    val e = ts.pp.ewmMeanTimes("v", "t", w,
+        halflifeMicros = 7.0 * 24 * 3600 * 1e6)
+      .orderBy("t").collect().map(_.getDouble(3))
+    // one halflife apart: (0.5*1 + 3) / 1.5 = 7/3
+    assert(math.abs(e(0) - 1.0) < 1e-12)
+    assert(math.abs(e(1) - 7.0 / 3) < 1e-9)
+  }
 }
