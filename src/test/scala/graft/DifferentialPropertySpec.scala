@@ -126,4 +126,49 @@ class DifferentialPropertySpec extends AnyFunSuite {
             s"exact=$exact,\n lefts=$lefts\n rights=$rights)")
     }
   }
+
+  // ---- TextWrapKernel: structural invariants over random token
+  // streams (the CPython-generated value differentials live in
+  // StrDtSpec; this guards the greedy fold's bookkeeping at widths
+  // and token shapes those cases don't reach)
+  test("textwrap kernel invariants on 200 random inputs (seeded)") {
+    val gen = for {
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n,
+        Gen.choose(1, 9).flatMap(l =>
+          Gen.listOfN(l, Gen.alphaLowerChar).map(_.mkString)))
+      width <- Gen.choose(1, 12)
+      pad <- Gen.oneOf(" ", "  ", "\t", " \n ")
+    } yield (toks, width, pad)
+    var seed = Seed(2026_08_14L)
+    for (round <- 1 to 200) {
+      val ((toks, width, pad), s2) = draw(gen, seed); seed = s2
+      val text = toks.mkString(pad)
+      val out = graft.functions.TextWrapKernel.wrap(text, width)
+      val lines = if (out.isEmpty) Seq.empty else out.split("\n", -1).toSeq
+      // 1. no line exceeds the width
+      lines.foreach(l => assert(l.length <= width,
+        s"round $round: line '$l' > width $width (text='$text')"))
+      // 2. no line is empty (no token is lost into a blank line)
+      lines.foreach(l => assert(l.nonEmpty,
+        s"round $round: blank line in '$out' (text='$text')"))
+      // 3. dropping all whitespace reproduces the input's non-space
+      //    characters in order (nothing lost, nothing duplicated)
+      assert(out.replaceAll("[\\s]", "") == text.replaceAll("[\\s]", ""),
+        s"round $round: characters lost/added (text='$text', out='$out')")
+      // 4. every line break is "justified": gluing a line's first
+      //    chunk onto the previous line would overflow the width
+      //    (greedy = no premature break), EXCEPT after a sliced long
+      //    word, where the previous line is exactly full
+      lines.sliding(2).foreach {
+        case Seq(prev, next) =>
+          val firstChunk = next.takeWhile(_ != ' ')
+          assert(prev.length + 1 + firstChunk.length > width ||
+            prev.length == width,
+            s"round $round: premature break between '$prev' and " +
+              s"'$next' at width $width (text='$text')")
+        case _ =>
+      }
+    }
+  }
 }
