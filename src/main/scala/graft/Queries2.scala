@@ -273,10 +273,12 @@ object Queries2 {
           .as("bartlett_mean"),
         r(WindowOps.weightedMean(col("value"), byUser, hannW), 4)
           .as("hann_mean"),
-        // r9 generators, oracle-gated in r10: kaiser rides the
-        // power-series Bessel I0, exponential the center-decay form —
-        // weights are inlined literals on BOTH sides, so the oracle
-        // checks the generator values, not just the window algebra
+        // r9 generators through the oracle-gated lag-composition row:
+        // like blackman/bartlett/hann above, the weights are inlined
+        // as identical literals on BOTH sides, so this row proves the
+        // WINDOW ALGEBRA under these weights; the generator VALUES
+        // themselves (Bessel-I0 kaiser, center-decay exponential) are
+        // differentially spec-tested against scipy in WindowSpec
         r(WindowOps.weightedMean(col("value"), byUser, hammW), 4)
           .as("hamming_mean"),
         r(WindowOps.weightedMean(col("value"), byUser, kaisW), 4)

@@ -542,6 +542,14 @@ object Corr {
   def corrMatrixWith(df: DataFrame, cols: Seq[String],
                      corrf: (Column, Column) => Column,
                      minPeriods: Int = 1): DataFrame = {
+    if (cols.isEmpty) {
+      // pandas df.corr over zero numeric columns -> empty frame
+      import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
+      return df.sparkSession.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("c1", StringType),
+          StructField("c2", StringType), StructField("corr", DoubleType))))
+    }
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))

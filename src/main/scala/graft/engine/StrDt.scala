@@ -369,7 +369,9 @@ object StrDt {
   def strRpartitionBefore(c: Column, sep: String): Column = {
     require(sep.nonEmpty, "rpartition: need a non-empty separator")
     val pos = strRfind(c, sep)
-    when(pos >= 0, c.substr(lit(1), pos)).otherwise(lit(""))
+    when(c.isNull, lit(null).cast("string")) // NaN propagation
+      .when(pos >= 0, c.substr(lit(1), pos))
+      .otherwise(lit(""))
   }
   def strRpartitionAfter(c: Column, sep: String): Column = {
     require(sep.nonEmpty, "rpartition: need a non-empty separator")

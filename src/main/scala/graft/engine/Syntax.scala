@@ -129,8 +129,10 @@ object Syntax {
     def mergeOn(right: DataFrame, leftOn: Seq[String], rightOn: Seq[String],
                 how: String = "inner",
                 suffixes: (String, String) = ("_x", "_y"),
-                indicator: Boolean = false): DataFrame =
-      GroupOps.mergeOn(df, right, leftOn, rightOn, how, suffixes, indicator)
+                indicator: Boolean = false,
+                validate: Option[String] = None): DataFrame =
+      GroupOps.mergeOn(df, right, leftOn, rightOn, how, suffixes,
+        indicator, validate)
     def pctChange(c: String, w: WindowSpec): DataFrame =
       df.withColumn(s"${c}_pct_change", Cumulative.pctChange(col(c), w))
 

@@ -27,7 +27,9 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextWrapKernel {
   /** Null-free kernel; lines joined with '\n' like
-    * `'\n'.join(textwrap.wrap(s, width))`. */
+    * `'\n'.join(textwrap.wrap(s, width))`. Widths count CODE POINTS
+    * (like CPython) — an astral char (emoji, CJK-ext) is one column,
+    * and the long-word slicer never splits a surrogate pair. */
   def wrap(s: String, width: Int): String = {
     val tokens = s.split("\\s+")
     val sb = new java.lang.StringBuilder(s.length + 8)
@@ -36,21 +38,23 @@ object TextWrapKernel {
     while (i < tokens.length) {
       var t = tokens(i)
       if (t.nonEmpty) {
+        var tLen = t.codePointCount(0, t.length)
         // break_long_words: fill the remainder of a started line when
         // at least one column is free, then whole-width slices
-        while (t.length > width) {
+        while (tLen > width) {
           val space = if (lineLen == 0) width else width - lineLen - 1
           if (space >= 1) {
             if (lineLen > 0) sb.append(' ')
-            sb.append(t, 0, space)
-            t = t.substring(space)
+            val cut = t.offsetByCodePoints(0, space)
+            sb.append(t, 0, cut)
+            t = t.substring(cut); tLen -= space
           }
           sb.append('\n'); lineLen = 0
         }
-        if (lineLen == 0) { sb.append(t); lineLen = t.length }
-        else if (lineLen + 1 + t.length <= width) {
-          sb.append(' ').append(t); lineLen += 1 + t.length
-        } else { sb.append('\n').append(t); lineLen = t.length }
+        if (lineLen == 0) { sb.append(t); lineLen = tLen }
+        else if (lineLen + 1 + tLen <= width) {
+          sb.append(' ').append(t); lineLen += 1 + tLen
+        } else { sb.append('\n').append(t); lineLen = tLen }
       }
       i += 1
     }

@@ -376,8 +376,10 @@ object TextAnalysis {
       }
     val words = filter(split(col(text), " +"), w => w =!= "")
     df.select(col(id).cast("long").as(id),
-      aggregate(words, lit(0L),
-        (acc, w) => acc + size(tokensOf(encode(w))).cast("long"))
-        .as("n_tokens"))
+      // null text counts 0 tokens like an empty doc (the DuckDB
+      // oracle's coalesce does the same)
+      coalesce(aggregate(words, lit(0L),
+        (acc, w) => acc + size(tokensOf(encode(w))).cast("long")),
+        lit(0L)).as("n_tokens"))
   }
 }

@@ -44,7 +44,11 @@ object Chunking {
   def autoSplitSize(totalBytes: Long, rows: Long, nCpu: Int,
                     targetBytes: Long = TargetChunkBytes): Int = {
     require(nCpu >= 1, s"autoSplitSize: need nCpu >= 1, got $nCpu")
-    val desired = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+    // double-division ceil: totalBytes can be Long.MaxValue (capped
+    // Catalyst stats) and integer `+ targetBytes - 1` would wrap
+    // negative, collapsing huge frames to the nCpu floor
+    val desired =
+      math.max(1L, math.ceil(totalBytes.toDouble / targetBytes).toLong)
     val n = math.min(math.max(desired, nCpu.toLong),
       MaxChunksPerCpu.toLong * nCpu)
     math.max(1L, math.min(n, math.max(rows, 1L))).toInt

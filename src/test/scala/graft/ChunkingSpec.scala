@@ -40,6 +40,10 @@ class ChunkingSpec extends SparkSpec {
     val bytes = 5000000L * 40 * 8
     assert(Chunking.autoSplitSize(bytes, rows = 5000000L, nCpu = 2) ==
       Chunking.MaxChunksPerCpu * 2)
+    // Long.MaxValue byte estimate (capped Catalyst join stats) must
+    // hit the cap, not wrap negative and collapse to the nCpu floor
+    assert(Chunking.autoSplitSize(Long.MaxValue, rows = Long.MaxValue,
+      nCpu = 2) == Chunking.MaxChunksPerCpu * 2)
   }
 
   test("resolveSplitSize: explicit factor ignores data size; " +

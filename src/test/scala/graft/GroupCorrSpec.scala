@@ -497,5 +497,10 @@ class GroupCorrSpec extends SparkSpec {
     val gated = Corr.corrMatrixWith(df, Seq("x", "y"), pearsonf,
       minPeriods = 4).filter(col("c1") === "x" && col("c2") === "y").head()
     assert(gated.isNullAt(2))
+    // zero columns (numeric_only filtered everything away): empty
+    // frame like pandas, not a stack(0) parse error
+    val empty = Corr.corrMatrixWith(df, Seq.empty, pearsonf)
+    assert(empty.columns.toSeq == Seq("c1", "c2", "corr") &&
+      empty.count() == 0)
   }
 }

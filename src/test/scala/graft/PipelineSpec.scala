@@ -403,11 +403,13 @@ class PipelineSpec extends SparkSpec {
     val want = Seq("low low low lower", "newest newest widest",
       "low newest newest", "widest widest low").map(refTokens)
     assert(applied == want, s"apply: $applied vs $want")
-    // empty and multi-space docs: zero tokens / no phantom word tokens
-    val edge = Seq((0L, ""), (1L, "  low   low  ")).toDF("doc_id", "text")
+    // empty, multi-space and NULL docs: zero tokens / no phantom word
+    // tokens / null counts 0 like the oracle's coalesce
+    val edge = Seq((0L, Some("")), (1L, Some("  low   low  ")),
+      (2L, Option.empty[String])).toDF("doc_id", "text")
     val edgeGot = TextAnalysis.bpeApply(edge, "doc_id", "text", merges)
       .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
-    assert(edgeGot == Seq(0L, refTokens("low low")))
+    assert(edgeGot == Seq(0L, refTokens("low low"), 0L))
   }
 
   test("editDistanceJoin: exact vs brute force incl. short strings and duplicate grams") {

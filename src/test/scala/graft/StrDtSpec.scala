@@ -292,6 +292,15 @@ class StrDtSpec extends SparkSpec {
       .select(StrDt.strWrap(col("s"), 5)).collect()
     assert(out(0).getString(0) == "a bb\nccc\ndddd" && out(1).isNullAt(0))
     intercept[IllegalArgumentException] { StrDt.strWrap(col("s"), 0) }
+    // astral chars: widths count CODE POINTS and the long-word slicer
+    // never splits a surrogate pair (CPython-generated expectations)
+    val e = "😀😁😂" // 😀😁😂 (3 cps)
+    assert(graft.functions.TextWrapKernel.wrap(e + e, 5) ==
+      "😀😁😂😀😁\n" +
+        "😂")
+    assert(graft.functions.TextWrapKernel.wrap("ab " + e + e, 5) ==
+      "ab 😀😁\n" +
+        "😂😀😁😂")
   }
 
   test("str.rpartition: last-occurrence split; absent sep puts the " +
@@ -305,6 +314,11 @@ class StrDtSpec extends SparkSpec {
     assert(rows("nodash") == ("", "nodash"))    // python ('', '', s)
     assert(rows("-lead") == ("", "lead"))
     assert(rows("trail-") == ("trail", ""))
+    // null input: BOTH parts stay null (NaN propagation)
+    val n = Seq(Option.empty[String]).toDF("s")
+      .select(StrDt.strRpartitionBefore(col("s"), "-"),
+        StrDt.strRpartitionAfter(col("s"), "-")).head()
+    assert(n.isNullAt(0) && n.isNullAt(1))
   }
 
   test("str.index/rindex: position when present, job failure when " +

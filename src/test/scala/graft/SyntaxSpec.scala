@@ -152,6 +152,12 @@ class SyntaxSpec extends SparkSpec {
       how = "left", indicator = true)
     assert(m.columns.toSeq == Seq("row_id", "v", "k", "x", "_merge"))
     assert(m.filter(col("_merge") === "left_only").count() == 1)
+    // validate= reaches GroupOps.mergeOn through the accessor
+    intercept[IllegalArgumentException] {
+      val dup = Seq((1L, 1.0), (1L, 2.0)).toDF("k", "x")
+      left.pp.mergeOn(dup, Seq("row_id"), Seq("k"),
+        validate = Some("1:1")).collect()
+    }
     val ts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
       (1L, java.sql.Timestamp.valueOf("2024-01-08 00:00:00"), 3.0))
       .toDF("g", "t", "v")
