@@ -151,8 +151,14 @@ object Syntax {
     def melt(idVars: Seq[String], valueVars: Seq[String]): DataFrame =
       Reshape.melt(df, idVars, valueVars)
     def crosstab(a: String, b: String): DataFrame = Reshape.crosstab(df, a, b)
-    def qcut(c: String, q: Int, out: String = "code"): DataFrame =
-      Reshape.qcut(df, c, q, out)
+    def qcut(c: String, q: Int, out: String = "code",
+             exact: Boolean = true, accuracy: Int = 10000): DataFrame =
+      Reshape.qcut(df, c, q, out, exact, accuracy)
+    /** pandas corr(method=callable): aggregate-builder callable. */
+    def corrMatrixWith(cols: Seq[String],
+                       corrf: (Column, Column) => Column,
+                       minPeriods: Int = 1): DataFrame =
+      Corr.corrMatrixWith(df, cols, corrf, minPeriods)
     def dropDuplicates(subset: Seq[String], ordCol: String,
                        keep: String = "first"): DataFrame =
       Reshape.dropDuplicates(df, subset, ordCol, keep)
