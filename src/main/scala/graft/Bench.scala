@@ -110,6 +110,22 @@ object Bench {
         graft.engine.Corr.corrMatrixAll(big,
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
       },
+      // 10x stress for the de-skewed grouped spearman (the r9 rework:
+      // (key, value-bucket) midrank windows instead of a 3-value
+      // Window.partitionBy key) — a regression back to the serialized
+      // low-NDV window shows up here as a super-linear jump.
+      "bench_spearman_10x" -> { (s, d) =>
+        import org.apache.spark.sql.functions._
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_returnflag"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"))
+        val big = li.select(explode(sequence(lit(0), lit(9))).as("__c"),
+            col("l_returnflag"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"))
+          .drop("__c")
+        graft.engine.Corr.corrMatrixBy(big, "l_returnflag",
+          Seq("l_quantity", "l_extendedprice", "l_discount"), "spearman")
+      },
       // 10x stress for substring-span dedup: the Rabin-Karp window-hash
       // explode + hash agg + semi-join over a 10-copy documents union —
       // explode volume and dup-group sizes both scale 10x.

@@ -127,6 +127,41 @@ class DifferentialPropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- quantilesBySort (the sort-based exact quantile probe behind
+  // qcut's pandas-parity path since r10): random frames with
+  // null/NaN holes against the in-memory pandas linear-interpolation
+  // definition
+  test("quantilesBySort equals in-memory linear interpolation (random)") {
+    def ref(xs: Seq[Double], q: Double): Double = {
+      val a = xs.sorted
+      val p = (a.length - 1) * q
+      val lo = math.floor(p).toInt; val hi = math.ceil(p).toInt
+      a(lo) + (p - math.floor(p)) * (a(hi) - a(lo))
+    }
+    val gen = for {
+      n <- Gen.choose(1, 60)
+      xs <- Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.choose(-100.0, 100.0).map(Option(_)),
+        1 -> Gen.const(Option(Double.NaN)),
+        1 -> Gen.const(Option.empty[Double])))
+      qs <- Gen.someOf(Seq(0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0))
+        .suchThat(_.nonEmpty)
+    } yield (xs, qs.toSeq)
+    var seed = Seed(20260814L)
+    for (round <- 1 to 25) {
+      val ((xs, qs), s2) = draw(gen, seed); seed = s2
+      val finite = xs.flatten.filterNot(_.isNaN)
+      val df = xs.toDF("v")
+      val got = graft.engine.Reductions.quantilesBySort(df, "v", qs)
+      if (finite.isEmpty) got.foreach(g => assert(g.isNaN, s"round $round"))
+      else qs.zip(got).foreach { case (q, g) =>
+        val w = ref(finite, q)
+        assert(math.abs(g - w) < 1e-12 * math.max(1, math.abs(w)),
+          s"round $round: q=$q got $g want $w (n=${finite.size})")
+      }
+    }
+  }
+
   // ---- TextWrapKernel: structural invariants over random token
   // streams (the CPython-generated value differentials live in
   // StrDtSpec; this guards the greedy fold's bookkeeping at widths
