@@ -62,6 +62,22 @@ class FunctionsSpec extends SparkSpec {
     assert(df.agg(sum("d")).collect()(0).getDouble(0) > 0)
   }
 
+  test("graft_wrap stays inside WholeStageCodegen like the other natives") {
+    // spark.range (not a local Seq): ConvertToLocalRelation would fold
+    // a literal frame at plan time and leave nothing to codegen
+    val df = spark.range(2)
+      .select(concat(lit("word"), col("id"), lit(" tail piece")).as("s"))
+      .select(graft.engine.StrDt.strWrap(col("s"), 8).as("w"))
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val projLine = formatted.linesIterator
+      .find(l => l.contains("Project") && l.contains("codegen id"))
+    assert(projLine.isDefined, formatted)
+    assert(!formatted.contains("CodegenFallback"), formatted)
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("word0\ntail\npiece", "word1\ntail\npiece"))
+  }
+
   test("bucket-bin: binary search equals the indicator sum, NaN past last cut, null in null out") {
     import spark.implicits._
     val cuts = Array(1.0, 3.0, 7.0)
