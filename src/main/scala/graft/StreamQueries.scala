@@ -31,6 +31,7 @@ object StreamQueries {
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_sessionize" -> ((s, d) => streamSessionize(s, d)),
     "q_stream_dedup" -> ((s, d) => streamDedup(s, d)),
+    "q_stream_dedup_fuzzy" -> ((s, d) => streamDedupFuzzy(s, d)),
     "q_stream_window" -> ((s, d) => streamWindow(s, d)),
     "q_stream_runmean" -> ((s, d) => streamRunMean(s, d)),
     "q_stream_interval_join" -> ((s, d) => streamIntervalJoin(s, d)))
@@ -59,6 +60,40 @@ object StreamQueries {
     "q_stream_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS fp
        FROM documents GROUP BY text ORDER BY doc_id""",
+
+    // streaming fuzzy dedup decisions == the batch LSH candidate
+    // relation: doc d is a near-dup iff an EARLIER doc (ids are
+    // time-ordered in the replay) shares any minhash band key. The
+    // minhash arithmetic mirrors q_dedup_minhash's oracle: one md5 per
+    // distinct 3-shingle, 60-bit halves a/b, hash i = a + i*b, band i
+    // holds hashes (2i, 2i+1).
+    "q_stream_dedup_fuzzy" ->
+      """WITH words AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents),
+         s0 AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 3 THEN
+                    list_transform(generate_series(0, len(w)-3),
+                                   i -> array_to_string(w[i+1:i+3], ' '))
+                  ELSE [array_to_string(w, ' ')] END AS shl
+                FROM words),
+         sh AS (SELECT DISTINCT doc_id, unnest(shl) AS s FROM s0),
+         hh AS (SELECT doc_id,
+                  ('0x' || substr(md5(s), 1, 15))::BIGINT AS a,
+                  ('0x' || substr(md5(s), 17, 15))::BIGINT AS b
+                FROM sh),
+         mh AS (SELECT doc_id, bb.band,
+                  min(a + (bb.band*2) * b) AS h0,
+                  min(a + (bb.band*2+1) * b) AS h1
+                FROM hh, (SELECT unnest(generate_series(0, 3)) AS band) bb
+                GROUP BY 1, 2),
+         dup AS (SELECT DISTINCT c.doc_id
+                 FROM mh a JOIN mh c
+                   ON a.band = c.band AND a.h0 = c.h0 AND a.h1 = c.h1
+                  AND a.doc_id < c.doc_id)
+         SELECT m.doc_id,
+           m.doc_id IN (SELECT doc_id FROM dup) AS is_dup
+         FROM (SELECT DISTINCT doc_id FROM mh) m ORDER BY doc_id""",
 
     // finalized tumbling windows == batch hour-truncated aggregate
     "q_stream_window" ->
@@ -299,6 +334,36 @@ object StreamQueries {
     runToParquet(base, decisions.toDF())
       .filter(col("is_first"))
       .select(col("doc_id"), col("fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Streaming fuzzy dedup replay: documents as a two-micro-batch
+    * time-ordered stream (ts = epoch + doc_id like [[streamDedup]]),
+    * per-(doc, band) decisions from the (band, key)-keyed state op,
+    * folded to the per-doc flag with a stateless bool_or at the sink.
+    * Batch-equivalence: ids are time-ordered, so `matched` ⇔ an
+    * earlier-id doc shares the band key — exactly the oracle's EXISTS. */
+  private def streamDedupFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
+        col("text"))
+    val base = scratchDir("q_stream_dedup_fuzzy")
+    val midId = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val inDir = stageReplay(base, Seq(
+      docs.filter(col("doc_id") <= midId),
+      docs.filter(col("doc_id") > midId)))
+    val src = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
+      .as[Streams.StreamDoc]
+    val decisions = Streams.streamingDedupFuzzy(src,
+      ttlMs = 10L * 365 * 24 * 3600 * 1000, watermark = "10 minutes")
+    runToParquet(base, decisions.toDF())
+      .groupBy("doc_id")
+      .agg(expr("bool_or(matched)").as("is_dup"))
       .orderBy("doc_id")
   }
 

@@ -179,6 +179,67 @@ object Streams {
         })
   }
 
+  /** One near-dup decision per (doc, band): `matched` = this band key
+    * was seen on an EARLIER doc. Fold per doc with max(matched). */
+  case class FuzzyDecision(doc_id: Long, band: Int, matched: Boolean)
+
+  /** Streaming FUZZY (MinHash-LSH) dedup — the streaming form of
+    * [[graft.pipeline.Dedup.minhashLshIncrementalPairs]]'s candidate
+    * semantics: a document is a near-dup candidate iff ANY of its LSH
+    * band keys was seen on an earlier document. State is keyed by
+    * (band, key) — hash-partitioned across executors like the batch
+    * equi-join — and holds only the last-seen event time (the
+    * signature kernel runs map-side per micro-batch; document text
+    * never enters state). Within a micro-batch, docs sharing a key
+    * order by (ts, doc_id), so replaying time-ordered batches is
+    * batch-equivalent by construction: `matched` for doc d under key
+    * bk ⇔ some doc with smaller (ts, id) carries bk — independent of
+    * where batch boundaries fall. Event-time TTL bounds state like the
+    * exact [[streamingDedupAudit]]. Emits per-(doc, band) decisions in
+    * Append mode; the per-doc flag is a stateless fold at the sink
+    * (chaining a second stateful aggregate would force Update mode). */
+  def streamingDedupFuzzy(docs: Dataset[StreamDoc], ttlMs: Long,
+                          k: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+                          watermark: String = "10 minutes")
+      : Dataset[FuzzyDecision] = {
+    import docs.sparkSession.implicits._
+    val nh = bands * rowsPerBand
+    val sigs = docs.toDF()
+      .select(col("doc_id"), col("ts"),
+        graft.pipeline.Dedup.minhashSigUdf(k, nh)(
+          graft.pipeline.Dedup.words(col("text"))).as("sig"))
+      .filter(col("sig").isNotNull)
+    val bandCols = (0 until bands).map { bd =>
+      struct(lit(bd).as("band"),
+        concat_ws(",", (0 until rowsPerBand).map(r =>
+          col("sig")(bd * rowsPerBand + r).cast("string")): _*).as("key"))
+    }
+    sigs.select(col("doc_id"), col("ts"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("ts"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Int, String)]
+      .groupByKey(t => (t._3, t._4))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (bk: (Int, String), it: Iterator[(Long, java.sql.Timestamp, Int, String)],
+         state: GroupState[Long]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val ds = it.toSeq.sortBy(t => (t._2.getTime, t._1))
+            val seen = state.getOption.isDefined
+            val out = ds.zipWithIndex.map { case (d, i) =>
+              FuzzyDecision(d._1, bk._1, matched = seen || i > 0)
+            }
+            val lastTs = ds.map(_._2.getTime).max
+            state.update(lastTs)
+            state.setTimeoutTimestamp(lastTs + ttlMs)
+            out.iterator
+          }
+        })
+  }
+
   /** Running per-key mean via mapGroupsWithState — the streaming form of
     * `groupby(key).transform('mean')` kept incrementally up to date. */
   case class KeyMean(key: Long, n: Long, mean: Double)

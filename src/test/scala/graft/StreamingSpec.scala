@@ -108,6 +108,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming fuzzy dedup flags near-dups across batches via LSH " +
+    "band-key state; distinct docs stay clean") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.StreamDoc]
+    val q = Streams.streamingDedupFuzzy(in.toDS(), ttlMs = 600_000,
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("sdedup_fuzzy")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // doc 2 is an exact copy of doc 1 (identical signature — collides
+      // in every band); doc 3 shares no shingles with either
+      in.addData(
+        Streams.StreamDoc(1L, ts(0), "alpha beta gamma delta"),
+        Streams.StreamDoc(2L, ts(10), "alpha beta gamma delta"))
+      q.processAllAvailable()
+      // later BATCH: another copy — must match doc 1's persisted state
+      in.addData(
+        Streams.StreamDoc(3L, ts(30), "alpha beta gamma delta"),
+        Streams.StreamDoc(4L, ts(40), "totally different words here"))
+      q.processAllAvailable()
+      val flags = spark.table("sdedup_fuzzy")
+        .groupBy("doc_id")
+        .agg(org.apache.spark.sql.functions.expr("bool_or(matched)")
+          .as("is_dup"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      assert(flags == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false))
+    } finally q.stop()
+  }
+
   test("running per-key mean stays incrementally correct across batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
