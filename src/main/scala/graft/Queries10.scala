@@ -83,6 +83,20 @@ object Queries10 {
         .orderBy("c1", "c2")
     }),
 
+    // ---- pandas groupby.corr(method='kendall') — per-group tau-b via
+    //      ONE key-shuffled flatMapGroups running Knight's O(n log n)
+    //      per pair (group-sized memory, pandas' own per-group
+    //      contract). Bounded slice: the ORACLE's pairwise tau is
+    //      O(n²) per group. ----
+    "q_groupby_kendall" -> ((s, d) => {
+      val li = T(s, d, "lineitem").filter(col("l_partkey") < 200)
+      Corr.kendallMatrixBy(li, "l_returnflag",
+          Seq("l_quantity", "l_discount"))
+        .select(col("l_returnflag"), col("c1"), col("c2"),
+          r(col("kendall"), 6).as("kendall"))
+        .orderBy("l_returnflag", "c1", "c2")
+    }),
+
     // ---- §2.10 str accessor, tranche 9 — the LAST proxy names:
     //      wrap (native greedy-fold kernel, see TextWrapKernel's
     //      contract), rpartition head/tail (last-occurrence split,
@@ -183,5 +197,32 @@ object Queries10 {
            CAST(strpos(p_name, ' ') - 1 AS INTEGER) AS ix,
            CAST(length(p_name) - strpos(reverse(p_name), ' ')
              AS INTEGER) AS rix
-         FROM part ORDER BY p_partkey""")
+         FROM part ORDER BY p_partkey""",
+
+    // per-group tau-b from the O(n²) pair definition: concordant-minus-
+    // discordant sign sum over within-group pairs, tie-pair counts per
+    // column; diagonal cells are 1 (both columns vary in every group)
+    "q_groupby_kendall" ->
+      """WITH base AS (SELECT l_returnflag AS g, l_quantity AS a0,
+             l_discount AS a1
+           FROM lineitem WHERE l_partkey < 200),
+         b2 AS (SELECT row_number() OVER () AS rid, * FROM base),
+         kd AS (SELECT x.g, count(*) AS np,
+                  sum(sign(y.a0 - x.a0) * sign(y.a1 - x.a1)) AS cd,
+                  sum(CASE WHEN x.a0 = y.a0 THEN 1 ELSE 0 END) AS t0,
+                  sum(CASE WHEN x.a1 = y.a1 THEN 1 ELSE 0 END) AS t1
+                FROM b2 x JOIN b2 y ON x.g = y.g AND x.rid < y.rid
+                GROUP BY x.g)
+         SELECT * FROM (
+           SELECT g AS l_returnflag, 'l_quantity' AS c1,
+             'l_quantity' AS c2,
+             round(1.0 + 1e-9, 6) + 0.0 AS kendall FROM kd
+           UNION ALL
+           SELECT g, 'l_quantity', 'l_discount',
+             round(cd / sqrt((np - t0) * (np - t1)) + 1e-9, 6) + 0.0
+           FROM kd
+           UNION ALL
+           SELECT g, 'l_discount', 'l_discount',
+             round(1.0 + 1e-9, 6) + 0.0 FROM kd)
+         ORDER BY l_returnflag, c1, c2""")
 }

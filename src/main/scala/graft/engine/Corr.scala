@@ -68,8 +68,11 @@ object Corr {
           Reductions.withMidrankBy(d, key, c, s"__mr_$c", n,
               knownCuts = Some(allCuts(i)))
         }.select(col(key) +: cols.map(c => col(s"__mr_$c").as(c)): _*)
+      case "kendall" =>
+        return kendallMatrixBy(df, key, cols)
+          .withColumnRenamed("kendall", "corr")
       case other => throw new IllegalArgumentException(
-        s"corrMatrixBy: method='$other' (pearson|spearman)")
+        s"corrMatrixBy: method='$other' (pearson|spearman|kendall)")
     }
     val pairs = for {
       i <- cols.indices; j <- i until cols.size
@@ -80,6 +83,60 @@ object Corr {
     val stacked = pairs.map { case (a, b) => s"'$a', '$b', `${a}__$b`" }
       .mkString(s"stack(${pairs.size}, ", ", ", ") as (c1, c2, corr)")
     one.select(col(key), expr(stacked))
+  }
+
+  /** pandas `groupby(key).corr(method='kendall')` — per-group tau-b
+    * matrix in long form (key, c1, c2, kendall), upper triangle incl.
+    * the diagonal, completing [[corrMatrixBy]]'s method set. pandas
+    * runs scipy's kendalltau per group; the analogue here is ONE typed
+    * flatMapGroups after one shuffle on the key: each group's k
+    * columns buffer into arrays (GROUP-sized memory — the same
+    * contract as pandas' per-group kernel and GroupBy.p_apply) and
+    * Knight's O(n log n) tau runs per pair, groups in parallel across
+    * executors. `maxGroupRows` fails fast on a group too large to
+    * buffer (route that group's slice through [[kendallDistributed]]).
+    * Cells are pairwise-masked (rows with null/NaN in either column of
+    * the pair drop, like scipy's nan_policy='omit' path pandas uses);
+    * degenerate (constant-side) cells are null; a non-constant
+    * diagonal is exactly 1. Grouping keys ride as strings internally
+    * and join back, so any key type round-trips. */
+  def kendallMatrixBy(df: DataFrame, key: String, cols: Seq[String],
+                      maxGroupRows: Int = 2000000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = cols.size
+    require(k >= 1, "kendallMatrixBy: need at least one column")
+    val pairs = for { i <- 0 until k; j <- i until k } yield (i, j)
+    val slim = df.filter(col(key).isNotNull)
+      .select(col(key).cast("string").as("__ks"),
+        array(cols.map(c =>
+          coalesce(col(c).cast("double"), lit(Double.NaN))): _*).as("__vs"))
+      .as[(String, Seq[Double])]
+    val taus = slim.groupByKey(_._1)
+      .flatMapGroups { (ks: String, it: Iterator[(String, Seq[Double])]) =>
+        val rows = new scala.collection.mutable.ArrayBuffer[Seq[Double]]
+        it.foreach { t =>
+          require(rows.size < maxGroupRows,
+            s"kendallMatrixBy: group '$ks' exceeds maxGroupRows=" +
+              s"$maxGroupRows — use kendallDistributed on its slice")
+          rows += t._2
+        }
+        pairs.iterator.map { case (i, j) =>
+          val xs = Array.newBuilder[Double]; val ys = Array.newBuilder[Double]
+          rows.foreach { r =>
+            val x = r(i); val y = r(j)
+            if (!x.isNaN && !y.isNaN) { xs += x; ys += y }
+          }
+          val tau = knightTau(xs.result(), ys.result())
+          (ks, cols(i), cols(j),
+            if (tau == null) None else Some(tau.doubleValue))
+        }
+      }.toDF("__ks", "c1", "c2", "kendall")
+    val keys = df.filter(col(key).isNotNull)
+      .select(col(key).cast("string").as("__ks2"), col(key).as(key))
+      .distinct()
+    taus.join(keys, col("__ks") === col("__ks2"))
+      .select(col(key), col("c1"), col("c2"), col("kendall"))
   }
 
   /** pandas `groupby(key).cov(ddof=1)`: per-group covariance matrix in
@@ -728,7 +785,7 @@ object Corr {
   /** Knight's-algorithm tau-b core over in-memory arrays (null when the
     * denominator is 0, i.e. one side is constant). Inputs are not
     * mutated. */
-  private def knightTau(xs: Array[Double], ys: Array[Double]): java.lang.Double = {
+  private[engine] def knightTau(xs: Array[Double], ys: Array[Double]): java.lang.Double = {
     val n = xs.length
     val idx = Array.range(0, n)
     val sorted = idx.sortBy(i => (xs(i), ys(i)))

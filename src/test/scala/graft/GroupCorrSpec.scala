@@ -503,4 +503,36 @@ class GroupCorrSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("c1", "c2", "corr") &&
       empty.count() == 0)
   }
+
+  test("kendallMatrixBy: per-group cells equal kendallFast on the " +
+    "group slice; NaN pairwise-masked; constant column -> null; " +
+    "diagonal 1; key type round-trips") {
+    val df = Seq(
+      (1L, 1.0, Some(4.0), 7.0), (1L, 2.0, Some(1.0), 7.0),
+      (1L, 2.0, Some(3.0), 7.0), (1L, 3.0, None, 7.0),
+      (1L, 4.0, Some(2.0), 7.0),
+      (2L, 1.0, Some(1.0), 1.0), (2L, 2.0, Some(2.0), 2.0),
+      (2L, 3.0, Some(3.0), 5.0), (2L, 4.0, Some(1.0), 3.0))
+      .toDF("g", "x", "y", "c")
+    val out = Corr.kendallMatrixBy(df, "g", Seq("x", "y", "c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // cross-check the masked x-y cells against kendallFast per slice
+    for (g <- Seq(1L, 2L)) {
+      val want = Corr.kendallFast(
+        df.filter(col("g") === g && col("y").isNotNull), "x", "y")
+        .head().getDouble(0)
+      assert(math.abs(out((g, "x", "y")).get - want) < 1e-12,
+        s"g=$g: ${out((g, "x", "y"))} vs $want")
+    }
+    // key type preserved (LongType), diagonals 1, constant col null in
+    // group 1 (c constant) but real in group 2
+    assert(out((1L, "x", "x")).contains(1.0) &&
+      out((2L, "y", "y")).contains(1.0))
+    assert(out((1L, "x", "c")).isEmpty && out((1L, "c", "c")).isEmpty)
+    assert(out((2L, "c", "c")).contains(1.0))
+    // dispatch through corrMatrixBy renames to `corr`
+    val viaDispatch = Corr.corrMatrixBy(df, "g", Seq("x", "y"), "kendall")
+    assert(viaDispatch.columns.toSeq == Seq("g", "c1", "c2", "corr"))
+  }
 }
