@@ -70,7 +70,7 @@ object StreamQueries {
     "q_stream_dedup_fuzzy" ->
       """WITH words AS (SELECT doc_id,
              string_split_regex(lower(trim(text)), '\s+') AS w
-           FROM documents),
+           FROM documents WHERE text IS NOT NULL),
          s0 AS (SELECT doc_id,
                   CASE WHEN len(w) >= 3 THEN
                     list_transform(generate_series(0, len(w)-3),

@@ -56,8 +56,11 @@ object Corr {
     * the exact per-pair semantics ungrouped.
     * Degenerate cells (zero variance in a group) are null, like pandas'
     * NaN. */
-  def corrMatrixBy(df: DataFrame, key: String, cols: Seq[String],
+  def corrMatrixBy(df0: DataFrame, key: String, cols: Seq[String],
                    method: String = "pearson"): DataFrame = {
+    // pandas groupby(dropna=True): null keys drop for EVERY method
+    // (Spark's groupBy would keep a null-key group)
+    val df = df0.filter(col(key).isNotNull)
     val src = method match {
       case "pearson" => df
       case "spearman" =>
@@ -97,9 +100,17 @@ object Corr {
     * buffer (route that group's slice through [[kendallDistributed]]).
     * Cells are pairwise-masked (rows with null/NaN in either column of
     * the pair drop, like scipy's nan_policy='omit' path pandas uses);
-    * degenerate (constant-side) cells are null; a non-constant
-    * diagonal is exactly 1. Grouping keys ride as strings internally
-    * and join back, so any key type round-trips. */
+    * OFF-diagonal degenerate (constant-side) cells are null; the
+    * diagonal is LITERAL 1.0 without invoking the kernel — the
+    * reference's unconditional `np.fill_diagonal(result_mat, 1)`, same
+    * rule as [[corrMatrixWith]], so a within-group-constant column
+    * still self-correlates at 1. Null grouping keys drop (pandas
+    * groupby dropna=True, like [[GroupOps.agg]]). Grouping keys ride
+    * as strings internally and join back through a key-column-only
+    * second scan (parquet-pruned — group-count-sized work), so any key
+    * type round-trips; the string form must be injective for the
+    * key's values (true for all primitive types except the -0.0/0.0
+    * double edge, which string-splits where groupBy would merge). */
   def kendallMatrixBy(df: DataFrame, key: String, cols: Seq[String],
                       maxGroupRows: Int = 2000000): DataFrame = {
     val spark = df.sparkSession
@@ -122,14 +133,18 @@ object Corr {
           rows += t._2
         }
         pairs.iterator.map { case (i, j) =>
-          val xs = Array.newBuilder[Double]; val ys = Array.newBuilder[Double]
-          rows.foreach { r =>
-            val x = r(i); val y = r(j)
-            if (!x.isNaN && !y.isNaN) { xs += x; ys += y }
+          if (i == j) (ks, cols(i), cols(j), Some(1.0)) // fill_diagonal
+          else {
+            val xs = Array.newBuilder[Double]
+            val ys = Array.newBuilder[Double]
+            rows.foreach { r =>
+              val x = r(i); val y = r(j)
+              if (!x.isNaN && !y.isNaN) { xs += x; ys += y }
+            }
+            val tau = knightTau(xs.result(), ys.result())
+            (ks, cols(i), cols(j),
+              if (tau == null) None else Some(tau.doubleValue))
           }
-          val tau = knightTau(xs.result(), ys.result())
-          (ks, cols(i), cols(j),
-            if (tau == null) None else Some(tau.doubleValue))
         }
       }.toDF("__ks", "c1", "c2", "kendall")
     val keys = df.filter(col(key).isNotNull)
@@ -142,8 +157,9 @@ object Corr {
   /** pandas `groupby(key).cov(ddof=1)`: per-group covariance matrix in
     * long form (key, c1, c2, cov) — same one-grouped-aggregate shape as
     * [[corrMatrixBy]], with per-group variances on the diagonal. */
-  def covMatrixBy(df: DataFrame, key: String, cols: Seq[String],
+  def covMatrixBy(df0: DataFrame, key: String, cols: Seq[String],
                   minPeriods: Int = 1): DataFrame = {
+    val df = df0.filter(col(key).isNotNull) // pandas groupby dropna=True
     val pairs = for {
       i <- cols.indices; j <- i until cols.size
     } yield (cols(i), cols(j))
@@ -790,39 +806,12 @@ object Corr {
     val idx = Array.range(0, n)
     val sorted = idx.sortBy(i => (xs(i), ys(i)))
     val y = sorted.map(ys)
-    def tiePairs(keys: Array[(Double, Double)]): Long = {
-      var pairs = 0L; var run = 1L; var j = 1
-      while (j <= keys.length) {
-        if (j < keys.length && keys(j) == keys(j - 1)) run += 1
-        else { pairs += run * (run - 1) / 2; run = 1 }
-        j += 1
-      }
-      pairs
-    }
     val n0 = n.toLong * (n - 1) / 2
-    val n1 = tiePairs(sorted.map(i => (xs(i), 0.0)))
-    val n3 = tiePairs(sorted.map(i => (xs(i), ys(i))))
-    val n2 = tiePairs(y.sorted.map((_, 0.0)))
-    // merge-sort inversion count of y
-    var swaps = 0L
-    val buf = new Array[Double](n)
-    def merge(lo: Int, mid: Int, hi: Int): Unit = {
-      var i = lo; var j = mid; var k = lo
-      while (i < mid && j < hi) {
-        if (y(i) <= y(j)) { buf(k) = y(i); i += 1 }
-        else { buf(k) = y(j); j += 1; swaps += (mid - i) }
-        k += 1
-      }
-      while (i < mid) { buf(k) = y(i); i += 1; k += 1 }
-      while (j < hi) { buf(k) = y(j); j += 1; k += 1 }
-      System.arraycopy(buf, lo, y, lo, hi - lo)
-    }
-    def msort(lo: Int, hi: Int): Unit =
-      if (hi - lo > 1) {
-        val mid = lo + (hi - lo) / 2
-        msort(lo, mid); msort(mid, hi); merge(lo, mid, hi)
-      }
-    msort(0, n)
+    val n1 = tieRuns(sorted.map(xs).toIndexedSeq)
+    val n3 = tieRuns(sorted.map(i => (xs(i), ys(i))).toIndexedSeq)
+    val n2 = tieRuns(y.sorted.toIndexedSeq)
+    // inversionCount mutates y in place — y is not read after this
+    val swaps = inversionCount(y)
     val denom = math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble)
     if (denom == 0) null else (n0 - n1 - n2 + n3 - 2 * swaps) / denom
   }

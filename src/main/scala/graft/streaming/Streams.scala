@@ -197,7 +197,9 @@ object Streams {
     * where batch boundaries fall. Event-time TTL bounds state like the
     * exact [[streamingDedupAudit]]. Emits per-(doc, band) decisions in
     * Append mode; the per-doc flag is a stateless fold at the sink
-    * (chaining a second stateful aggregate would force Update mode). */
+    * (chaining a second stateful aggregate would force Update mode).
+    * Null-text docs have no signature and emit NO decision (they can
+    * never collide) — a batch oracle must exclude them too. */
   def streamingDedupFuzzy(docs: Dataset[StreamDoc], ttlMs: Long,
                           k: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
                           watermark: String = "10 minutes")

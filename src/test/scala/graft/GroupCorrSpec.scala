@@ -525,11 +525,12 @@ class GroupCorrSpec extends SparkSpec {
       assert(math.abs(out((g, "x", "y")).get - want) < 1e-12,
         s"g=$g: ${out((g, "x", "y"))} vs $want")
     }
-    // key type preserved (LongType), diagonals 1, constant col null in
-    // group 1 (c constant) but real in group 2
+    // key type preserved (LongType); diagonals are LITERAL 1 even for
+    // the group-1 constant column (np.fill_diagonal — the kernel never
+    // runs on i==j); the constant column's OFF-diagonal cell is null
     assert(out((1L, "x", "x")).contains(1.0) &&
       out((2L, "y", "y")).contains(1.0))
-    assert(out((1L, "x", "c")).isEmpty && out((1L, "c", "c")).isEmpty)
+    assert(out((1L, "x", "c")).isEmpty && out((1L, "c", "c")).contains(1.0))
     assert(out((2L, "c", "c")).contains(1.0))
     // dispatch through corrMatrixBy renames to `corr`
     val viaDispatch = Corr.corrMatrixBy(df, "g", Seq("x", "y"), "kendall")
