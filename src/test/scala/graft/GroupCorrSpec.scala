@@ -536,4 +536,19 @@ class GroupCorrSpec extends SparkSpec {
     val viaDispatch = Corr.corrMatrixBy(df, "g", Seq("x", "y"), "kendall")
     assert(viaDispatch.columns.toSeq == Seq("g", "c1", "c2", "corr"))
   }
+
+  test("corrMatrixBy/covMatrixBy: null grouping keys drop for EVERY " +
+    "method (pandas dropna=True) — group sets agree across methods") {
+    val df = Seq(
+      (Some(1L), 1.0, 4.0), (Some(1L), 2.0, 1.0), (Some(1L), 3.0, 3.0),
+      (None, 9.0, 9.0), (None, 8.0, 7.0)).toDF("g", "x", "y")
+    for (m <- Seq("pearson", "spearman", "kendall")) {
+      val keys = Corr.corrMatrixBy(df, "g", Seq("x", "y"), m)
+        .select("g").distinct().collect().map(_.getLong(0)).toSet
+      assert(keys == Set(1L), s"method=$m grouped null keys: $keys")
+    }
+    val covKeys = Corr.covMatrixBy(df, "g", Seq("x", "y"))
+      .select("g").distinct().collect().map(_.getLong(0)).toSet
+    assert(covKeys == Set(1L))
+  }
 }
