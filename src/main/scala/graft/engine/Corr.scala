@@ -57,7 +57,8 @@ object Corr {
     * Degenerate cells (zero variance in a group) are null, like pandas'
     * NaN. */
   def corrMatrixBy(df0: DataFrame, key: String, cols: Seq[String],
-                   method: String = "pearson"): DataFrame = {
+                   method: String = "pearson",
+                   minPeriods: Int = 1): DataFrame = {
     // pandas groupby(dropna=True): null keys drop for EVERY method
     // (Spark's groupBy would keep a null-key group)
     val df = df0.filter(col(key).isNotNull)
@@ -72,7 +73,7 @@ object Corr {
               knownCuts = Some(allCuts(i)))
         }.select(col(key) +: cols.map(c => col(s"__mr_$c").as(c)): _*)
       case "kendall" =>
-        return kendallMatrixBy(df, key, cols)
+        return kendallMatrixBy(df, key, cols, minPeriods = minPeriods)
           .withColumnRenamed("kendall", "corr")
       case other => throw new IllegalArgumentException(
         s"corrMatrixBy: method='$other' (pearson|spearman|kendall)")
@@ -80,10 +81,17 @@ object Corr {
     val pairs = for {
       i <- cols.indices; j <- i until cols.size
     } yield (cols(i), cols(j))
-    val aggs = pairs.map { case (a, b) =>
-      Core.safeCorr(col(a), col(b)).as(s"${a}__$b") }
+    // min_periods gates per CELL on the pairwise-complete count, like
+    // pandas DataFrame.corr within each group (spearman counts ranked
+    // cells, which null exactly where the original was null/NaN)
+    val aggs = pairs.flatMap { case (a, b) => Seq(
+      Core.safeCorr(col(a), col(b)).as(s"${a}__$b"),
+      count(when(col(a).isNotNull && col(b).isNotNull, 1))
+        .as(s"${a}__${b}__n")) }
     val one = src.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
-    val stacked = pairs.map { case (a, b) => s"'$a', '$b', `${a}__$b`" }
+    val stacked = pairs.map { case (a, b) =>
+      s"'$a', '$b', CASE WHEN `${a}__${b}__n` >= $minPeriods " +
+        s"THEN `${a}__$b` END" }
       .mkString(s"stack(${pairs.size}, ", ", ", ") as (c1, c2, corr)")
     one.select(col(key), expr(stacked))
   }
@@ -112,7 +120,8 @@ object Corr {
     * key's values (true for all primitive types except the -0.0/0.0
     * double edge, which string-splits where groupBy would merge). */
   def kendallMatrixBy(df: DataFrame, key: String, cols: Seq[String],
-                      maxGroupRows: Int = 2000000): DataFrame = {
+                      maxGroupRows: Int = 2000000,
+                      minPeriods: Int = 1): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val k = cols.size
@@ -141,7 +150,9 @@ object Corr {
               val x = r(i); val y = r(j)
               if (!x.isNaN && !y.isNaN) { xs += x; ys += y }
             }
-            val tau = knightTau(xs.result(), ys.result())
+            val xa = xs.result(); val ya = ys.result()
+            val tau =
+              if (xa.length < minPeriods) null else knightTau(xa, ya)
             (ks, cols(i), cols(j),
               if (tau == null) None else Some(tau.doubleValue))
           }

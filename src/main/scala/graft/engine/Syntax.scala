@@ -275,8 +275,9 @@ object Syntax {
     def covMatrix(cols: String*): DataFrame =
       Corr.covLong(df, numeric(cols))
     def corrMatrixBy(key: String, cols: Seq[String],
-                     method: String = "pearson"): DataFrame =
-      Corr.corrMatrixBy(df, key, cols, method)
+                     method: String = "pearson",
+                     minPeriods: Int = 1): DataFrame =
+      Corr.corrMatrixBy(df, key, cols, method, minPeriods)
     def covMatrixBy(key: String, cols: Seq[String],
                     minPeriods: Int = 1): DataFrame =
       Corr.covMatrixBy(df, key, cols, minPeriods)

@@ -551,4 +551,22 @@ class GroupCorrSpec extends SparkSpec {
       .select("g").distinct().collect().map(_.getLong(0)).toSet
     assert(covKeys == Set(1L))
   }
+
+  test("corrMatrixBy(min_periods=): per-cell pairwise-complete gate " +
+    "for every method") {
+    // group 1 has only 2 complete (x, y) pairs (one y hole)
+    val df = Seq(
+      (1L, 1.0, Some(4.0)), (1L, 2.0, Option.empty[Double]),
+      (1L, 3.0, Some(2.0)),
+      (2L, 1.0, Some(1.0)), (2L, 2.0, Some(3.0)), (2L, 3.0, Some(2.0)),
+      (2L, 4.0, Some(4.0))).toDF("g", "x", "y")
+    for (m <- Seq("pearson", "spearman", "kendall")) {
+      val out = Corr.corrMatrixBy(df, "g", Seq("x", "y"), m,
+          minPeriods = 3)
+        .filter(col("c1") === "x" && col("c2") === "y")
+        .collect().map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+      assert(out(1L), s"method=$m: 2 pairs < min_periods=3 must null")
+      assert(!out(2L), s"method=$m: 4 pairs >= 3 must compute")
+    }
+  }
 }
