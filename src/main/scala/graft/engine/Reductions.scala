@@ -443,24 +443,39 @@ object Reductions {
     * two rows bracketing each quantile position. Eager (runs two jobs). */
   def quantilesBySort(df: DataFrame, c: String, qs: Seq[Double],
                       knownCount: Option[Long] = None): Seq[Double] = {
-    val vals = df.select(col(c).cast("double").as("v"))
+    // The sorted-and-indexed RDD is PERSISTED so the count job and the
+    // index-lookup job read the same materialization: an uncached
+    // re-execution of a non-deterministic (or concurrently changing)
+    // upstream between the two jobs would make the picked indices
+    // inconsistent with n (ADVICE r10). zipWithIndex itself runs one
+    // partition-sizes job, so persisting here adds no extra pass.
+    val sorted = df.select(col(c).cast("double").as("v"))
       .filter(col("v").isNotNull && !isnan(col("v")))
-    val n = knownCount.getOrElse(vals.count())
-    if (n == 0) return qs.map(_ => Double.NaN)
-    val needed = qs.flatMap { q =>
-      val p = (n - 1) * q
-      Seq(math.floor(p).toLong, math.ceil(p).toLong)
-    }.toSet
-    val picked: Map[Long, Double] = vals.sort("v").rdd
-      .map(_.getDouble(0)).zipWithIndex()
-      .filter { case (_, i) => needed.contains(i) }
-      .map(_.swap).collect().toMap
-    qs.map { q =>
-      val p = (n - 1) * q
-      val lo = picked(math.floor(p).toLong)
-      val hi = picked(math.ceil(p).toLong)
-      lo + (p - math.floor(p)) * (hi - lo)
-    }
+      .sort("v").rdd.map(_.getDouble(0)).zipWithIndex()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = knownCount.getOrElse(sorted.count())
+      if (n == 0) return qs.map(_ => Double.NaN)
+      val needed = qs.flatMap { q =>
+        val p = (n - 1) * q
+        Seq(math.floor(p).toLong, math.ceil(p).toLong)
+      }.toSet
+      val picked: Map[Long, Double] = sorted
+        .filter { case (_, i) => needed.contains(i) }
+        .map(_.swap).collect().toMap
+      def at(idx: Long): Double = picked.getOrElse(idx,
+        throw new IllegalStateException(
+          s"quantilesBySort($c): sorted index $idx absent from the " +
+            s"scan (n=$n, got ${picked.size}/${needed.size} positions) " +
+            "— the input row count changed between jobs (knownCount " +
+            "stale, or a non-deterministic source)"))
+      qs.map { q =>
+        val p = (n - 1) * q
+        val lo = at(math.floor(p).toLong)
+        val hi = at(math.ceil(p).toLong)
+        lo + (p - math.floor(p)) * (hi - lo)
+      }
+    } finally sorted.unpersist(blocking = false)
   }
 
   /** Bounded EXACT histogram aggregate: (value -> count) while the

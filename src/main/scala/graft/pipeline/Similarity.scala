@@ -619,31 +619,58 @@ object Similarity {
     * norms) ride a single nested-array Literal; each corpus row takes a
     * map-side max over the bench matrix via the native dot kernel —
     * ZERO shuffle, scan-speed at any corpus size, O(|bench| * d) per
-    * row. Returns (id, max_cos, contaminated); filter on the flag to
-    * drop. Zero-norm vectors score null max_cos but a FALSE (not null)
-    * contaminated flag, so `filter(!contaminated)` keeps them — a
-    * three-valued null flag would silently drop clean rows. */
+    * row. An eval set larger than `maxBenchLiteral` would explode plan
+    * size (the literal matrix is inlined into every task's codegen), so
+    * above it the SAME semantics run as a broadcast cross join + max
+    * aggregate — one broadcast of the bench table, still no shuffle of
+    * the corpus beyond the per-row-key max; sized for eval suites up to
+    * executor-broadcast memory. Returns (id, max_cos, contaminated);
+    * filter on the flag to drop. Zero-norm vectors score null max_cos
+    * but a FALSE (not null) contaminated flag, so `filter(!contaminated)`
+    * keeps them — a three-valued null flag would silently drop clean
+    * rows. */
   def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
                             threshold: Double,
                             idCol: String = "vec_id",
-                            vecCol: String = "embedding"): DataFrame = {
+                            vecCol: String = "embedding",
+                            maxBenchLiteral: Int = 4096): DataFrame = {
     def l2(v: Array[Double]): Double =
       math.sqrt(v.map(x => x * x).sum)
     val bvecs: Array[Array[Double]] = bench.orderBy(col(idCol))
       .select(asDouble(col(vecCol)).as("v")).collect()
       .map(_.getSeq[Double](0).toArray)
     require(bvecs.nonEmpty, "semanticDecontaminate: empty benchmark set")
-    val bLit = typedlit(bvecs.map(_.toSeq).toSeq)
-    val bNorms = typedlit(bvecs.map(l2).toSeq)
     val base = corpus.select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", l2norm(col("__v")))
-    val mx = array_max(transform(sequence(lit(0), lit(bvecs.length - 1)),
-      i => when(col("__n") > 0 && element_at(bNorms, i + 1) > 0,
-        dotNative(col("__v"), element_at(bLit, i + 1)) /
-          (col("__n") * element_at(bNorms, i + 1)))))
-    base.select(col("id"), mx.as("max_cos"),
-      coalesce(mx >= threshold, lit(false)).as("contaminated"))
+    if (bvecs.length <= maxBenchLiteral) {
+      val bLit = typedlit(bvecs.map(_.toSeq).toSeq)
+      val bNorms = typedlit(bvecs.map(l2).toSeq)
+      val mx = array_max(transform(sequence(lit(0), lit(bvecs.length - 1)),
+        i => when(col("__n") > 0 && element_at(bNorms, i + 1) > 0,
+          dotNative(col("__v"), element_at(bLit, i + 1)) /
+            (col("__n") * element_at(bNorms, i + 1)))))
+      base.select(col("id"), mx.as("max_cos"),
+        coalesce(mx >= threshold, lit(false)).as("contaminated"))
+    } else {
+      // Large eval set: broadcast the bench vectors as a TABLE (one
+      // copy per executor, not one per expression tree) and take the
+      // per-corpus-row max over the joined candidates. __rid keys the
+      // group (not `id`) so duplicate corpus ids never merge — output
+      // stays one row per corpus ROW, like the literal path.
+      val bdf = bench.select(asDouble(col(vecCol)).as("__bv"))
+        .withColumn("__bn", l2norm(col("__bv")))
+      val withRid = base.withColumn("__rid", monotonically_increasing_id())
+      withRid.crossJoin(broadcast(bdf))
+        .groupBy(col("__rid"))
+        .agg(first(col("id")).as("id"),
+          max(when(col("__n") > 0 && col("__bn") > 0,
+            dotNative(col("__v"), col("__bv")) /
+              (col("__n") * col("__bn")))).as("max_cos"))
+        .select(col("id"), col("max_cos"),
+          coalesce(col("max_cos") >= threshold, lit(false))
+            .as("contaminated"))
+    }
   }
 
   /** IVF-PQ combined ANN (FAISS IVFPQ shape): coarse cells bound the

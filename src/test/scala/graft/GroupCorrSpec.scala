@@ -569,4 +569,45 @@ class GroupCorrSpec extends SparkSpec {
       assert(!out(2L), s"method=$m: 4 pairs >= 3 must compute")
     }
   }
+
+  test("kendall collect bound is byte-aware (VERDICT r10): 256 MB " +
+    "budget caps rows by row width, and the budget drives escalation") {
+    import spark.implicits._
+    // cost model: 64 + 48*k bytes per collected Row of k boxed doubles
+    assert(Corr.kendallCollectMaxRows(2) == (256L << 20) / 160)
+    assert(Corr.kendallCollectMaxRows(4) == 1048576L)
+    // wider matrices shrink the bound; never unbounded, never zero
+    assert(Corr.kendallCollectMaxRows(100) < Corr.kendallCollectMaxRows(4))
+    assert(Corr.kendallCollectMaxRows(100) > 0)
+    // the derived bound (not a flat row count) is what the matrix path
+    // enforces and what corrMatrixAll escalates on: with a 1.6 kB
+    // budget the same 50-row frame must refuse the collect form and
+    // take the distributed path, with identical cells
+    val tiny = Corr.kendallCollectMaxRows(2, budgetBytes = 1600) // 10 rows
+    val df = (1 to 50).map { i =>
+      ((i * 37 % 11).toDouble, (i * 53 % 7).toDouble)
+    }.toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Corr.kendallMatrix(df, Seq("a", "b"), maxRows = tiny).collect()
+    }
+    assert(e.getMessage.contains("kendallMatrixDistributed"))
+    val esc = Corr.corrMatrixAll(df, Seq("a", "b"), withKendall = true,
+      kendallMaxRows = tiny).collect()(0)
+    val full = Corr.corrMatrixAll(df, Seq("a", "b"), withKendall = true)
+      .collect()(0)
+    assertApprox(optD(esc, 4), optD(full, 4), 1e-12)
+  }
+
+  test("corrMatrixBy threads kendallMaxGroupRows to the per-group " +
+    "buffer guard (ADVICE r10: the unified entry point has the knob)") {
+    val df = Seq((1L, 1.0, 2.0), (1L, 2.0, 1.0), (1L, 3.0, 3.0))
+      .toDF("g", "x", "y")
+    val e = intercept[Exception] {
+      Corr.corrMatrixBy(df, "g", Seq("x", "y"), "kendall",
+        kendallMaxGroupRows = 2).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    assert(msgs.contains("maxGroupRows"))
+  }
 }

@@ -339,6 +339,29 @@ class PipelineSpec extends SparkSpec {
     assert(byId(13L)._2.contains(false))
   }
 
+  test("semanticDecontaminate: bench above maxBenchLiteral takes the " +
+    "broadcast-join path with identical output (VERDICT r10 guard)") {
+    val bench = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(0.9f, 0.1f, 0.0f)),
+      (11L, Array(0.0f, 0.0f, 0.0f)),   // zero norm: null score, false flag
+      (12L, Array(-1.0f, 0.5f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("id").collect().map(r =>
+        (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(math.round(r.getDouble(1) * 1e9)),
+          r.getBoolean(2))).toSeq
+    val lit = Similarity.semanticDecontaminate(corpus, bench, 0.8)
+    val bc = Similarity.semanticDecontaminate(corpus, bench, 0.8,
+      maxBenchLiteral = 2) // forces the broadcast-join fallback
+    assert(rows(bc) == rows(lit))
+    assert(rows(bc).exists { case (id, s, f) => id == 11L && s.isEmpty && !f })
+  }
+
   test("bpeTrain/bpeApply vs a reference in-memory BPE") {
     // reference word-histogram BPE (Sennrich): same tie-break
     def refBpe(words: Map[String, Int], k: Int)
