@@ -13,7 +13,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all ++ Queries2.all ++ Queries3.all ++ Queries4.all ++
       Queries5.all ++ Queries6.all ++ Queries7.all ++ Queries8.all ++
-      Queries9.all ++ Queries10.all ++
+      Queries9.all ++ Queries10.all ++ Queries11.all ++
       PipelineQueries.all ++ PipelineQueries2.all ++ PipelineQueries3.all ++
       StreamQueries.all
 
@@ -23,6 +23,7 @@ object SparkEntry {
     Queries.oracle ++ Queries2.oracle ++ Queries3.oracle ++ Queries4.oracle ++
       Queries5.oracle ++ Queries6.oracle ++ Queries7.oracle ++
       Queries8.oracle ++ Queries9.oracle ++ Queries10.oracle ++
+      Queries11.oracle ++
       PipelineQueries.oracle ++ PipelineQueries2.oracle ++
       PipelineQueries3.oracle ++ StreamQueries.oracle
 }

@@ -205,6 +205,16 @@ object Syntax {
     def corrMatrix(method: String, cols: Seq[String]): DataFrame =
       Corr.corrMatrix(df, numeric(cols), method)
 
+    // ---- §2.10 frame-level str ops (round 11) ----
+    /** pandas str.extractall: one row per (input row, match). */
+    def strExtractAll(src: String, pat: String, groups: Seq[String],
+                      matchCol: String = "match"): DataFrame =
+      StrDt.strExtractAll(df, src, pat, groups, matchCol)
+    /** pandas str.cat(others=[...], sep=, na_rep=). */
+    def strCat(out: String, cols: Seq[String], sep: String = "",
+               naRep: Option[String] = None): DataFrame =
+      df.withColumn(out, StrDt.strCatList(cols.map(col), sep, naRep))
+
     // ---- 100 TB sketch modes (approximate, one-pass) ----
     def describeApprox(cols: String*): DataFrame =
       Reductions.describeApprox(df, numeric(cols))

@@ -334,4 +334,56 @@ class StrDtSpec extends SparkSpec {
     assert(err.toString.contains("not found") ||
       err.getCause != null && err.getCause.toString.contains("not found"))
   }
+
+  test("str.extractall matches pandas (CPython-generated): every " +
+    "match indexed 0.., no-match/null rows drop") {
+    import spark.implicits._
+    // expected values generated with pandas 2.x:
+    //   Series(["ab12 cd34","xx",None,"a1","q9z8 k7",""])
+    //     .str.extractall(r"([a-z]+)([0-9]+)")
+    val df = Seq((0, Some("ab12 cd34")), (1, Some("xx")),
+      (2, Option.empty[String]), (3, Some("a1")), (4, Some("q9z8 k7")),
+      (5, Some(""))).toDF("id", "s")
+    val out = StrDt.strExtractAll(df, "s", "([a-z]+)([0-9]+)",
+        Seq("w", "n"))
+      .select("id", "match", "w", "n").orderBy("id", "match")
+      .collect().map(r => (r.getInt(0), r.getInt(1),
+        r.getString(2), r.getString(3))).toSeq
+    assert(out == Seq(
+      (0, 0, "ab", "12"), (0, 1, "cd", "34"),
+      (3, 0, "a", "1"),
+      (4, 0, "q", "9"), (4, 1, "z", "8"), (4, 2, "k", "7")))
+    // single group also works; original columns ride through
+    val one = StrDt.strExtractAll(df, "s", "([0-9]+)", Seq("d"))
+      .select("id", "match", "d").orderBy("id", "match").collect()
+    assert(one.map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+      == Seq((0, 0, "12"), (0, 1, "34"), (3, 0, "1"),
+        (4, 0, "9"), (4, 1, "8"), (4, 2, "7")))
+  }
+
+  test("str.cat list form matches pandas (CPython-generated): na_rep " +
+    "substitutes per cell, default nulls the whole row") {
+    import spark.implicits._
+    // pandas 2.x: a=[x,None,z,w]; b=[1,2,None,4]; c=[None,B,C,D]
+    //   a.str.cat([b,c], sep='_', na_rep='NA')
+    //     -> [x_1_NA, NA_2_B, z_NA_C, w_4_D]
+    //   a.str.cat([b,c], sep='_') -> [NaN, NaN, NaN, w_4_D]
+    val df = Seq(
+      (Some("x"), Some("1"), Option.empty[String]),
+      (Option.empty[String], Some("2"), Some("B")),
+      (Some("z"), Option.empty[String], Some("C")),
+      (Some("w"), Some("4"), Some("D"))).toDF("a", "b", "c")
+    val cols = Seq(col("a"), col("b"), col("c"))
+    val rows = df.select(
+      StrDt.strCatList(cols, "_", naRep = Some("NA")).as("na"),
+      StrDt.strCatList(cols, "_").as("strict")).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("x_1_NA", "NA_2_B", "z_NA_C", "w_4_D"))
+    assert(rows.take(3).forall(_.isNullAt(1)) &&
+      rows(3).getString(1) == "w_4_D")
+    // empty separator (pandas default sep='')
+    val nosep = df.select(StrDt.strCatList(cols, "",
+      naRep = Some(""))).head().getString(0)
+    assert(nosep == "x1")
+  }
 }
