@@ -1,0 +1,52 @@
+#!/usr/bin/env python3
+"""Compare two graft.Bench runs for regression (drift-hardening
+acceptance + the per-round comparison tool, VERDICT r10 item 1).
+
+Methodology (validated on two same-tree runs, round 11):
+- per-query statistic: MIN of the interleaved reps (noise-robust;
+  reps are round-robin so a slow ambient stretch cannot poison all of
+  one query's reps);
+- cross-run normalization: divide by the run's median CALIBRATION time
+  (a fixed lineitem shuffle+agg run once per cycle) — cancels uniform
+  ambient speed differences between runs/machines;
+- gate: >= 95% of rows inside [0.67, 1.5] in calibration units.
+  Measured same-tree A/B: 98% inside [0.67,1.5], 89% inside
+  [0.77,1.3], 51% inside [0.9,1.1] — whole query families shift
+  together across JVM runs (JIT tier state), so a tighter per-row band
+  is not reachable at 3 reps on this machine; a row OUTSIDE 1.5x is
+  therefore a real signal, not noise. Totals agree much tighter
+  (same-tree A/B raw 4.2%).
+
+Usage: python3 scripts/bench_ab.py A.json B.json [lo hi]
+"""
+import json, sys
+from statistics import median
+
+a = json.load(open(sys.argv[1]))
+b = json.load(open(sys.argv[2]))
+lo, hi = (float(sys.argv[3]), float(sys.argv[4])) if len(sys.argv) > 4 else (0.67, 1.5)
+
+def norm(run):
+    cal = median(run["calibration"]) if run.get("calibration") else 1.0
+    runs = run.get("runs") or {q: [t] for q, t in run["queries"].items()}
+    return {q: min(v) / cal for q, v in runs.items()}, cal
+
+qa, calA = norm(a)
+qb, calB = norm(b)
+common = sorted(set(qa) & set(qb))
+ratios = {q: qb[q] / qa[q] for q in common if qa[q] > 0}
+inside = [q for q, r in ratios.items() if lo <= r <= hi]
+tight = sum(1 for r in ratios.values() if 0.9 <= r <= 1.1)
+outside = sorted(((r, q) for q, r in ratios.items() if not lo <= r <= hi),
+                 key=lambda t: abs(t[0] - 1), reverse=True)
+pct = 100.0 * len(inside) / len(ratios)
+print(f"rows: {len(ratios)}  inside [{lo},{hi}]: {len(inside)} ({pct:.1f}%)"
+      f"  [tight 0.9-1.1: {100.0*tight/len(ratios):.0f}%]")
+print(f"calibration medians: A={calA:.4f}s B={calB:.4f}s (ambient ratio {calB/calA:.3f})")
+print(f"raw totals: A={a['value']:.1f}s B={b['value']:.1f}s  "
+      f"calibrated: A={a.get('total_calibrated', 0):.1f} B={b.get('total_calibrated', 0):.1f}")
+med = sorted(ratios.values())[len(ratios) // 2]
+print(f"median per-row ratio B/A (calibration units): {med:.3f}")
+for r, q in outside[:15]:
+    print(f"  OUT {q}: {qa[q]:.3f} -> {qb[q]:.3f} cal-units  ({r:.2f}x)")
+sys.exit(0 if pct >= 95.0 else 1)

@@ -1,8 +1,168 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 object Bench {
+  /** Bench-only rows (no oracle; never part of the Verify contract).
+    * Object-scoped so PlanGuardSpec can pin the stress rows' physical
+    * plans (VERDICT r10 item 7).
+    *
+    * bench_dedup_fuzzy_10x: q_dedup_fuzzy on a synthetic 10-copy union
+    * of documents (~50k docs at sf0.1) so the dedup family has one
+    * measurement that is data- rather than plan-overhead-bound — a
+    * silent quadratic regression in the LSH pair join or the CC
+    * contraction shows up here first (VERDICT r5 stretch item).
+    * bench_kendall_dist_full: the unbounded-exact grid-decomposition
+    * kendall over the ENTIRE events table (~1M rows at sf0.1) — scale
+    * evidence for the no-collect path; the oracle-gated q_kendall_dist
+    * runs on a two-user slice where the O(n²) SQL oracle is feasible. */
+  val benchOnly: Map[String, (SparkSession, String) => DataFrame] =
+    Map("bench_kendall_dist_full" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val ev = graft.engine.Core.normalizeTs(
+        s.read.parquet(s"$d/events.parquet"))
+        .withColumn("tsu", unix_micros(col("ts")))
+      graft.engine.Corr.kendallDistributed(ev, "value", "tsu")
+    },
+    "bench_dedup_fuzzy_10x" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      // 10 exact copies with distinct ids: every true cluster gains 10
+      // members, so pair volume and cluster diameter both scale, while
+      // the id arithmetic keeps the synthesis deterministic.
+      val big = docs
+        .select(explode(sequence(lit(0), lit(9))).as("__c"),
+          col("doc_id"), col("text"))
+        .select((col("doc_id") * 10 + col("__c")).as("doc_id"), col("text"))
+      graft.pipeline.Dedup.fuzzy(big, "doc_id", "text",
+        k = 3, bands = 4, rowsPerBand = 2)
+    },
+    // 10x corpus through the IVF-PQ cell-keyed equi-join: 20k vectors
+    // x 64d against 64 queries with 8 coarse cells / nprobe 2 —
+    // candidate volume and code-table size both scale 10x while the
+    // plan stays broadcast-free; evidence for the FAISS-layout claim.
+    "bench_ivfpq_10x" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val emb = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val big = emb
+        .select(explode(sequence(lit(0), lit(9))).as("__c"),
+          col("vec_id"), col("embedding"))
+        .select((col("vec_id") * 10 + col("__c")).as("vec_id"),
+          col("embedding"))
+      def rows(f: org.apache.spark.sql.DataFrame): Array[Array[Double]] =
+        f.orderBy("vec_id").select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toArray)
+      val cells = rows(emb.filter(col("vec_id") < 8))
+      val src = rows(emb.filter(col("vec_id") >= 16 && col("vec_id") < 32))
+      val books = Array.tabulate(4)(sub =>
+        src.map(_.slice(sub * 16, sub * 16 + 16)))
+      graft.pipeline.Similarity.ivfPqTopK(
+        big.filter(col("vec_id") < 64), big, cells, books,
+        k = 5, nprobe = 2)
+    },
+    // qcut's 100-TB path: percentile_approx probe (bounded per-partial
+    // buffer) instead of the exact value-buffering percentile — the
+    // oracle-gated q_cut_qcut keeps the exact probe; this row keeps
+    // the approx path's cost visible next to it.
+    "bench_qcut_approx" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+      graft.engine.Reshape.qcut(li, "l_extendedprice", 4, out = "qc",
+          exact = false)
+        .select(col("l_orderkey"), col("l_linenumber"), col("qc"))
+    },
+    // 10x stress for the corr-matrix family (VERDICT r9 item 7): the
+    // full pearson+spearman matrix over a 10-copy lineitem union —
+    // the midrank bucketing and the single corr aggregate both see
+    // 10x rows; a regression in either plan shows here first.
+    "bench_corr_matrix_10x" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
+      val big = li.select(explode(sequence(lit(0), lit(9))).as("__c"),
+          col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
+        .drop("__c")
+      graft.engine.Corr.corrMatrixAll(big,
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    },
+    // 10x stress for the de-skewed grouped spearman (the r9 rework:
+    // (key, value-bucket) midrank windows instead of a 3-value
+    // Window.partitionBy key) — a regression back to the serialized
+    // low-NDV window shows up here as a super-linear jump.
+    "bench_spearman_10x" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val li = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+      val big = li.select(explode(sequence(lit(0), lit(9))).as("__c"),
+          col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .drop("__c")
+      graft.engine.Corr.corrMatrixBy(big, "l_returnflag",
+        Seq("l_quantity", "l_extendedprice", "l_discount"), "spearman")
+    },
+    // 10x stress for substring-span dedup: the Rabin-Karp window-hash
+    // explode + hash agg + semi-join over a 10-copy documents union —
+    // explode volume and dup-group sizes both scale 10x.
+    "bench_substring_10x" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val big = docs
+        .select(explode(sequence(lit(0), lit(9))).as("__c"),
+          col("doc_id"), col("text"))
+        .select((col("doc_id") * 10 + col("__c")).as("doc_id"),
+          col("text"))
+      graft.pipeline.Dedup.substringSpans(big, "doc_id", "text",
+        win = 30)
+    })
+
+  /** The hot-ten batch rows for the sf1 order-of-magnitude gate
+    * (VERDICT r10 item 6): one representative per heavy subsystem —
+    * corr machinery (grouped spearman + full matrix), distributed rank,
+    * global prefix sum, window family, LSH dedup, n-gram similarity,
+    * text analysis, PQ ANN, iterative graph. Streaming rows are
+    * excluded (checkpoint-harness-dominated, not data-bound). Run with
+    * `--sf sf1 --only hot10`. */
+  val hot10: Seq[String] = Seq(
+    "q_groupby_corr_spearman", "q_corr_matrix_full", "q_rank",
+    "q_cumsum_global", "q_rolling_stats", "q_dedup_fuzzy",
+    "q_ngram_jaccard", "q_top_ngrams", "q_pq_topk", "q_pagerank")
+
+  /** `--sf` resolution: an existing directory path is used as-is; a
+    * bare name is looked up under /root/testdata first; `sf1` (absent
+    * from the driver testdata) is GENERATED on first use into
+    * target/sf1 by [[graft.tools.MakeSf1]] — a deterministic 10×
+    * explode of sf0.1 with remapped row ids. */
+  private def resolveSf(spark: SparkSession, v: String): String = {
+    val f = new java.io.File(v)
+    if (f.isDirectory) v
+    else {
+      val td = new java.io.File(s"/root/testdata/$v")
+      if (td.isDirectory) td.getPath
+      else if (v == "sf1")
+        graft.tools.MakeSf1.ensure(spark, "/root/testdata/sf0.1",
+          "target/sf1")
+      else sys.error(s"--sf $v: no such directory or testdata scale")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // ---- CLI args (override env): --sf <dir|name>, --only a,b|hot10
+    var sfOpt: Option[String] = None
+    var onlyOpt: Option[String] = None
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--sf"   => sfOpt = Some(args(i + 1)); i += 2
+        case "--only" => onlyOpt = Some(args(i + 1)); i += 2
+        case other => sys.error(s"Bench: unknown arg $other " +
+          "(supported: --sf <dir|sfN>, --only <q1,q2|hot10>)")
+      }
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,191 +177,129 @@ object Bench {
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val sfDir = sfOpt.map(resolveSf(spark, _))
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     // Warm up JIT/codegen/shuffle machinery so the first timed query is
     // not charged for session startup (~4s otherwise).
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
     // Optional comma-separated filter for targeted local iteration
-    // (driver leaves it unset -> full set).
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+    // (driver leaves it unset -> full set). "hot10" = the sf1 gate set.
+    val only = onlyOpt.orElse(sys.env.get("SPARK_GRAFT_ONLY"))
+      .map(v => if (v == "hot10") hot10.toSet
+        else v.split(",").map(_.trim).toSet)
     val rt = Runtime.getRuntime
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // Bench-only rows (no oracle; never part of the Verify contract).
-    // bench_dedup_fuzzy_10x: q_dedup_fuzzy on a synthetic 10-copy union
-    // of documents (~50k docs at sf0.1) so the dedup family has one
-    // measurement that is data- rather than plan-overhead-bound — a
-    // silent quadratic regression in the LSH pair join or the CC
-    // contraction shows up here first (VERDICT r5 stretch item).
-    // bench_kendall_dist_full: the unbounded-exact grid-decomposition
-    // kendall over the ENTIRE events table (~1M rows at sf0.1) — scale
-    // evidence for the no-collect path; the oracle-gated q_kendall_dist
-    // runs on a two-user slice where the O(n²) SQL oracle is feasible.
-    val benchOnly: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-      Map("bench_kendall_dist_full" -> { (s, d) =>
-        import org.apache.spark.sql.functions._
-        val ev = graft.engine.Core.normalizeTs(
-          s.read.parquet(s"$d/events.parquet"))
-          .withColumn("tsu", unix_micros(col("ts")))
-        graft.engine.Corr.kendallDistributed(ev, "value", "tsu")
-      },
-      "bench_dedup_fuzzy_10x" -> { (s, d) =>
-        import org.apache.spark.sql.functions._
-        val docs = s.read.parquet(s"$d/documents.parquet")
-          .select(col("doc_id"), col("text"))
-        // 10 exact copies with distinct ids: every true cluster gains 10
-        // members, so pair volume and cluster diameter both scale, while
-        // the id arithmetic keeps the synthesis deterministic.
-        val big = docs
-          .select(explode(sequence(lit(0), lit(9))).as("__c"),
-            col("doc_id"), col("text"))
-          .select((col("doc_id") * 10 + col("__c")).as("doc_id"), col("text"))
-        graft.pipeline.Dedup.fuzzy(big, "doc_id", "text",
-          k = 3, bands = 4, rowsPerBand = 2)
-      },
-      // 10x corpus through the IVF-PQ cell-keyed equi-join: 20k vectors
-      // x 64d against 64 queries with 8 coarse cells / nprobe 2 —
-      // candidate volume and code-table size both scale 10x while the
-      // plan stays broadcast-free; evidence for the FAISS-layout claim.
-      "bench_ivfpq_10x" -> { (s, d) =>
-        import org.apache.spark.sql.functions._
-        val emb = s.read.parquet(s"$d/embeddings.parquet")
-          .select(col("vec_id"), col("embedding"))
-        val big = emb
-          .select(explode(sequence(lit(0), lit(9))).as("__c"),
-            col("vec_id"), col("embedding"))
-          .select((col("vec_id") * 10 + col("__c")).as("vec_id"),
-            col("embedding"))
-        def rows(f: org.apache.spark.sql.DataFrame): Array[Array[Double]] =
-          f.orderBy("vec_id").select(col("embedding").cast("array<double>"))
-            .collect().map(_.getSeq[Double](0).toArray)
-        val cells = rows(emb.filter(col("vec_id") < 8))
-        val src = rows(emb.filter(col("vec_id") >= 16 && col("vec_id") < 32))
-        val books = Array.tabulate(4)(sub =>
-          src.map(_.slice(sub * 16, sub * 16 + 16)))
-        graft.pipeline.Similarity.ivfPqTopK(
-          big.filter(col("vec_id") < 64), big, cells, books,
-          k = 5, nprobe = 2)
-      },
-      // qcut's 100-TB path: percentile_approx probe (bounded per-partial
-      // buffer) instead of the exact value-buffering percentile — the
-      // oracle-gated q_cut_qcut keeps the exact probe; this row keeps
-      // the approx path's cost visible next to it.
-      "bench_qcut_approx" -> { (s, d) =>
-        import org.apache.spark.sql.functions._
-        val li = s.read.parquet(s"$d/lineitem.parquet")
-        graft.engine.Reshape.qcut(li, "l_extendedprice", 4, out = "qc",
-            exact = false)
-          .select(col("l_orderkey"), col("l_linenumber"), col("qc"))
-      },
-      // 10x stress for the corr-matrix family (VERDICT r9 item 7): the
-      // full pearson+spearman matrix over a 10-copy lineitem union —
-      // the midrank bucketing and the single corr aggregate both see
-      // 10x rows; a regression in either plan shows here first.
-      "bench_corr_matrix_10x" -> { (s, d) =>
-        import org.apache.spark.sql.functions._
-        val li = s.read.parquet(s"$d/lineitem.parquet")
-          .select(col("l_quantity"), col("l_extendedprice"),
-            col("l_discount"), col("l_tax"))
-        val big = li.select(explode(sequence(lit(0), lit(9))).as("__c"),
-            col("l_quantity"), col("l_extendedprice"),
-            col("l_discount"), col("l_tax"))
-          .drop("__c")
-        graft.engine.Corr.corrMatrixAll(big,
-          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-      },
-      // 10x stress for the de-skewed grouped spearman (the r9 rework:
-      // (key, value-bucket) midrank windows instead of a 3-value
-      // Window.partitionBy key) — a regression back to the serialized
-      // low-NDV window shows up here as a super-linear jump.
-      "bench_spearman_10x" -> { (s, d) =>
-        import org.apache.spark.sql.functions._
-        val li = s.read.parquet(s"$d/lineitem.parquet")
-          .select(col("l_returnflag"), col("l_quantity"),
-            col("l_extendedprice"), col("l_discount"))
-        val big = li.select(explode(sequence(lit(0), lit(9))).as("__c"),
-            col("l_returnflag"), col("l_quantity"),
-            col("l_extendedprice"), col("l_discount"))
-          .drop("__c")
-        graft.engine.Corr.corrMatrixBy(big, "l_returnflag",
-          Seq("l_quantity", "l_extendedprice", "l_discount"), "spearman")
-      },
-      // 10x stress for substring-span dedup: the Rabin-Karp window-hash
-      // explode + hash agg + semi-join over a 10-copy documents union —
-      // explode volume and dup-group sizes both scale 10x.
-      "bench_substring_10x" -> { (s, d) =>
-        import org.apache.spark.sql.functions._
-        val docs = s.read.parquet(s"$d/documents.parquet")
-          .select(col("doc_id"), col("text"))
-        val big = docs
-          .select(explode(sequence(lit(0), lit(9))).as("__c"),
-            col("doc_id"), col("text"))
-          .select((col("doc_id") * 10 + col("__c")).as("doc_id"),
-            col("text"))
-        graft.pipeline.Dedup.substringSpans(big, "doc_id", "text",
-          win = 30)
-      })
-    // Deterministic order. Between queries: drop any cached plans, then
-    // two GC passes so the ContextCleaner reaps the previous query's
-    // broadcast/shuffle blocks and a brief pause lets the async cleanup
-    // drain — round 5 showed in-suite times inflating up to 7x over
-    // isolated runs purely from accumulated JVM/Spark state, and the
-    // post-GC heap line below makes any remaining inflation diagnosable
-    // from the driver's record alone.
-    // Per-query MEDIAN of `reps` runs (default 3): round-8 recorded a
-    // 136.8-200.2 s same-tree total drift band (ambient, uniform
-    // ~1.1-1.4x per query), which made per-row regressions invisible.
-    // The median is robust to a one-off inflated rep; all reps ride
-    // BENCH.json under "runs" so the spread stays auditable.
-    val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
-    val runs = (SparkEntry.queries ++ benchOnly).toSeq.sortBy(_._1)
+
+    // ---- measurement harness (reworked r11, VERDICT r10 item 1).
+    // Round-8..10 recorded a 125-188 s same-tree total drift band:
+    // ambient JVM/OS state inflates whole stretches of a run, and with
+    // 3 CONSECUTIVE reps per query the median inherits the stretch's
+    // bias (q_top_ngrams' reps climbed monotonically 1.6→3.1→5.5 s
+    // inside one round-10 run). Three changes:
+    //   1. INTERLEAVED reps — cycle round-robin over the whole query
+    //      list instead of 3-in-a-row, so a slow ambient stretch taxes
+    //      every query a little rather than one query fully;
+    //   2. stress rows (bench_*) get 5 reps (their 10x inputs swing
+    //      2.4x between same-tree runs — more samples, stabler median);
+    //   3. a fixed CALIBRATION row opens every cycle; each rep is also
+    //      reported normalized by its cycle's calibration drift factor
+    //      (calib_cycle / median(calib)), which cancels run-wide
+    //      ambient shift from the per-query medians. Raw medians stay
+    //      the primary "queries" record (driver contract unchanged);
+    //      "queries_calibrated" + "calibration" ride alongside.
+    val baseReps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt).getOrElse(3)
+    val stressReps = sys.env.get("SPARK_GRAFT_STRESS_REPS").map(_.toInt)
+      .getOrElse(math.max(baseReps, 5))
+    def repsFor(name: String): Int =
+      if (name.startsWith("bench_")) stressReps else baseReps
+    val selected = (SparkEntry.queries ++ benchOnly).toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      val times = (1 to reps).flatMap { rep =>
-        if (errors.contains(name)) None // don't repeat a failed query
-        else {
+    require(selected.nonEmpty, "Bench: --only matched no queries")
+    val maxReps = selected.map { case (n, _) => repsFor(n) }.max
+    // fixed calibration query: one real shuffle+agg over lineitem,
+    // deliberately DIFFERENT from the warmup's key so no cached state
+    // short-circuits it; ~constant work at a given SF
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_suppkey").agg(sum("l_extendedprice")).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val times = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[Double]]()
+    selected.foreach { case (n, _) =>
+      times(n) = scala.collection.mutable.ArrayBuffer.empty[Double] }
+    val calib = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (cycle <- 1 to maxReps) {
+      calib += calibrate()
+      spark.catalog.clearCache(); System.gc()
+      selected.foreach { case (name, fn) =>
+        if (cycle <= repsFor(name) && !errors.contains(name)) {
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch {
             case e: Throwable =>
               errors(name) = e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300)
-              System.err.println(s"[bench] FAILED $name (rep $rep)")
+              System.err.println(s"[bench] FAILED $name (cycle $cycle)")
               e.printStackTrace()
           }
           val dt = (System.nanoTime() - t0) / 1e9
-          // between reps: drop cached plans + one GC pass so a rep
-          // never reads the previous rep's cache/broadcast state
-          spark.catalog.clearCache()
-          System.gc()
-          if (errors.contains(name)) None else Some(dt)
+          // between queries: drop cached plans + one GC pass so a query
+          // never reads the previous query's cache/broadcast state
+          spark.catalog.clearCache(); System.gc()
+          if (!errors.contains(name)) times(name) += dt
         }
       }
+      // end of cycle: two GC passes so the ContextCleaner reaps
+      // broadcast/shuffle blocks, and the post-GC heap line keeps any
+      // remaining inflation diagnosable from the driver's record alone
       System.gc(); System.gc()
       Thread.sleep(50)
       val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+      System.err.println(f"[bench] cycle $cycle/$maxReps done  " +
+        f"calib=${calib.last}%.3fs  postGcHeap=${heapMb}MB")
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val calMed = median(calib.toSeq)
+    val runs = selected.map { case (name, _) =>
+      val ts = times(name).toSeq
       // a failed query reports -1, never its partial wall time: a broken
       // query must not masquerade as a fast bench row
       val med =
-        if (errors.contains(name) || times.isEmpty) -1.0
-        else times.sorted.apply(times.size / 2)
+        if (errors.contains(name) || ts.isEmpty) -1.0
+        else median(ts)
+      // rep i ran in cycle i+1 (reps are contiguous from cycle 1 until
+      // completion or first failure) -> normalize by that cycle's drift
+      val calTs = ts.zipWithIndex.map { case (t, i) =>
+        t * calMed / calib(i) }
+      val medCal =
+        if (errors.contains(name) || ts.isEmpty) -1.0
+        else median(calTs)
       System.err.println(f"[bench] $name%-28s med=${med}%8.3fs  " +
-        s"runs=${times.map(t => f"$t%.3f").mkString(",")}  postGcHeap=${heapMb}MB")
-      (name, med, times)
+        f"medCal=${medCal}%8.3fs  " +
+        s"runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+      (name, med, medCal, ts)
     }
-    val results = runs.map { case (name, med, _) => name -> med }
+    val results = runs.map { case (name, med, _, _) => name -> med }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val runsJson = runs.map { case (k, _, ts) =>
+    val qsCal = runs.map { case (k, _, mc, _) => s"\"" + k + "\":" + mc }
+      .mkString("{", ",", "}")
+    val runsJson = runs.map { case (k, _, _, ts) =>
       s"\"" + k + "\":[" + ts.mkString(",") + "]" }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val totalCal = runs.map(_._3).filter(_ >= 0).sum
     // nerrors/rc ride the TOP level of the persisted record so a
     // timing consumer can't compare an errored run's total against a
     // clean one without seeing the flag (ADVICE r7)
     val rc = if (errors.nonEmpty) 1 else 0
+    val calJson = calib.map(c => f"$c%.4f").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"nerrors":${errors.size},"rc":$rc,"reps":$reps,"aggregation":"median","queries":$qs,"runs":$runsJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"nerrors":${errors.size},"rc":$rc,"reps":$baseReps,"stress_reps":$stressReps,"aggregation":"median","interleaved":true,"total_calibrated":$totalCal,"calibration":$calJson,"queries":$qs,"queries_calibrated":$qsCal,"runs":$runsJson,"errors":$errJson,"sf":"$sfDir"}"""
     // The per-query map is ~100 entries and outgrew the driver's tail
     // capture in round 4 (BENCH_r04.json: parsed null). Emit the full
     // record first (and persist it to BENCH.json for the repo), then the
@@ -209,7 +307,11 @@ object Bench {
     // capture always sees a complete JSON object.
     println(full)
     try {
-      val w = new java.io.PrintWriter("BENCH.json")
+      // a filtered (--only/--sf) run records to a side file, never over
+      // the round's full BENCH.json
+      val out = if (only.isEmpty && sfOpt.isEmpty) "BENCH.json"
+        else "BENCH_partial.json"
+      val w = new java.io.PrintWriter(out)
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"nerrors":${errors.size},"sf":"$sfDir"}""")

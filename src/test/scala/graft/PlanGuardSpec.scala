@@ -272,4 +272,44 @@ class PlanGuardSpec extends SparkSpec {
       case _ => false
     }, "corr matrix must not plan non-equi joins")
   }
+
+  // ---- stress-row shape guards (VERDICT r10 item 7): the 10x bench
+  // rows encode the r9/r10 de-skew work but had no plan assertion —
+  // a regression back to a serialized window would only show as a
+  // super-linear timing jump, rounds later. Pin the shape here, on THE
+  // benchmarked definitions (Bench.benchOnly), at sf0.001.
+
+  test("corr stress rows: no partition-less window anywhere; grouped-" +
+    "spearman midranks partition by (key, value-bucket), never the " +
+    "low-NDV key alone") {
+    val sfDir = "/root/testdata/sf0.001"
+    for (name <- Seq("bench_spearman_10x", "bench_corr_matrix_10x")) {
+      val plan = Bench.benchOnly(name)(spark, sfDir)
+        .queryExecution.executedPlan
+      assert(globalWindows(plan).isEmpty,
+        s"$name: plan grew a partition-less WindowExec (all rows to " +
+          "one task at 100 TB)")
+    }
+    // bench_spearman_10x = corrMatrixBy(spearman) on a 3-value key:
+    // every CORPUS-sized midrank window must carry BOTH the group key
+    // and the value bucket — key-only partitioning is exactly the n/3
+    // single-task sort the r9 rework removed. The one legitimate
+    // key-only window is the per-key running-OFFSET window, which runs
+    // over the (NDV(key) × buckets)-row counts AGGREGATE — bounded by
+    // construction, so its child subtree must contain an aggregate.
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val sp = Bench.benchOnly("bench_spearman_10x")(spark, sfDir)
+      .queryExecution.executedPlan
+    val wins = walkPlan(sp).collect { case w: WindowExec => w }
+    assert(wins.exists(_.partitionSpec.size >= 2),
+      "spearman stress row lost its (key, bucket) midrank windows — " +
+        "plan changed out from under the guard; re-audit and update")
+    wins.filter(_.partitionSpec.size < 2).foreach { w =>
+      assert(walkPlan(w.child).exists(_.isInstanceOf[BaseAggregateExec]),
+        s"window partitioned by " +
+          s"${w.partitionSpec.map(_.sql).mkString(", ")} ONLY runs " +
+          "over NON-aggregated (corpus-sized) input — the de-skewed " +
+          "shape is (key, value-bucket)")
+    }
+  }
 }
