@@ -26,15 +26,30 @@ a = json.load(open(sys.argv[1]))
 b = json.load(open(sys.argv[2]))
 lo, hi = (float(sys.argv[3]), float(sys.argv[4])) if len(sys.argv) > 4 else (0.67, 1.5)
 
+bad = False
+for name, run in (("A", a), ("B", b)):
+    if run.get("nerrors", 0) or run.get("rc", 0):
+        print(f"run {name} carries errors (nerrors={run.get('nerrors')}, "
+              f"rc={run.get('rc')}): {sorted(run.get('errors', {}))[:5]} — "
+              "timing comparison on an errored run is not a gate result")
+        bad = True
+
 def norm(run):
     cal = median(run["calibration"]) if run.get("calibration") else 1.0
     runs = run.get("runs") or {q: [t] for q, t in run["queries"].items()}
-    return {q: min(v) / cal for q, v in runs.items()}, cal
+    # a query that failed in some cycle has reps == [] or a -1.0 marker;
+    # drop it from the ratio set (the error surfaced above)
+    return {q: min(v) / cal for q, v in runs.items()
+            if v and min(v) > 0}, cal
 
 qa, calA = norm(a)
 qb, calB = norm(b)
 common = sorted(set(qa) & set(qb))
 ratios = {q: qb[q] / qa[q] for q in common if qa[q] > 0}
+if not ratios:
+    print("no common successful queries between the two runs "
+          "(comparing a --only partial against a full run?)")
+    sys.exit(2)
 inside = [q for q, r in ratios.items() if lo <= r <= hi]
 tight = sum(1 for r in ratios.values() if 0.9 <= r <= 1.1)
 outside = sorted(((r, q) for q, r in ratios.items() if not lo <= r <= hi),
@@ -49,4 +64,4 @@ med = sorted(ratios.values())[len(ratios) // 2]
 print(f"median per-row ratio B/A (calibration units): {med:.3f}")
 for r, q in outside[:15]:
     print(f"  OUT {q}: {qa[q]:.3f} -> {qb[q]:.3f} cal-units  ({r:.2f}x)")
-sys.exit(0 if pct >= 95.0 else 1)
+sys.exit(0 if pct >= 95.0 and not bad else 1)

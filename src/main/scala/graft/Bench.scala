@@ -30,10 +30,7 @@ object Bench {
       // 10 exact copies with distinct ids: every true cluster gains 10
       // members, so pair volume and cluster diameter both scale, while
       // the id arithmetic keeps the synthesis deterministic.
-      val big = docs
-        .select(explode(sequence(lit(0), lit(9))).as("__c"),
-          col("doc_id"), col("text"))
-        .select((col("doc_id") * 10 + col("__c")).as("doc_id"), col("text"))
+      val big = graft.tools.MakeSf1.tenfold(docs, Seq("doc_id"))
       graft.pipeline.Dedup.fuzzy(big, "doc_id", "text",
         k = 3, bands = 4, rowsPerBand = 2)
     },
@@ -45,11 +42,7 @@ object Bench {
       import org.apache.spark.sql.functions._
       val emb = s.read.parquet(s"$d/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
-      val big = emb
-        .select(explode(sequence(lit(0), lit(9))).as("__c"),
-          col("vec_id"), col("embedding"))
-        .select((col("vec_id") * 10 + col("__c")).as("vec_id"),
-          col("embedding"))
+      val big = graft.tools.MakeSf1.tenfold(emb, Seq("vec_id"))
       def rows(f: org.apache.spark.sql.DataFrame): Array[Array[Double]] =
         f.orderBy("vec_id").select(col("embedding").cast("array<double>"))
           .collect().map(_.getSeq[Double](0).toArray)
@@ -81,10 +74,7 @@ object Bench {
       val li = s.read.parquet(s"$d/lineitem.parquet")
         .select(col("l_quantity"), col("l_extendedprice"),
           col("l_discount"), col("l_tax"))
-      val big = li.select(explode(sequence(lit(0), lit(9))).as("__c"),
-          col("l_quantity"), col("l_extendedprice"),
-          col("l_discount"), col("l_tax"))
-        .drop("__c")
+      val big = graft.tools.MakeSf1.tenfold(li, Seq.empty)
       graft.engine.Corr.corrMatrixAll(big,
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
     },
@@ -97,10 +87,7 @@ object Bench {
       val li = s.read.parquet(s"$d/lineitem.parquet")
         .select(col("l_returnflag"), col("l_quantity"),
           col("l_extendedprice"), col("l_discount"))
-      val big = li.select(explode(sequence(lit(0), lit(9))).as("__c"),
-          col("l_returnflag"), col("l_quantity"),
-          col("l_extendedprice"), col("l_discount"))
-        .drop("__c")
+      val big = graft.tools.MakeSf1.tenfold(li, Seq.empty)
       graft.engine.Corr.corrMatrixBy(big, "l_returnflag",
         Seq("l_quantity", "l_extendedprice", "l_discount"), "spearman")
     },
@@ -111,11 +98,7 @@ object Bench {
       import org.apache.spark.sql.functions._
       val docs = s.read.parquet(s"$d/documents.parquet")
         .select(col("doc_id"), col("text"))
-      val big = docs
-        .select(explode(sequence(lit(0), lit(9))).as("__c"),
-          col("doc_id"), col("text"))
-        .select((col("doc_id") * 10 + col("__c")).as("doc_id"),
-          col("text"))
+      val big = graft.tools.MakeSf1.tenfold(docs, Seq("doc_id"))
       graft.pipeline.Dedup.substringSpans(big, "doc_id", "text",
         win = 30)
     })
@@ -157,8 +140,13 @@ object Bench {
     var i = 0
     while (i < args.length) {
       args(i) match {
-        case "--sf"   => sfOpt = Some(args(i + 1)); i += 2
-        case "--only" => onlyOpt = Some(args(i + 1)); i += 2
+        case f @ ("--sf" | "--only") =>
+          if (i + 1 >= args.length)
+            sys.error(s"Bench: $f needs a value " +
+              "(supported: --sf <dir|sfN>, --only <q1,q2|hot10>)")
+          if (f == "--sf") sfOpt = Some(args(i + 1))
+          else onlyOpt = Some(args(i + 1))
+          i += 2
         case other => sys.error(s"Bench: unknown arg $other " +
           "(supported: --sf <dir|sfN>, --only <q1,q2|hot10>)")
       }
@@ -307,10 +295,14 @@ object Bench {
     // capture always sees a complete JSON object.
     println(full)
     try {
-      // a filtered (--only/--sf) run records to a side file, never over
-      // the round's full BENCH.json
-      val out = if (only.isEmpty && sfOpt.isEmpty) "BENCH.json"
-        else "BENCH_partial.json"
+      // a filtered or non-default-scale run records to a side file,
+      // never over the round's full BENCH.json — keyed on the RESOLVED
+      // sf dir, so an env-pointed SPARK_GRAFT_SF_DIR=<other scale> run
+      // can't clobber the canonical record either (the driver's own
+      // sf0.1 env setting still writes it)
+      val out = if (only.isEmpty &&
+          sfDir.stripSuffix("/") == "/root/testdata/sf0.1")
+        "BENCH.json" else "BENCH_partial.json"
       val w = new java.io.PrintWriter(out)
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }

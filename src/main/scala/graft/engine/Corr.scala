@@ -135,10 +135,29 @@ object Corr {
     * [[GroupOps.agg]]). The TYPED key value rides through the group
     * output itself (first row of each group) — no string round-trip
     * join-back, no second scan of a possibly non-deterministic
-    * upstream (ADVICE r10). Groups are keyed on the JVM
-    * `String.valueOf` of the key, which must be injective for the
-    * key's values (true for all primitive types except the -0.0/0.0
-    * double edge, which string-splits where groupBy would merge). */
+    * upstream (ADVICE r10). Groups are keyed on an injective string
+    * form of the key ([[groupKeyString]]): primitives via
+    * `String.valueOf`, binary via hex (a raw `Array[Byte].toString` is
+    * per-OBJECT identity and would shatter equal byte keys into one
+    * group per row), arrays/structs element-wise. The one residual
+    * split vs `groupBy` is -0.0/0.0 doubles (string-splits where
+    * groupBy would merge). */
+  /** Injective string form of a group-key value for `groupByKey`.
+    * `String.valueOf` alone is identity-hash for `Array[Byte]` (Spark
+    * BinaryType surfaces as a JVM array), which would put EQUAL binary
+    * keys in different groups — encode binary as hex and recurse into
+    * containers instead. */
+  private[graft] def groupKeyString(v: Any): String = v match {
+    case null => " null"
+    case b: Array[Byte] => "0x" + b.map("%02x".format(_)).mkString
+    case a: Array[_] => a.map(groupKeyString).mkString("[", ",", "]")
+    case s: scala.collection.Seq[_] =>
+      s.map(groupKeyString).mkString("[", ",", "]")
+    case r: org.apache.spark.sql.Row =>
+      r.toSeq.map(groupKeyString).mkString("(", ",", ")")
+    case other => String.valueOf(other)
+  }
+
   def kendallMatrixBy(df: DataFrame, key: String, cols: Seq[String],
                       maxGroupRows: Int = 2000000,
                       minPeriods: Int = 1): DataFrame = {
@@ -156,7 +175,7 @@ object Corr {
       StructField("c1", StringType, nullable = false),
       StructField("c2", StringType, nullable = false),
       StructField("kendall", DoubleType)))
-    slim.groupByKey(r => String.valueOf(r.get(0)))(Encoders.STRING)
+    slim.groupByKey(r => groupKeyString(r.get(0)))(Encoders.STRING)
       .flatMapGroups { (ks: String, it: Iterator[Row]) =>
         var keyVal: Any = null
         val rows = new scala.collection.mutable.ArrayBuffer[Seq[Double]]

@@ -265,10 +265,11 @@ object StrDt {
   def strRstrip(c: Column): Column = rtrim(c)
 
   /** pandas Series.str.cat(other, sep): null if EITHER side is null
-    * (NaN propagation) — unlike concat_ws, which skips nulls. */
+    * (NaN propagation) — unlike concat_ws, which skips nulls. The
+    * two-column core of [[strCatList]]; one definition of the
+    * propagation contract. */
   def strCat(a: Column, b: Column, sep: String): Column =
-    when(a.isNull || b.isNull, lit(null))
-      .otherwise(concat(a, lit(sep), b))
+    strCatList(Seq(a, b), sep)
 
   /** pandas dt.round(freq) for fixed-length units (s/min/H/D):
     * round-HALF-TO-EVEN on the bucket index — pandas rounds an exact
@@ -422,12 +423,20 @@ object StrDt {
                     matchCol: String = "match"): DataFrame = {
     require(groups.nonEmpty,
       "extractall: the pattern needs at least one capture group")
+    // The output keeps the input columns, so the new names must not
+    // shadow existing ones — fail with the collision named instead of
+    // Spark's AMBIGUOUS_REFERENCE at the select below.
+    (matchCol +: groups).foreach(n => require(!df.columns.contains(n),
+      s"extractall: frame already has a column '$n' — rename it or " +
+        "pass different matchCol/group names"))
+    val tmp = Iterator.from(0).map(i => s"__m$i")
+      .find(n => !df.columns.contains(n)).get
     val zipped = arrays_zip(groups.indices.map(g =>
       regexp_extract_all(col(src), lit(pat), lit(g + 1)).as(s"__g$g")): _*)
-    df.select(col("*"), posexplode(zipped).as(Seq(matchCol, "__m")))
+    df.select(col("*"), posexplode(zipped).as(Seq(matchCol, tmp)))
       .select(df.columns.map(col) ++ (col(matchCol) +:
         groups.zipWithIndex.map { case (n, i) =>
-          col("__m").getField(s"__g$i").as(n) }): _*)
+          col(tmp).getField(s"__g$i").as(n) }): _*)
   }
 
   /** pandas `str.cat(others=[...], sep=, na_rep=)` — the full list-of-

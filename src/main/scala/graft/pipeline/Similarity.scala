@@ -636,14 +636,18 @@ object Similarity {
                             maxBenchLiteral: Int = 4096): DataFrame = {
     def l2(v: Array[Double]): Double =
       math.sqrt(v.map(x => x * x).sum)
-    val bvecs: Array[Array[Double]] = bench.orderBy(col(idCol))
-      .select(asDouble(col(vecCol)).as("v")).collect()
-      .map(_.getSeq[Double](0).toArray)
-    require(bvecs.nonEmpty, "semanticDecontaminate: empty benchmark set")
+    // Bounded size probe BEFORE any driver materialization: collecting
+    // first and checking length after would OOM the driver on exactly
+    // the oversized eval set the broadcast branch exists for.
+    val benchProbe = bench.limit(maxBenchLiteral + 1).count()
+    require(benchProbe > 0, "semanticDecontaminate: empty benchmark set")
     val base = corpus.select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", l2norm(col("__v")))
-    if (bvecs.length <= maxBenchLiteral) {
+    if (benchProbe <= maxBenchLiteral) {
+      val bvecs: Array[Array[Double]] = bench.orderBy(col(idCol))
+        .select(asDouble(col(vecCol)).as("v")).collect()
+        .map(_.getSeq[Double](0).toArray)
       val bLit = typedlit(bvecs.map(_.toSeq).toSeq)
       val bNorms = typedlit(bvecs.map(l2).toSeq)
       val mx = array_max(transform(sequence(lit(0), lit(bvecs.length - 1)),

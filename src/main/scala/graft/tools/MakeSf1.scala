@@ -31,6 +31,21 @@ object MakeSf1 {
   private val copied: Seq[String] =
     Seq("region", "nation", "customer", "supplier", "part")
 
+  /** `factor` copies of every row, with each column in `ids` remapped
+    * `id*factor + copy` so remapped keys stay join-consistent across
+    * tables and distinct across copies. THE single definition of the
+    * n-fold synthesis — the bench stress rows and the sf1 generator
+    * must not drift apart, so both call this. */
+  def tenfold(df: DataFrame, ids: Seq[String],
+              factor: Int = 10): DataFrame = {
+    val withC = df.select(
+      explode(sequence(lit(0), lit(factor - 1))).as("__c") +:
+        df.columns.map(col): _*)
+    ids.foldLeft(withC) { case (d, id) =>
+      d.withColumn(id, col(id) * factor + col("__c"))
+    }.drop("__c")
+  }
+
   /** Generate (if absent) and return the sf1 directory. A marker file
     * makes the generation once-only; a partial previous run regenerates. */
   def ensure(spark: SparkSession, srcDir: String, outDir: String,
@@ -39,17 +54,9 @@ object MakeSf1 {
     if (marker.exists()) return outDir
     System.err.println(s"[make-sf1] generating $outDir from $srcDir " +
       s"(factor=$factor) ...")
-    def explodeIds(df: DataFrame, ids: Seq[String]): DataFrame = {
-      val withC = df.select(
-        explode(sequence(lit(0), lit(factor - 1))).as("__c") +:
-          df.columns.map(col): _*)
-      ids.foldLeft(withC) { case (d, id) =>
-        d.withColumn(id, col(id) * factor + col("__c"))
-      }.drop("__c")
-    }
     scaled.foreach { case (t, ids) =>
       val src = spark.read.parquet(s"$srcDir/$t.parquet")
-      explodeIds(src, ids)
+      tenfold(src, ids, factor)
         // spread the copies so downstream scans see balanced splits
         .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")

@@ -610,4 +610,24 @@ class GroupCorrSpec extends SparkSpec {
       .takeWhile(_ != null).map(_.getMessage).mkString("\n")
     assert(msgs.contains("maxGroupRows"))
   }
+
+  test("kendallMatrixBy: BINARY grouping keys — equal byte arrays land " +
+    "in ONE group (JVM Array identity-toString would shatter them)") {
+    // two distinct binary keys, 4 and 3 rows; each row's key is a
+    // FRESH Array[Byte] instance, so any identity-based grouping
+    // yields 7 singleton groups (every tau null by min_periods)
+    val rows = Seq(
+      (Array[Byte](1, 2), 1.0, 4.0), (Array[Byte](1, 2), 2.0, 1.0),
+      (Array[Byte](1, 2), 3.0, 3.0), (Array[Byte](1, 2), 4.0, 2.0),
+      (Array[Byte](9), 1.0, 1.0), (Array[Byte](9), 2.0, 3.0),
+      (Array[Byte](9), 3.0, 2.0))
+    val df = rows.toDF("k", "x", "y")
+    val out = Corr.kendallMatrixBy(df, "k", Seq("x", "y"))
+      .filter(col("c1") === "x" && col("c2") === "y")
+      .collect().map(r => r.getAs[Array[Byte]](0).toSeq -> r.getDouble(3))
+      .toMap
+    assert(out.size == 2, s"expected 2 groups, got ${out.keySet}")
+    assert(math.abs(out(Seq[Byte](1, 2)) - (-1.0 / 3)) < 1e-12)
+    assert(math.abs(out(Seq[Byte](9)) - 1.0 / 3) < 1e-12)
+  }
 }

@@ -359,6 +359,16 @@ class StrDtSpec extends SparkSpec {
     assert(one.map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
       == Seq((0, 0, "12"), (0, 1, "34"), (3, 0, "1"),
         (4, 0, "9"), (4, 1, "8"), (4, 2, "7")))
+    // a new name colliding with an existing column fails LOUDLY (the
+    // output keeps input columns, so it would be AMBIGUOUS_REFERENCE)
+    val boom = intercept[IllegalArgumentException] {
+      StrDt.strExtractAll(df.withColumnRenamed("id", "match"),
+        "s", "([0-9]+)", Seq("d"))
+    }
+    assert(boom.getMessage.contains("match"))
+    assert(intercept[IllegalArgumentException] {
+      StrDt.strExtractAll(df, "s", "([0-9]+)", Seq("id"))
+    }.getMessage.contains("id"))
   }
 
   test("str.cat list form matches pandas (CPython-generated): na_rep " +
