@@ -15,7 +15,7 @@ object SparkEntry {
       Queries5.all ++ Queries6.all ++ Queries7.all ++ Queries8.all ++
       Queries9.all ++ Queries10.all ++ Queries11.all ++
       PipelineQueries.all ++ PipelineQueries2.all ++ PipelineQueries3.all ++
-      StreamQueries.all
+      PipelineQueries4.all ++ StreamQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +25,6 @@ object SparkEntry {
       Queries8.oracle ++ Queries9.oracle ++ Queries10.oracle ++
       Queries11.oracle ++
       PipelineQueries.oracle ++ PipelineQueries2.oracle ++
-      PipelineQueries3.oracle ++ StreamQueries.oracle
+      PipelineQueries3.oracle ++ PipelineQueries4.oracle ++
+      StreamQueries.oracle
 }

@@ -274,6 +274,13 @@ object Syntax {
     def capPerStratum(id: String, strata: String, cap: Int,
                       salts: Int = 32): DataFrame =
       graft.pipeline.Curation.capPerStratum(df, id, strata, cap, salts)
+    def weightedCapPerStratum(id: String, strata: String, weight: String,
+                              cap: Int, salts: Int = 32): DataFrame =
+      graft.pipeline.Curation.weightedCapPerStratum(df, id, strata,
+        weight, cap, salts)
+    def snapshotDiff(newer: DataFrame, id: String,
+                     contentCols: Seq[String]): DataFrame =
+      graft.pipeline.Curation.snapshotDiff(df, newer, id, contentCols)
     def dsirWeights(target: DataFrame, id: String, text: String,
                     buckets: Int = 4096, alpha: Double = 0.5): DataFrame =
       graft.pipeline.Curation.dsirWeights(df, target, id, text, buckets, alpha)

@@ -158,9 +158,20 @@ object Curation {
     *      hot stratum (max task state ~ |stratum|/salts).
     * Emits the kept rows + n_stratum (pre-cap stratum size). */
   def capPerStratum(df: DataFrame, idCol: String, strataCol: String,
-                    cap: Int, salts: Int = 32): DataFrame = {
+                    cap: Int, salts: Int = 32): DataFrame =
+    capByPriority(df, idCol, strataCol,
+      md5(col(idCol).cast("string").cast("binary")), cap, salts)
+
+  /** Shared two-phase core of [[capPerStratum]] /
+    * [[weightedCapPerStratum]]: keep the `cap` rows with the SMALLEST
+    * `(priority, id)` per stratum. The salted-phase correctness argument
+    * holds for ANY fixed priority: a row in a stratum's true top-cap is
+    * necessarily in its salt bucket's top-cap, so phase 1 never drops a
+    * winner and no task ever sorts a whole hot stratum. */
+  private def capByPriority(df: DataFrame, idCol: String,
+                            strataCol: String, priority: Column,
+                            cap: Int, salts: Int): DataFrame = {
     require(cap >= 1 && salts >= 1, s"need cap>=1, salts>=1; got $cap, $salts")
-    val pr = md5(col(idCol).cast("string").cast("binary"))
     val counts = df.groupBy(col(strataCol))
       .agg(count(lit(1)).as("n_stratum"))
     val joined = df.join(broadcast(counts), Seq(strataCol))
@@ -170,14 +181,81 @@ object Curation {
     val phase1 = salted
       .withColumn("__rs", row_number().over(
         Window.partitionBy(col(strataCol), col("__salt"))
-          .orderBy(pr, col(idCol))))
+          .orderBy(priority, col(idCol))))
       .filter(col("__rs") <= cap)
     val phase2 = phase1
       .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(strataCol)).orderBy(pr, col(idCol))))
+        Window.partitionBy(col(strataCol)).orderBy(priority, col(idCol))))
       .filter(col("__rn") <= cap)
       .drop("__salt", "__rs", "__rn")
     under.unionByName(phase2)
+  }
+
+  /** Quality-WEIGHTED per-stratum quota: keep at most `cap` rows per
+    * stratum, sampled without replacement with inclusion odds
+    * proportional to `weightCol` (Efraimidis–Spirakis / exponential
+    * clocks: key = -ln(u)/w with u uniform, keep the `cap` smallest
+    * keys — the higher the weight, the smaller the expected key). The
+    * "keep the best-ish k docs per source, biased by quality but still
+    * randomized" cut of quality-filtered pipelines; [[capPerStratum]]
+    * is the unweighted special case.
+    *
+    * Determinism contract (the same one every sampler here obeys):
+    * `u` derives bit-exactly from md5(id) — `(int(md5[0:8]) + 0.5) /
+    * 2^32` is exact binary arithmetic — so the kept set is a pure
+    * function of (id, weight), stable under repartition/retry/ingest
+    * order and reproducible by the oracle. The key is quantized to
+    * 1e-6 (ties broken by id) so a last-ulp `ln` divergence between
+    * JVM and any other engine's libm cannot flip an ordering: equal
+    * quantized keys order by id identically everywhere.
+    *
+    * Rows with null or non-positive weight are EXCLUDED (weight 0 =
+    * never sampled); `n_stratum` counts the eligible rows. Same
+    * skew-aware two-phase selection as [[capPerStratum]]. Emits the
+    * kept rows + n_stratum + the quantized key as `wkey`. */
+  def weightedCapPerStratum(df: DataFrame, idCol: String,
+                            strataCol: String, weightCol: String,
+                            cap: Int, salts: Int = 32): DataFrame = {
+    require(!df.columns.contains("wkey"),
+      "weightedCapPerStratum: frame already has a 'wkey' column")
+    val u = (conv(substring(md5(col(idCol).cast("string").cast("binary")),
+        1, 8), 16, 10).cast("long").cast("double") + 0.5) /
+      lit(4294967296.0)
+    val key = round(-log(u) / col(weightCol).cast("double"), 6)
+    val eligible = df.filter(col(weightCol).cast("double") > 0.0)
+      .withColumn("wkey", key)
+    capByPriority(eligible, idCol, strataCol, col("wkey"), cap, salts)
+  }
+
+  /** Diff two corpus snapshots by id — the "what changed since the last
+    * crawl/ingest" audit every continuously-rebuilt training corpus
+    * needs. Returns one row per id present in either side with
+    * `status` in added / removed / changed / unchanged (content
+    * equality over `contentCols`, null-safe).
+    *
+    * Scale shape: each side is reduced to (id, digest) BEFORE the join
+    * — the md5 digest is computed map-side over a length-prefixed
+    * field encoding (`len:value` per column, `N` for null — injective,
+    * so no concatenation ambiguity can alias two different rows), and
+    * only those two narrow columns shuffle through the full-outer
+    * sort-merge join. Document bodies never move. Ids must be unique
+    * within each snapshot (corpus snapshots are keyed by doc id);
+    * duplicate ids produce one output row per pairing. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "snapshotDiff: need content columns")
+    def digest(d: DataFrame, out: String): DataFrame =
+      d.select(col(idCol), md5(concat(contentCols.map { c =>
+        val s = col(c).cast("string")
+        coalesce(concat(length(s).cast("string"), lit(":"), s), lit("N"))
+      }: _*).cast("binary")).as(out))
+    digest(oldDf, "__ho").join(digest(newDf, "__hn"), Seq(idCol),
+        "full_outer")
+      .select(col(idCol),
+        when(col("__ho").isNull, lit("added"))
+          .when(col("__hn").isNull, lit("removed"))
+          .when(col("__ho") === col("__hn"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
   }
 
   /** Fill a per-stratum token budget: keep docs in md5(id)-priority

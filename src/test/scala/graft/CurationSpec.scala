@@ -318,4 +318,85 @@ class CurationSpec extends SparkSpec {
     val secs = (System.nanoTime() - t0) / 1e9
     assert(secs < 60.0, s"pageRank(iters=10) took ${secs}s")
   }
+
+  test("weightedCapPerStratum: exponential-clock keys match a local " +
+    "A-ES reference; non-positive/null weights excluded; under-cap bypass") {
+    import java.security.MessageDigest
+    def u(id: Long): Double = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+    }
+    def key(id: Long, w: Double): Double =
+      BigDecimal(-math.log(u(id)) / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // "big": 10 eligible rows (id 1-10, weight id*10), one zero-weight
+    // and one null-weight row that must NOT count or be kept;
+    // "small": 2 rows, under cap
+    val rows = (1L to 10L).map(i => (i, "big", Some(i * 10.0))) ++
+      Seq((90L, "big", Some(0.0)), (91L, "big", None),
+        (20L, "small", Some(5.0)), (21L, "small", Some(1.0)))
+    val df = rows.toDF("id", "stratum", "w")
+    val out = Curation.weightedCapPerStratum(df, "id", "stratum", "w",
+      cap = 3, salts = 4)
+    val big = out.filter(col("stratum") === "big")
+      .select("id", "wkey", "n_stratum").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val expect = (1L to 10L).map(i => i -> key(i, i * 10.0))
+      .sortBy { case (i, k) => (k, i) }.take(3)
+    assert(big.map(r => r._1 -> r._2).sortBy(_._1).toSeq ==
+      expect.sortBy(_._1), s"got ${big.toSeq} want $expect")
+    assert(big.forall(_._3 == 10L), "n_stratum counts ELIGIBLE rows only")
+    val small = out.filter(col("stratum") === "small").collect()
+    assert(small.length == 2, "under-cap stratum passes whole")
+    assert(out.filter(col("id") >= 90L).count() == 0,
+      "zero/null-weight rows are never kept")
+  }
+
+  test("weightedCapPerStratum: raising a row's weight only improves its " +
+    "rank (fixed u, key = -ln(u)/w monotone in w)") {
+    val base = (1L to 8L).map(i => (i, "s", 10.0)).toDF("id", "stratum", "w")
+    val keptBase = Curation.weightedCapPerStratum(base, "id", "stratum",
+      "w", cap = 3).select("id").collect().map(_.getLong(0)).toSet
+    // boost one non-kept row's weight 1000x: it must enter the kept set
+    val loser = (1L to 8L).find(!keptBase.contains(_)).get
+    val boosted = (1L to 8L).map(i =>
+      (i, "s", if (i == loser) 10000.0 else 10.0)).toDF("id", "stratum", "w")
+    val keptBoost = Curation.weightedCapPerStratum(boosted, "id",
+      "stratum", "w", cap = 3).select("id").collect().map(_.getLong(0)).toSet
+    assert(keptBoost.contains(loser),
+      s"boosting $loser 1000x must pull it into the top-3: $keptBoost")
+    // and a kept row keeps its seat when its own weight rises
+    val winner = keptBase.head
+    val boosted2 = (1L to 8L).map(i =>
+      (i, "s", if (i == winner) 10000.0 else 10.0)).toDF("id", "stratum", "w")
+    val kept2 = Curation.weightedCapPerStratum(boosted2, "id", "stratum",
+      "w", cap = 3).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept2.contains(winner))
+  }
+
+  test("snapshotDiff: four statuses; digest encoding is injective on " +
+    "field boundaries and nulls") {
+    val old = Seq(
+      (1L, Some("a"), Some("b")),   // unchanged
+      (2L, Some("x"), Some("y")),   // changed (content)
+      (3L, Some("z"), Some("w")),   // removed
+      (5L, Some("ab"), Some("")),   // vs ("a","b") — concat would alias
+      (6L, None: Option[String], Some("c")), // vs ("N","c") null-alias
+      (7L, Some(""), Some("q"))     // vs (null,"q") empty-vs-null
+    ).toDF("id", "c1", "c2")
+    val nw = Seq(
+      (1L, Some("a"), Some("b")),
+      (2L, Some("x"), Some("Y")),
+      (4L, Some("n"), Some("n")),   // added
+      (5L, Some("a"), Some("b")),
+      (6L, Some("N"), Some("c")),
+      (7L, None: Option[String], Some("q"))
+    ).toDF("id", "c1", "c2")
+    val st = Curation.snapshotDiff(old, nw, "id", Seq("c1", "c2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "changed", 6L -> "changed", 7L -> "changed"))
+  }
 }

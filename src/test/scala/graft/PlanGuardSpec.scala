@@ -312,4 +312,21 @@ class PlanGuardSpec extends SparkSpec {
           "shape is (key, value-bucket)")
     }
   }
+
+  test("snapshotDiff: shuffles carry only (id, digest) — document " +
+    "bodies never move through the full-outer join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.pipeline.Curation.snapshotDiff(docs, docs, "doc_id",
+      Seq("text", "lang", "source")).queryExecution.executedPlan
+    val shuffles = walkPlan(plan).collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.nonEmpty, "expected the id-keyed join shuffles")
+    shuffles.foreach { s =>
+      val out = s.output.map(_.name)
+      assert(out.length <= 2 && !out.exists(_.matches("text|lang|source")),
+        s"snapshotDiff shuffle widened to ${out.mkString(", ")} — the " +
+          "map-side digest must reduce each side to (id, digest) BEFORE " +
+          "the join")
+    }
+  }
 }
