@@ -172,6 +172,13 @@ object Curation {
                             strataCol: String, priority: Column,
                             cap: Int, salts: Int): DataFrame = {
     require(cap >= 1 && salts >= 1, s"need cap>=1, salts>=1; got $cap, $salts")
+    // These working names must not pre-exist — most commonly hit by
+    // chaining one cap's OUTPUT (which keeps n_stratum) into another;
+    // fail with the name instead of Spark's AMBIGUOUS_REFERENCE.
+    Seq("n_stratum", "__salt", "__rs", "__rn").foreach(n =>
+      require(!df.columns.contains(n),
+        s"capPerStratum: frame already has a column '$n' (output of a " +
+          "previous cap?) — drop or rename it first"))
     val counts = df.groupBy(col(strataCol))
       .agg(count(lit(1)).as("n_stratum"))
     val joined = df.join(broadcast(counts), Seq(strataCol))
@@ -205,12 +212,14 @@ object Curation {
     * 2^32` is exact binary arithmetic — so the kept set is a pure
     * function of (id, weight), stable under repartition/retry/ingest
     * order and reproducible by the oracle. The key is quantized to
-    * 1e-6 (ties broken by id) so a last-ulp `ln` divergence between
-    * JVM and any other engine's libm cannot flip an ordering: equal
-    * quantized keys order by id identically everywhere.
+    * 1e-6 (ties broken by id), which shrinks the cross-engine risk of
+    * a last-ulp `ln` divergence from ~1e-10/row (raw double ordering)
+    * to the ~1e-12/row chance that the ulp lands exactly on a
+    * quantization boundary AND the two engines' round() disagree
+    * there — negligible at any realistic scale, but not zero.
     *
-    * Rows with null or non-positive weight are EXCLUDED (weight 0 =
-    * never sampled); `n_stratum` counts the eligible rows. Same
+    * Rows with null, NaN, or non-positive weight are EXCLUDED (weight
+    * 0 = never sampled); `n_stratum` counts the eligible rows. Same
     * skew-aware two-phase selection as [[capPerStratum]]. Emits the
     * kept rows + n_stratum + the quantized key as `wkey`. */
   def weightedCapPerStratum(df: DataFrame, idCol: String,
@@ -222,7 +231,11 @@ object Curation {
         1, 8), 16, 10).cast("long").cast("double") + 0.5) /
       lit(4294967296.0)
     val key = round(-log(u) / col(weightCol).cast("double"), 6)
-    val eligible = df.filter(col(weightCol).cast("double") > 0.0)
+    // NaN guard is load-bearing: Spark orders NaN ABOVE every number,
+    // so `NaN > 0.0` is TRUE and a NaN quality score would ride in
+    // with wkey=NaN instead of being excluded like null/<=0.
+    val w = col(weightCol).cast("double")
+    val eligible = df.filter(w > 0.0 && !isnan(w))
       .withColumn("wkey", key)
     capByPriority(eligible, idCol, strataCol, col("wkey"), cap, salts)
   }
@@ -238,20 +251,23 @@ object Curation {
     * field encoding (`len:value` per column, `N` for null — injective,
     * so no concatenation ambiguity can alias two different rows), and
     * only those two narrow columns shuffle through the full-outer
-    * sort-merge join. Document bodies never move. Ids must be unique
-    * within each snapshot (corpus snapshots are keyed by doc id);
-    * duplicate ids produce one output row per pairing. */
+    * sort-merge join. Document bodies never move. The join is
+    * NULL-SAFE on id, so a null-id row on both sides compares rather
+    * than splitting into a spurious added+removed pair. Ids must be
+    * unique within each snapshot (corpus snapshots are keyed by doc
+    * id); duplicate ids produce one output row per pairing. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
                    contentCols: Seq[String]): DataFrame = {
     require(contentCols.nonEmpty, "snapshotDiff: need content columns")
-    def digest(d: DataFrame, out: String): DataFrame =
-      d.select(col(idCol), md5(concat(contentCols.map { c =>
+    def digest(d: DataFrame, idOut: String, out: String): DataFrame =
+      d.select(col(idCol).as(idOut), md5(concat(contentCols.map { c =>
         val s = col(c).cast("string")
         coalesce(concat(length(s).cast("string"), lit(":"), s), lit("N"))
       }: _*).cast("binary")).as(out))
-    digest(oldDf, "__ho").join(digest(newDf, "__hn"), Seq(idCol),
-        "full_outer")
-      .select(col(idCol),
+    digest(oldDf, "__ido", "__ho")
+      .join(digest(newDf, "__idn", "__hn"),
+        col("__ido") <=> col("__idn"), "full_outer")
+      .select(coalesce(col("__ido"), col("__idn")).as(idCol),
         when(col("__ho").isNull, lit("added"))
           .when(col("__hn").isNull, lit("removed"))
           .when(col("__ho") === col("__hn"), lit("unchanged"))

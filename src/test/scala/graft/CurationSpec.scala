@@ -336,6 +336,7 @@ class CurationSpec extends SparkSpec {
     // "small": 2 rows, under cap
     val rows = (1L to 10L).map(i => (i, "big", Some(i * 10.0))) ++
       Seq((90L, "big", Some(0.0)), (91L, "big", None),
+        (92L, "big", Some(Double.NaN)),
         (20L, "small", Some(5.0)), (21L, "small", Some(1.0)))
     val df = rows.toDF("id", "stratum", "w")
     val out = Curation.weightedCapPerStratum(df, "id", "stratum", "w",
@@ -351,7 +352,12 @@ class CurationSpec extends SparkSpec {
     val small = out.filter(col("stratum") === "small").collect()
     assert(small.length == 2, "under-cap stratum passes whole")
     assert(out.filter(col("id") >= 90L).count() == 0,
-      "zero/null-weight rows are never kept")
+      "zero/null/NaN-weight rows are never kept (Spark orders NaN > 0)")
+    // chaining a cap output (which keeps n_stratum) into another cap
+    // fails loudly, not with AMBIGUOUS_REFERENCE
+    assert(intercept[IllegalArgumentException] {
+      Curation.capPerStratum(out, "id", "stratum", cap = 2)
+    }.getMessage.contains("n_stratum"))
   }
 
   test("weightedCapPerStratum: raising a row's weight only improves its " +
@@ -398,5 +404,17 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(st == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
       4L -> "added", 5L -> "changed", 6L -> "changed", 7L -> "changed"))
+  }
+
+  test("snapshotDiff: null ids compare null-safely — one row, not a " +
+    "spurious added+removed pair") {
+    val old = Seq((Some(1L), "a"), (None: Option[Long], "same"))
+      .toDF("id", "c1")
+    val nw = Seq((Some(1L), "a"), (None: Option[Long], "same"))
+      .toDF("id", "c1")
+    val out = Curation.snapshotDiff(old, nw, "id", Seq("c1")).collect()
+    assert(out.length == 2, s"expected 2 rows, got ${out.toSeq}")
+    val nullRow = out.find(_.isNullAt(0)).get
+    assert(nullRow.getString(1) == "unchanged")
   }
 }
