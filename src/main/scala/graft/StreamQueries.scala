@@ -34,7 +34,9 @@ object StreamQueries {
     "q_stream_dedup_fuzzy" -> ((s, d) => streamDedupFuzzy(s, d)),
     "q_stream_window" -> ((s, d) => streamWindow(s, d)),
     "q_stream_runmean" -> ((s, d) => streamRunMean(s, d)),
-    "q_stream_interval_join" -> ((s, d) => streamIntervalJoin(s, d)))
+    "q_stream_interval_join" -> ((s, d) => streamIntervalJoin(s, d)),
+    "q_stream_token_budget" -> ((s, d) => streamTokenBudget(s, d)),
+    "q_stream_decontam" -> ((s, d) => streamDecontam(s, d)))
 
   val oracle: Map[String, String] = Map(
     // batch gap-sessionization (same 30-min gap as q_sessionize),
@@ -117,7 +119,25 @@ object StreamQueries {
          ON p.event_type = 'purchase' AND c.event_type = 'click'
         AND p.user_id = c.user_id
         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
-       ORDER BY purchase_id, click_id""")
+       ORDER BY purchase_id, click_id""",
+
+    // streaming budget fill == the batch prefix rule in arrival
+    // (= doc_id) order: kept iff the per-lang running total incl.
+    // self stays <= 10000
+    "q_stream_token_budget" ->
+      """SELECT doc_id, lang AS stratum,
+         CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens,
+         CASE WHEN sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 10000
+           THEN 1 ELSE 0 END AS kept
+       FROM documents ORDER BY doc_id""",
+
+    // stateless streaming decontamination == the batch operator: the
+    // oracle IS q_decontam's, shared by reference so the shingle
+    // definition can never desynchronize between the two rows
+    "q_stream_decontam" -> PipelineQueries2.oracle("q_decontam"))
 
   /** Replay scratch space (staging files, checkpoints, sink): prefer
     * the tmpfs at /dev/shm — streaming checkpoints are many small
@@ -130,6 +150,30 @@ object StreamQueries {
         java.nio.file.Files.isWritable(shm))
       Files.createTempDirectory(shm, prefix)
     else Files.createTempDirectory(prefix)
+  }
+
+  /** Synthetic replay event time for documents rows: epoch + doc_id
+    * seconds, so event-time order == id order and an id-split replay
+    * is time-ordered by construction. */
+  private def replayTs: org.apache.spark.sql.Column =
+    timestamp_seconds(lit(1700000000L) + col("doc_id"))
+
+  /** The shared documents-replay protocol: split `docs` into two
+    * id-ordered halves, stage them as a 2-micro-batch file replay
+    * under `base`, and open the file stream (1 file per trigger).
+    * Every documents-table streaming row uses this, so the batch-
+    * boundary semantics cannot drift between rows. */
+  private def replayByIdHalves(base: java.nio.file.Path,
+                               docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val midId = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val inDir = stageReplay(base, Seq(
+      docs.filter(col("doc_id") <= midId),
+      docs.filter(col("doc_id") > midId)))
+    spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(inDir)
   }
 
   /** Stage `splits` as one parquet FILE per micro-batch, mtime-ordered
@@ -315,20 +359,9 @@ object StreamQueries {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"),
-        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
-        col("text"))
+        replayTs.as("ts"), col("text"))
     val base = scratchDir("q_stream_dedup")
-    val row = docs.agg(max(col("doc_id"))).head()
-    val midId = row.getLong(0) / 2
-    val inDir = stageReplay(base, Seq(
-      docs.filter(col("doc_id") <= midId),
-      docs.filter(col("doc_id") > midId)))
-
-    val src = spark.readStream
-      .schema(docs.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(inDir)
-      .as[Streams.StreamDoc]
+    val src = replayByIdHalves(base, docs).as[Streams.StreamDoc]
     val decisions = Streams.streamingDedupAudit(src,
       ttlMs = 10L * 365 * 24 * 3600 * 1000, watermark = "10 minutes")
     runToParquet(base, decisions.toDF())
@@ -347,18 +380,9 @@ object StreamQueries {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"),
-        timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"),
-        col("text"))
+        replayTs.as("ts"), col("text"))
     val base = scratchDir("q_stream_dedup_fuzzy")
-    val midId = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
-    val inDir = stageReplay(base, Seq(
-      docs.filter(col("doc_id") <= midId),
-      docs.filter(col("doc_id") > midId)))
-    val src = spark.readStream
-      .schema(docs.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(inDir)
-      .as[Streams.StreamDoc]
+    val src = replayByIdHalves(base, docs).as[Streams.StreamDoc]
     val decisions = Streams.streamingDedupFuzzy(src,
       ttlMs = 10L * 365 * 24 * 3600 * 1000, watermark = "10 minutes")
     runToParquet(base, decisions.toDF())
@@ -400,5 +424,50 @@ object StreamQueries {
       .select(col("r_id").as("purchase_id"), col("l_id").as("click_id"),
         col("r_key").as("user_id"))
       .orderBy("purchase_id", "click_id")
+  }
+
+  /** Per-lang token-budget enforcement replayed as two time-ordered
+    * micro-batches (ts = epoch + doc_id, so arrival order == id
+    * order): the per-stratum running total must carry across the batch
+    * boundary — a stratum that exhausts its budget in batch 1 must
+    * keep rejecting in batch 2. The oracle is the batch prefix rule:
+    * kept iff the id-ordered running token total including self stays
+    * <= budget. */
+  private def streamTokenBudget(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        replayTs.as("ts"),
+        col("lang").as("stratum"), col("n_chars").cast("long").as("tokens"))
+    val base = scratchDir("q_stream_token_budget")
+    val src = replayByIdHalves(base, docs).as[Streams.BudgetDoc]
+    val decisions = Streams.streamingTokenBudget(src, budget = 10000L)
+    runToParquet(base, decisions.toDF())
+      .select(col("doc_id"), col("stratum"), col("cum_tokens"),
+        col("kept").cast("int").as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Stateless streaming decontamination replayed as two micro-batches:
+    * the src0 documents are the static eval suite, every other doc
+    * streams through the broadcast gram filter. Statelessness makes
+    * batch-equivalence trivial (a pure map commutes with batching) —
+    * the row pins exactly that: the replay output must equal the batch
+    * [[graft.pipeline.Curation.decontaminate]] oracle row-for-row. */
+  private def streamDecontam(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        replayTs.as("ts"), col("text"), col("source"))
+    val bench = docs.filter(col("source") === "src0")
+    val train = docs.filter(col("source") =!= "src0")
+    val base = scratchDir("q_stream_decontam")
+    val src = replayByIdHalves(base, train)
+    val flagged = Streams.streamingDecontaminate(src, bench, "text", k = 3)
+    runToParquet(base, flagged
+        .select(col("doc_id"), col("n_contaminated"),
+          col("contaminated").cast("int").as("contaminated")))
+      .orderBy("doc_id")
   }
 }

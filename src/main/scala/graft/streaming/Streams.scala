@@ -259,4 +259,85 @@ object Streams {
           KeyMean(user, n, sum / n)
         })
   }
+
+  case class BudgetDoc(doc_id: Long, ts: java.sql.Timestamp,
+                       stratum: String, tokens: Long)
+  case class BudgetDecision(doc_id: Long, stratum: String,
+                            cum_tokens: Long, kept: Boolean)
+
+  /** Streaming per-stratum token-budget enforcement — the streaming
+    * form of [[graft.pipeline.Curation.tokenBudget]] with ARRIVAL
+    * order (event time, then id) as the priority: each stratum
+    * accumulates every arriving doc's tokens and a doc is `kept` iff
+    * the running total INCLUDING it stays within `budget` (the batch
+    * op's prefix rule — a kept doc is never truncated). Emits every
+    * doc with its decision (audit shape, like [[streamingDedupAudit]]);
+    * downstream writers filter `kept`.
+    *
+    * State is ONE Long per stratum — bounded by the stratum
+    * cardinality (languages/sources/domains), not the stream — so no
+    * TTL is needed: the budget is a lifetime quota and must survive
+    * arbitrarily late arrivals. Replaying time-ordered batches is
+    * batch-equivalent because the running total is
+    * order-deterministic: within a micro-batch docs sort by
+    * (ts, doc_id), and across batches the replay is time-ordered. */
+  def streamingTokenBudget(docs: Dataset[BudgetDoc],
+                           budget: Long): Dataset[BudgetDecision] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.stratum)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (st: String, it: Iterator[BudgetDoc], state: GroupState[Long]) => {
+          var cum = state.getOption.getOrElse(0L)
+          val out = it.toSeq.sortBy(d => (usOf(d.ts), d.doc_id)).map { d =>
+            cum += d.tokens
+            BudgetDecision(d.doc_id, st, cum, kept = cum <= budget)
+          }
+          state.update(cum)
+          out.iterator
+        })
+  }
+
+  /** STATELESS streaming benchmark decontamination — the streaming
+    * form of [[graft.pipeline.Curation.decontaminate]]: flag arriving
+    * documents that share a word `k`-gram with a STATIC eval corpus.
+    * The bench gram set is collected once (size-guarded — eval suites
+    * are bounded by construction; above the cap, fail loudly rather
+    * than ship an unbounded broadcast) and broadcast to executors, so
+    * each micro-batch is a pure map over the scan: per doc, distinct
+    * shingles ∩ bench set. Zero state, zero shuffle, no watermark
+    * needed — the right shape for filtering an ingest stream against
+    * benchmarks at any rate. Shingling is [[graft.pipeline.Dedup
+    * .shingles]], identical to the batch op, so replay output equals
+    * the batch result row-for-row. */
+  def streamingDecontaminate(docs: DataFrame, bench: DataFrame,
+                             textCol: String = "text", k: Int = 3,
+                             maxBenchGrams: Int = 5000000): DataFrame = {
+    import graft.pipeline.Dedup
+    val spark = docs.sparkSession
+    // words PRE-MATERIALIZED per Dedup.shinglesFromWords' contract: an
+    // inline split inside the shingle HOF re-runs the regex per element
+    val benchGrams = bench
+      .withColumn("__w", Dedup.words(col(textCol)))
+      .select(explode(Dedup.shinglesFromWords(col("__w"), k)).as("g"))
+      .distinct()
+    // ONE bounded job: collect at most maxBenchGrams+1 rows, then check
+    // the length — memory stays capped without running the explode +
+    // distinct aggregation twice (probe-then-collect would)
+    val collected = benchGrams.limit(maxBenchGrams + 1).collect()
+    require(collected.length <= maxBenchGrams,
+      s"streamingDecontaminate: bench corpus has > $maxBenchGrams " +
+        "distinct grams — too large to broadcast; decontaminate the " +
+        "stored corpus with Curation.decontaminate's equi-join instead")
+    val b = spark.sparkContext.broadcast(
+      collected.map(_.getString(0)).toSet)
+    val hitsUdf = udf((grams: Seq[String]) =>
+      if (grams == null) 0L
+      else grams.distinct.count(b.value.contains).toLong)
+    docs.withColumn("__w", Dedup.words(col(textCol)))
+      .withColumn("n_contaminated",
+        hitsUdf(Dedup.shinglesFromWords(col("__w"), k)))
+      .drop("__w")
+      .withColumn("contaminated", col("n_contaminated") > 0)
+  }
 }

@@ -232,4 +232,63 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("streaming token budget: per-stratum running total carries " +
+    "across batches; exhausted stratum keeps rejecting") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.BudgetDoc]
+    val q = Streams.streamingTokenBudget(in.toDS(), budget = 100L)
+      .writeStream.format("memory").queryName("sbudget")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Streams.BudgetDoc(1L, ts(0), "en", 60L),   // cum 60  kept
+        Streams.BudgetDoc(2L, ts(10), "en", 30L),  // cum 90  kept
+        Streams.BudgetDoc(3L, ts(20), "fr", 50L))  // cum 50  kept
+      q.processAllAvailable()
+      in.addData(
+        Streams.BudgetDoc(4L, ts(30), "en", 20L),  // cum 110 REJECT
+        Streams.BudgetDoc(5L, ts(40), "en", 5L),   // cum 115 REJECT (prefix rule)
+        Streams.BudgetDoc(6L, ts(50), "fr", 40L))  // cum 90  kept
+      q.processAllAvailable()
+      val rows = spark.table("sbudget")
+        .select("doc_id", "cum_tokens", "kept").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      assert(rows == Map(
+        1L -> ((60L, true)), 2L -> ((90L, true)), 3L -> ((50L, true)),
+        4L -> ((110L, false)), 5L -> ((115L, false)), 6L -> ((90L, true))))
+    } finally q.stop()
+  }
+
+  test("streaming decontaminate: stateless broadcast gram filter " +
+    "matches the batch operator on every micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "quick brown fox jumps")).toDF("doc_id", "text")
+    val in = MemoryStream[Streams.StreamDoc]
+    val q = Streams.streamingDecontaminate(in.toDF(), bench, "text", k = 3)
+      .writeStream.format("memory").queryName("sdecon")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Streams.StreamDoc(1L, ts(0), "the quick brown fox jumps far"),
+        Streams.StreamDoc(2L, ts(10), "nothing shared at all here"))
+      q.processAllAvailable()
+      in.addData(Streams.StreamDoc(3L, ts(20), "quick brown fox again"))
+      q.processAllAvailable()
+      val rows = spark.table("sdecon")
+        .select("doc_id", "n_contaminated", "contaminated").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      // doc 1 shares "quick brown fox" + "brown fox jumps"; doc 3 only
+      // "quick brown fox"; doc 2 nothing
+      assert(rows == Map(1L -> ((2L, true)), 2L -> ((0L, false)),
+        3L -> ((1L, true))))
+      // oversized bench fails loudly before any collect
+      val big = intercept[IllegalArgumentException] {
+        Streams.streamingDecontaminate(in.toDF(), bench, "text", k = 3,
+          maxBenchGrams = 1)
+      }
+      assert(big.getMessage.contains("maxBenchGrams") ||
+        big.getMessage.contains("distinct grams"))
+    } finally q.stop()
+  }
 }
