@@ -89,14 +89,17 @@ object Queries11 {
       val del = 1.5 / acc + 2.5 / n
       val ps = Seq(0.25, 0.5, 0.75)
       val labels = Seq("25%", "50%", "75%")
-      val los = ps.map(p => math.max(0.0, p - del))
-      val his = ps.map(p => math.min(1.0, p + del))
-      val bandAggs = cols.flatMap(c => Seq(
-        expr(s"percentile($c, array(${los.mkString(",")}))").as(s"lo_$c"),
-        expr(s"percentile($c, array(${his.mkString(",")}))").as(s"hi_$c")))
+      val fr = ps.map(p => math.max(0.0, p - del)) ++
+        ps.map(p => math.min(1.0, p + del))
+      // ONE percentile aggregate per column (each `percentile` buffers
+      // the whole column, so one 6-fraction call costs half of two
+      // 3-fraction calls)
+      val bandAggs = cols.map(c =>
+        expr(s"percentile($c, array(${fr.mkString(",")}))").as(s"b_$c"))
       val band = li.agg(bandAggs.head, bandAggs.tail: _*).head()
       def bnd(pre: String, c: String, i: Int): Double =
-        band.getAs[Seq[Double]](s"${pre}_$c")(i)
+        band.getAs[Seq[Double]](s"b_$c")(
+          if (pre == "lo") i else i + ps.length)
       val exact = Reductions.describe(li, cols)
       val approx = Reductions.describeApprox(li, cols)
         .select(col("stat").as("__s") +:
