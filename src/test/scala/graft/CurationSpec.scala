@@ -406,6 +406,77 @@ class CurationSpec extends SparkSpec {
       4L -> "added", 5L -> "changed", 6L -> "changed", 7L -> "changed"))
   }
 
+  test("weightedCapPerStratum: seeded randomized differential vs a " +
+    "local A-ES reference (random weights across 3 decades)") {
+    import java.security.MessageDigest
+    def u(id: Long): Double = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+    }
+    def key(id: Long, w: Double): Double =
+      BigDecimal(-math.log(u(id)) / w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 3) {
+      val n = 40 + rnd.nextInt(60)
+      val rows = (1 to n).map { i =>
+        (i.toLong, s"s${rnd.nextInt(4)}",
+          math.pow(10.0, rnd.nextDouble() * 3.0))
+      }
+      val cap = 1 + rnd.nextInt(8)
+      val got = Curation.weightedCapPerStratum(
+          rows.toDF("id", "stratum", "w"), "id", "stratum", "w",
+          cap, salts = 4)
+        .select("stratum", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      // .toSeq first: flatMap over a Map with tuple results would
+      // collapse back into a Map and keep one entry per stratum
+      val want = rows.groupBy(_._2).toSeq.flatMap { case (st, rs) =>
+        rs.map(r => (r._1, key(r._1, r._3)))
+          .sortBy { case (i, k) => (k, i) }.take(cap)
+          .map { case (i, _) => (st, i) }
+      }.toSet
+      assert(got == want,
+        s"trial $trial (n=$n cap=$cap): missing=${want -- got} " +
+          s"spurious=${got -- want}")
+    }
+  }
+
+  test("snapshotDiff: seeded randomized differential vs a local diff " +
+    "(values drawn from the digest-hostile alphabet)") {
+    val rnd = new scala.util.Random(99)
+    // values chosen to attack the length-prefix encoding: empty, the
+    // null marker, separators, digit-leading strings
+    val pool = Seq(null, "", "N", ":", "1:", "a", "ab", "2:ab", "a:b",
+      "12", "1", ":a")
+    def draw() = pool(rnd.nextInt(pool.length))
+    for (trial <- 1 to 3) {
+      val ids = (1L to 30L)
+      val old = ids.filter(_ => rnd.nextBoolean()).map(i =>
+        (i, draw(), draw()))
+      val nw = ids.filter(_ => rnd.nextBoolean()).map(i =>
+        (i, draw(), draw()))
+      val got = Curation.snapshotDiff(
+          old.toDF("id", "c1", "c2"), nw.toDF("id", "c1", "c2"),
+          "id", Seq("c1", "c2"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val om = old.map(r => r._1 -> ((r._2, r._3))).toMap
+      val nm = nw.map(r => r._1 -> ((r._2, r._3))).toMap
+      val want = (om.keySet ++ nm.keySet).map { i =>
+        i -> ((om.get(i), nm.get(i)) match {
+          case (None, Some(_)) => "added"
+          case (Some(_), None) => "removed"
+          case (Some(a), Some(b)) if a == b => "unchanged"
+          case _ => "changed"
+        })
+      }.toMap
+      assert(got == want, s"trial $trial: ${got.toSet -- want.toSet} vs " +
+        s"${want.toSet -- got.toSet}")
+    }
+  }
+
   test("snapshotDiff: null ids compare null-safely — one row, not a " +
     "spurious added+removed pair") {
     val old = Seq((Some(1L), "a"), (None: Option[Long], "same"))
