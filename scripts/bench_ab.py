@@ -37,10 +37,12 @@ for name, run in (("A", a), ("B", b)):
 def norm(run):
     cal = median(run["calibration"]) if run.get("calibration") else 1.0
     runs = run.get("runs") or {q: [t] for q, t in run["queries"].items()}
-    # a query that failed in some cycle has reps == [] or a -1.0 marker;
-    # drop it from the ratio set (the error surfaced above)
+    # drop every query that errored in ANY cycle (its surviving reps
+    # would count as a healthy row in the band stats) plus rows with
+    # empty/-1.0 marker reps
+    errored = set(run.get("errors") or {})
     return {q: min(v) / cal for q, v in runs.items()
-            if v and min(v) > 0}, cal
+            if q not in errored and v and min(v) > 0}, cal
 
 qa, calA = norm(a)
 qb, calB = norm(b)

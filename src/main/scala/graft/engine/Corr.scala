@@ -146,16 +146,28 @@ object Corr {
     * `String.valueOf` alone is identity-hash for `Array[Byte]` (Spark
     * BinaryType surfaces as a JVM array), which would put EQUAL binary
     * keys in different groups — encode binary as hex and recurse into
-    * containers instead. */
+    * containers instead. Container ELEMENTS are length-prefixed
+    * (`<len>:<token>`) so a separator character inside a string element
+    * can never alias two distinct keys (Seq("a,b") vs Seq("a","b")),
+    * and strings/nulls carry a type tag so a string element can never
+    * collide with the null marker or a container rendering -- the same
+    * scheme as snapshotDiff's digest. */
   private[graft] def groupKeyString(v: Any): String = v match {
-    case null => " null"
+    case null => "n"
+    case s: String => "s" + s
     case b: Array[Byte] => "0x" + b.map("%02x".format(_)).mkString
-    case a: Array[_] => a.map(groupKeyString).mkString("[", ",", "]")
+    case a: Array[_] => a.map(keyToken).mkString("[", ",", "]")
     case s: scala.collection.Seq[_] =>
-      s.map(groupKeyString).mkString("[", ",", "]")
+      s.map(keyToken).mkString("[", ",", "]")
     case r: org.apache.spark.sql.Row =>
-      r.toSeq.map(groupKeyString).mkString("(", ",", ")")
+      r.toSeq.map(keyToken).mkString("(", ",", ")")
     case other => String.valueOf(other)
+  }
+  /** Length-prefixed element token: the prefix fixes where each token
+    * ends, making container encodings injective given injective element
+    * encodings. */
+  private def keyToken(v: Any): String = {
+    val e = groupKeyString(v); e.length + ":" + e
   }
 
   def kendallMatrixBy(df: DataFrame, key: String, cols: Seq[String],

@@ -443,17 +443,21 @@ object Reductions {
     * two rows bracketing each quantile position. Eager (runs two jobs). */
   def quantilesBySort(df: DataFrame, c: String, qs: Seq[Double],
                       knownCount: Option[Long] = None): Seq[Double] = {
-    // The sorted-and-indexed RDD is PERSISTED so the count job and the
-    // index-lookup job read the same materialization: an uncached
-    // re-execution of a non-deterministic (or concurrently changing)
-    // upstream between the two jobs would make the picked indices
-    // inconsistent with n (ADVICE r10). zipWithIndex itself runs one
-    // partition-sizes job, so persisting here adds no extra pass.
-    val sorted = df.select(col(c).cast("double").as("v"))
+    // The sorted values are PERSISTED *before* zipWithIndex: its
+    // partition-start-offsets job is the FIRST execution of the plan
+    // and so populates the cache, and every later job (count, index
+    // lookup) reads that same materialization. Persisting the zipped
+    // RDD instead (ADVICE r10's first cut) left a race: the offsets
+    // job ran on the UN-persisted parent, so a non-deterministic or
+    // concurrently-changing upstream could cache data inconsistent
+    // with the index assignment — silently wrong ranks with no guard
+    // able to fire. Persisting the parent closes it with no extra pass.
+    val vals = df.select(col(c).cast("double").as("v"))
       .filter(col("v").isNotNull && !isnan(col("v")))
-      .sort("v").rdd.map(_.getDouble(0)).zipWithIndex()
+      .sort("v").rdd.map(_.getDouble(0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val sorted = vals.zipWithIndex()
       val n = knownCount.getOrElse(sorted.count())
       if (n == 0) return qs.map(_ => Double.NaN)
       val needed = qs.flatMap { q =>
@@ -475,7 +479,7 @@ object Reductions {
         val hi = at(math.ceil(p).toLong)
         lo + (p - math.floor(p)) * (hi - lo)
       }
-    } finally sorted.unpersist(blocking = false)
+    } finally vals.unpersist(blocking = false)
   }
 
   /** Bounded EXACT histogram aggregate: (value -> count) while the

@@ -160,7 +160,8 @@ object Curation {
   def capPerStratum(df: DataFrame, idCol: String, strataCol: String,
                     cap: Int, salts: Int = 32): DataFrame =
     capByPriority(df, idCol, strataCol,
-      md5(col(idCol).cast("string").cast("binary")), cap, salts)
+      md5(col(idCol).cast("string").cast("binary")), cap, salts,
+      caller = "capPerStratum")
 
   /** Shared two-phase core of [[capPerStratum]] /
     * [[weightedCapPerStratum]]: keep the `cap` rows with the SMALLEST
@@ -170,14 +171,15 @@ object Curation {
     * winner and no task ever sorts a whole hot stratum. */
   private def capByPriority(df: DataFrame, idCol: String,
                             strataCol: String, priority: Column,
-                            cap: Int, salts: Int): DataFrame = {
+                            cap: Int, salts: Int,
+                            caller: String): DataFrame = {
     require(cap >= 1 && salts >= 1, s"need cap>=1, salts>=1; got $cap, $salts")
     // These working names must not pre-exist — most commonly hit by
     // chaining one cap's OUTPUT (which keeps n_stratum) into another;
     // fail with the name instead of Spark's AMBIGUOUS_REFERENCE.
     Seq("n_stratum", "__salt", "__rs", "__rn").foreach(n =>
       require(!df.columns.contains(n),
-        s"capPerStratum: frame already has a column '$n' (output of a " +
+        s"$caller: frame already has a column '$n' (output of a " +
           "previous cap?) — drop or rename it first"))
     val counts = df.groupBy(col(strataCol))
       .agg(count(lit(1)).as("n_stratum"))
@@ -237,7 +239,8 @@ object Curation {
     val w = col(weightCol).cast("double")
     val eligible = df.filter(w > 0.0 && !isnan(w))
       .withColumn("wkey", key)
-    capByPriority(eligible, idCol, strataCol, col("wkey"), cap, salts)
+    capByPriority(eligible, idCol, strataCol, col("wkey"), cap, salts,
+      caller = "weightedCapPerStratum")
   }
 
   /** Diff two corpus snapshots by id — the "what changed since the last

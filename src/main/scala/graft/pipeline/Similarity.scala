@@ -621,10 +621,18 @@ object Similarity {
     * ZERO shuffle, scan-speed at any corpus size, O(|bench| * d) per
     * row. An eval set larger than `maxBenchLiteral` would explode plan
     * size (the literal matrix is inlined into every task's codegen), so
-    * above it the SAME semantics run as a broadcast cross join + max
-    * aggregate — one broadcast of the bench table, still no shuffle of
-    * the corpus beyond the per-row-key max; sized for eval suites up to
-    * executor-broadcast memory. Returns (id, max_cos, contaminated);
+    * above it the SAME semantics run off a Spark BROADCAST VARIABLE and
+    * a per-row max UDF — one copy of the bench matrix per executor,
+    * still zero shuffle and still exactly one output row per corpus row
+    * BY CONSTRUCTION (a join+groupBy on a generated row-id would lose
+    * that under task retry, since monotonically_increasing_id is not
+    * stable across attempts). Both branches share ONE driver collect
+    * that is `limit`-capped at `maxBenchRows`, so the driver-memory
+    * bound is binding at collect time, not a separate racy count probe;
+    * above the cap the call fails loudly naming [[ivfTopKWith]] /
+    * [[Curation.decontaminate]] as the distributed alternatives (an
+    * eval "benchmark" bigger than that is a corpus-vs-corpus join, not
+    * a decontamination pass). Returns (id, max_cos, contaminated);
     * filter on the flag to drop. Zero-norm vectors score null max_cos
     * but a FALSE (not null) contaminated flag, so `filter(!contaminated)`
     * keeps them — a three-valued null flag would silently drop clean
@@ -633,21 +641,29 @@ object Similarity {
                             threshold: Double,
                             idCol: String = "vec_id",
                             vecCol: String = "embedding",
-                            maxBenchLiteral: Int = 4096): DataFrame = {
+                            maxBenchLiteral: Int = 4096,
+                            maxBenchRows: Int = 262144): DataFrame = {
     def l2(v: Array[Double]): Double =
       math.sqrt(v.map(x => x * x).sum)
-    // Bounded size probe BEFORE any driver materialization: collecting
-    // first and checking length after would OOM the driver on exactly
-    // the oversized eval set the broadcast branch exists for.
-    val benchProbe = bench.limit(maxBenchLiteral + 1).count()
-    require(benchProbe > 0, "semanticDecontaminate: empty benchmark set")
+    // ONE limit-capped collect decides the branch. A count probe
+    // followed by an uncapped collect is TOCTOU: a bench whose plan is
+    // non-deterministic (unseeded sample, growing directory) could pass
+    // the probe and still hand the driver an unbounded collect. The
+    // limit makes the bound binding on the collect itself.
+    val bvecs: Array[Array[Double]] = bench.orderBy(col(idCol))
+      .select(asDouble(col(vecCol)).as("v")).limit(maxBenchRows + 1)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(bvecs.nonEmpty, "semanticDecontaminate: empty benchmark set")
+    require(bvecs.length <= maxBenchRows,
+      s"semanticDecontaminate: benchmark set exceeds maxBenchRows=" +
+        s"$maxBenchRows (~${maxBenchRows.toLong * 8 * bvecs.head.length /
+          (1 << 20)} MB at dim ${bvecs.head.length}) — an eval set that " +
+        "large is a corpus-vs-corpus problem; use ivfTopKWith/lshTopKMulti or " +
+        "Curation.decontaminate instead")
     val base = corpus.select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", l2norm(col("__v")))
-    if (benchProbe <= maxBenchLiteral) {
-      val bvecs: Array[Array[Double]] = bench.orderBy(col(idCol))
-        .select(asDouble(col(vecCol)).as("v")).collect()
-        .map(_.getSeq[Double](0).toArray)
+    if (bvecs.length <= maxBenchLiteral) {
       val bLit = typedlit(bvecs.map(_.toSeq).toSeq)
       val bNorms = typedlit(bvecs.map(l2).toSeq)
       val mx = array_max(transform(sequence(lit(0), lit(bvecs.length - 1)),
@@ -657,23 +673,43 @@ object Similarity {
       base.select(col("id"), mx.as("max_cos"),
         coalesce(mx >= threshold, lit(false)).as("contaminated"))
     } else {
-      // Large eval set: broadcast the bench vectors as a TABLE (one
-      // copy per executor, not one per expression tree) and take the
-      // per-corpus-row max over the joined candidates. __rid keys the
-      // group (not `id`) so duplicate corpus ids never merge — output
-      // stays one row per corpus ROW, like the literal path.
-      val bdf = bench.select(asDouble(col(vecCol)).as("__bv"))
-        .withColumn("__bn", l2norm(col("__bv")))
-      val withRid = base.withColumn("__rid", monotonically_increasing_id())
-      withRid.crossJoin(broadcast(bdf))
-        .groupBy(col("__rid"))
-        .agg(first(col("id")).as("id"),
-          max(when(col("__n") > 0 && col("__bn") > 0,
-            dotNative(col("__v"), col("__bv")) /
-              (col("__n") * col("__bn")))).as("max_cos"))
-        .select(col("id"), col("max_cos"),
-          coalesce(col("max_cos") >= threshold, lit(false))
-            .as("contaminated"))
+      // Large eval set: ship the matrix ONCE per executor as a
+      // broadcast variable and take the per-row max in a UDF — no
+      // join, no groupBy, no generated row-id, so the one-row-per-
+      // corpus-row contract survives task retries and duplicate ids.
+      val bNorms: Array[Double] = bvecs.map(l2)
+      val bc = corpus.sparkSession.sparkContext.broadcast((bvecs, bNorms))
+      val maxCos = udf { (v: Seq[Double]) =>
+        if (v == null) None
+        else {
+          val (bv, bn) = bc.value
+          val arr = v.toArray
+          var n = 0.0
+          var j = 0
+          while (j < arr.length) { n += arr(j) * arr(j); j += 1 }
+          n = math.sqrt(n)
+          var best = Double.NegativeInfinity
+          var any = false
+          var i = 0
+          while (i < bv.length) {
+            if (n > 0 && bn(i) > 0) {
+              val b = bv(i)
+              val d = math.min(arr.length, b.length)
+              var s = 0.0
+              var k = 0
+              while (k < d) { s += arr(k) * b(k); k += 1 }
+              val c = s / (n * bn(i))
+              if (c > best) best = c
+              any = true
+            }
+            i += 1
+          }
+          if (any) Some(best) else None
+        }
+      }
+      val mx = maxCos(col("__v"))
+      base.select(col("id"), mx.as("max_cos"),
+        coalesce(mx >= threshold, lit(false)).as("contaminated"))
     }
   }
 

@@ -630,4 +630,37 @@ class GroupCorrSpec extends SparkSpec {
     assert(math.abs(out(Seq[Byte](1, 2)) - (-1.0 / 3)) < 1e-12)
     assert(math.abs(out(Seq[Byte](9)) - 1.0 / 3) < 1e-12)
   }
+
+  test("groupKeyString is injective on the container aliasing cases: " +
+    "separator chars in elements, null vs literal markers, nesting") {
+    import org.apache.spark.sql.Row
+    val ks = Corr.groupKeyString _
+    // every pair here rendered IDENTICALLY under bare-',' joining
+    val collisions = Seq(
+      Seq("a,b") -> Seq("a", "b"),
+      Seq("a", null) -> Seq("a", "n"), // null marker vs string
+      Seq("[1:sa]") -> Seq(Seq("a")), // element that mimics a rendering
+      Row("x,", "y") -> Row("x", ",y"),
+      Seq("2:sa") -> Seq("a", "a")) // length-prefix mimicry
+    collisions.foreach { case (a, b) =>
+      assert(ks(a) != ks(b), s"${ks(a)} aliases $a and $b")
+    }
+    // equal values still encode equal (Seq vs Array, nested)
+    assert(ks(Seq("a", "b")) == ks(Array("a", "b")))
+    assert(ks(Row(Seq("a,b"), 1L)) == ks(Row(Array("a,b"), 1L)))
+  }
+
+  test("kendallMatrixBy: ARRAY key with separator chars — Seq(\"a,b\") " +
+    "and Seq(\"a\",\"b\") stay distinct groups (no silent pooling)") {
+    val df = Seq(
+      (Seq("a,b"), 1.0, 4.0), (Seq("a,b"), 2.0, 1.0), (Seq("a,b"), 3.0, 3.0),
+      (Seq("a", "b"), 1.0, 1.0), (Seq("a", "b"), 2.0, 3.0),
+      (Seq("a", "b"), 3.0, 2.0)).toDF("k", "x", "y")
+    val out = Corr.kendallMatrixBy(df, "k", Seq("x", "y"))
+      .filter(col("c1") === "x" && col("c2") === "y")
+      .collect().map(r => r.getSeq[String](0) -> r.getDouble(3)).toMap
+    assert(out.size == 2, s"expected 2 groups, got ${out.keySet}")
+    assert(math.abs(out(Seq("a,b")) - (-1.0 / 3)) < 1e-12)
+    assert(math.abs(out(Seq("a", "b")) - 1.0 / 3) < 1e-12)
+  }
 }
