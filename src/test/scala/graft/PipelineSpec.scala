@@ -362,6 +362,55 @@ class PipelineSpec extends SparkSpec {
     assert(rows(bc).exists { case (id, s, f) => id == 11L && s.isEmpty && !f })
   }
 
+  test("semanticDecontaminate: randomized literal/broadcast/in-memory " +
+    "three-way differential, duplicate corpus ids kept per-row") {
+    val rnd = new scala.util.Random(4111L)
+    val d = 8
+    def vec() = Array.fill(d)(rnd.nextGaussian())
+    val benchRows = (0L until 7L).map(i => (i, vec()))
+    // duplicate id 50 twice with DIFFERENT vectors: the contract is one
+    // output row per corpus ROW, so both must survive both paths
+    val corpusRows = (10L until 40L).map(i => (i, vec())) ++
+      Seq((50L, vec()), (50L, vec()), (51L, Array.fill(d)(0.0)))
+    val bench = benchRows.toDF("vec_id", "embedding")
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    // in-memory reference: max cosine over the bench set per corpus row
+    def cos(a: Array[Double], b: Array[Double]): Option[Double] = {
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na > 0 && nb > 0)
+        Some(a.zip(b).map { case (x, y) => x * y }.sum / (na * nb))
+      else None
+    }
+    val expect = corpusRows.map { case (id, v) =>
+      val scores = benchRows.flatMap { case (_, bv) => cos(v, bv) }
+      (id, if (scores.isEmpty) None else Some(scores.max))
+    }.map { case (id, s) => (id, s.map(x => math.round(x * 1e9)),
+      s.exists(_ >= 0.3)) }.sorted
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(math.round(r.getDouble(1) * 1e9)),
+        r.getBoolean(2))).toSeq.sorted
+    val lit = got(Similarity.semanticDecontaminate(corpus, bench, 0.3))
+    val bc = got(Similarity.semanticDecontaminate(corpus, bench, 0.3,
+      maxBenchLiteral = 3))
+    assert(lit == expect, "literal path diverges from in-memory reference")
+    assert(bc == expect, "broadcast path diverges from in-memory reference")
+  }
+
+  test("semanticDecontaminate: bench above maxBenchRows fails loudly " +
+    "naming the distributed alternative (bound binds at collect)") {
+    val bench = (0L until 10L).map(i => (i, Array(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq((99L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(corpus, bench, 0.5,
+        maxBenchLiteral = 2, maxBenchRows = 5)
+    }
+    assert(e.getMessage.contains("maxBenchRows"))
+    assert(e.getMessage.contains("ivfTopKWith"))
+  }
+
   test("bpeTrain/bpeApply vs a reference in-memory BPE") {
     // reference word-histogram BPE (Sennrich): same tie-break
     def refBpe(words: Map[String, Int], k: Int)
