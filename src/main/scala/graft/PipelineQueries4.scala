@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.Core
+import graft.engine.Core.r
 import graft.pipeline._
 
 /** Fourth pipeline tranche (round 11): corpus-operations additions —
@@ -45,7 +46,39 @@ object PipelineQueries4 {
       Curation.snapshotDiff(old, nw, "doc_id",
           Seq("text", "lang", "source"))
         .orderBy("doc_id")
-    }))
+    }),
+
+    // ---- sliding-window chunking: 32-token windows advancing by 24
+    //      (8-token overlap), tails under 8 tokens dropped unless the
+    //      doc's only window. chunk_text joins the slice so the oracle
+    //      compares content, not engine-specific array encodings ----
+    "q_chunk_sliding" -> ((s, d) => {
+      val toks = T(s, d, "documents").select(col("doc_id"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      Curation.chunkSliding(toks, "doc_id", "toks",
+          chunkLen = 32, stride = 24, minTail = 8)
+        .select(col("doc_id"), col("chunk_idx"), col("start"),
+          concat_ws(" ", col("chunk")).as("chunk_text"), col("n_chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // ---- Misra-Gries heavy hitters in the EXACT regime (distinct
+    //      langs << k=64): the one-pass bounded-state summary must
+    //      equal the full groupBy counts; the decayed regime's error
+    //      bound is spec-tested (ReductionsSpec) ----
+    "q_heavy_hitters" -> ((s, d) =>
+      graft.engine.Reductions.heavyHitters(
+        T(s, d, "documents"), "lang", k = 64)),
+
+    // ---- int8 scalar quantization: floor(x*127/scale + 0.5) is
+    //      engine-portable (round()'s half-case direction is not);
+    //      the code vector rides as CSV so the compare covers every
+    //      element without cross-engine array-encoding concerns ----
+    "q_quantize_int8" -> ((s, d) =>
+      Similarity.quantizeInt8(T(s, d, "embeddings"))
+        .select(col("vec_id"), r(col("scale"), 6).as("scale"),
+          concat_ws(",", col("qvec")).as("qvec_csv"))
+        .orderBy("vec_id")))
 
   val oracle: Map[String, String] = Map(
 
@@ -80,5 +113,40 @@ object PipelineQueries4 {
                   THEN 'unchanged'
                 ELSE 'changed' END AS status
          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
-         ORDER BY 1""")
+         ORDER BY 1""",
+
+    "q_chunk_sliding" ->
+      """WITH words AS (SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\s+') AS w
+           FROM documents),
+         s AS (SELECT doc_id, w,
+                 unnest(range(0, greatest(len(w), 1), 24)) AS start
+               FROM words)
+         SELECT doc_id,
+           CAST(start / 24 AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start,
+           array_to_string(w[start + 1 : start + 32], ' ') AS chunk_text,
+           len(w[start + 1 : start + 32]) AS n_chunk
+         FROM s
+         WHERE start = 0 OR len(w[start + 1 : start + 32]) >= 8
+         ORDER BY doc_id, chunk_idx""",
+
+    "q_heavy_hitters" ->
+      """SELECT lang AS item, count(*) AS est_count
+         FROM documents WHERE lang IS NOT NULL
+         GROUP BY 1 ORDER BY est_count DESC, item""",
+
+    "q_quantize_int8" ->
+      """WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+         s AS (SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) AS scale
+               FROM v)
+         SELECT vec_id, round(scale + 1e-9, 6) AS scale,
+           array_to_string(list_transform(e, x ->
+             CASE WHEN scale > 0
+               THEN CAST(floor(x * 127.0 / scale + 0.5) AS TINYINT)
+               ELSE CAST(0 AS TINYINT) END), ',') AS qvec_csv
+         FROM s ORDER BY vec_id""")
 }

@@ -551,6 +551,93 @@ object Reductions {
   def boundedHistogram(c: Column, cap: Int = 65536): Column =
     udaf(boundedHistAgg(cap)).apply(c)
 
+  /** Misra-Gries heavy-hitter summary: at most `k` (item -> estimated
+    * count) entries from ONE mergeable aggregation pass — the
+    * fail-soft sibling of [[boundedHistAgg]] (which poisons itself
+    * above its cap). Classic guarantees, preserved under partial merge
+    * (Agarwal et al., "Mergeable Summaries", PODS 2012): estimates
+    * never exceed true counts, undercount by at most n/(k+1), and
+    * every item with true frequency > n/(k+1) is present. reduce()
+    * decrements all counters on overflow (amortized O(1)); merge()
+    * adds the two maps then subtracts the (k+1)-th largest count from
+    * all. With <= k distinct values the counts are EXACT — the regime
+    * the oracle row pins; the error bound is spec-tested. State is k
+    * entries per partial: "top domains over 100 TB" without shuffling
+    * every distinct key. */
+  def misraGriesAgg(k: Int): Aggregator[String,
+      java.util.HashMap[String, java.lang.Long], Map[String, Long]] =
+    new Aggregator[String, java.util.HashMap[String, java.lang.Long],
+        Map[String, Long]] {
+      def zero = new java.util.HashMap[String, java.lang.Long]
+      def reduce(b: java.util.HashMap[String, java.lang.Long],
+                 a: String) = {
+        if (a == null) b
+        else {
+          val prev = b.get(a)
+          if (prev != null) { b.put(a, prev + 1L); b }
+          else if (b.size < k) { b.put(a, 1L); b }
+          else { // decrement-all: drop zeros, the new item is absorbed
+            val it = b.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              if (e.getValue == 1L) it.remove()
+              else e.setValue(e.getValue - 1L)
+            }
+            b
+          }
+        }
+      }
+      def merge(b1: java.util.HashMap[String, java.lang.Long],
+                b2: java.util.HashMap[String, java.lang.Long]) = {
+        val it = b2.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val prev = b1.get(e.getKey)
+          b1.put(e.getKey,
+            if (prev == null) e.getValue else prev + e.getValue)
+        }
+        if (b1.size > k) {
+          // subtract the (k+1)-th largest count from every entry and
+          // drop the non-positive ones: <= k survive, bounds add up
+          val counts = new Array[Long](b1.size)
+          var i = 0
+          val vit = b1.values().iterator()
+          while (vit.hasNext) { counts(i) = vit.next(); i += 1 }
+          java.util.Arrays.sort(counts)
+          val sub = counts(counts.length - k - 1)
+          val eit = b1.entrySet().iterator()
+          while (eit.hasNext) {
+            val e = eit.next()
+            if (e.getValue <= sub) eit.remove()
+            else e.setValue(e.getValue - sub)
+          }
+        }
+        b1
+      }
+      def finish(b: java.util.HashMap[String, java.lang.Long])
+        : Map[String, Long] = {
+        val out = Map.newBuilder[String, Long]
+        val it = b.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          out += (e.getKey -> e.getValue.longValue())
+        }
+        out.result()
+      }
+      def bufferEncoder: Encoder[java.util.HashMap[String, java.lang.Long]] =
+        Encoders.kryo[java.util.HashMap[String, java.lang.Long]]
+      def outputEncoder: Encoder[Map[String, Long]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    }
+
+  /** [[misraGriesAgg]] exploded to a (item, est_count) frame, largest
+    * first (count desc, then item — deterministic). Nulls don't count
+    * (pandas value_counts dropna analogue). */
+  def heavyHitters(df: DataFrame, c: String, k: Int): DataFrame =
+    df.agg(udaf(misraGriesAgg(k)).apply(col(c).cast("string")).as("__mg"))
+      .select(explode(col("__mg")).as(Seq("item", "est_count")))
+      .orderBy(col("est_count").desc, col("item"))
+
   /** Rank-stats LocalRelation from DRIVER-SIDE value counts (the shared
     * finish of [[rankStatsTable]]'s small path and [[boundedHistogram]]
     * consumers): sorted values -> cnt/before/dense, broadcast for the

@@ -281,6 +281,18 @@ object Syntax {
     def snapshotDiff(newer: DataFrame, id: String,
                      contentCols: Seq[String]): DataFrame =
       graft.pipeline.Curation.snapshotDiff(df, newer, id, contentCols)
+    def chunkSliding(id: String, tokensCol: String, chunkLen: Int,
+                     stride: Int, minTail: Int = 1): DataFrame =
+      graft.pipeline.Curation.chunkSliding(df, id, tokensCol, chunkLen,
+        stride, minTail)
+    def heavyHitters(c: String, k: Int): DataFrame =
+      graft.engine.Reductions.heavyHitters(df, c, k)
+    def quantizeInt8(id: String = "vec_id",
+                     vec: String = "embedding"): DataFrame =
+      graft.pipeline.Similarity.quantizeInt8(df, id, vec)
+    def dequantizeInt8(id: String = "vec_id", q: String = "qvec",
+                       scale: String = "scale"): DataFrame =
+      graft.pipeline.Similarity.dequantizeInt8(df, id, q, scale)
     def dsirWeights(target: DataFrame, id: String, text: String,
                     buckets: Int = 4096, alpha: Double = 0.5): DataFrame =
       graft.pipeline.Curation.dsirWeights(df, target, id, text, buckets, alpha)

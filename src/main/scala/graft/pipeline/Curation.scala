@@ -598,6 +598,45 @@ object Curation {
       ((col("__cum") - col("__t")).cast("long") % ctxLen).as("chunk_offset"))
   }
 
+  /** PER-DOCUMENT sliding-window chunking with overlap — the other
+    * standard context-window prep (HF tokenizers'
+    * `return_overflowing_tokens` + `stride` shape): each document is
+    * independently cut into windows of `chunkLen` tokens whose starts
+    * advance by `stride` (overlap = chunkLen - stride), so no training
+    * example ever crosses a document boundary — the complement of
+    * [[packGreedy]], which concatenates across documents. Tail windows
+    * shorter than `minTail` drop (a near-duplicate suffix of the
+    * previous window) unless they are the document's ONLY window.
+    * Emits one row per (doc, window): id, chunk_idx, start, chunk
+    * (token slice), n_chunk.
+    *
+    * Scale shape: pure per-row `sequence` + `explode` + `slice` inside
+    * the scan — ZERO shuffle, no state, output volume ~n_tokens/stride
+    * rows per doc. At 100 TB this is exactly a flatMap over the corpus;
+    * partition count follows the input splits. */
+  def chunkSliding(df: DataFrame, idCol: String, tokensCol: String,
+                   chunkLen: Int, stride: Int,
+                   minTail: Int = 1): DataFrame = {
+    require(chunkLen >= 1 && stride >= 1 && stride <= chunkLen,
+      s"chunkSliding: need 1 <= stride <= chunkLen; got stride=$stride, " +
+        s"chunkLen=$chunkLen")
+    require(minTail >= 1 && minTail <= chunkLen,
+      s"chunkSliding: need 1 <= minTail <= chunkLen; got $minTail")
+    val nTok = size(col(tokensCol))
+    df.select(col(idCol), col(tokensCol).as("__toks"), nTok.as("__n"))
+      .withColumn("start",
+        explode(sequence(lit(0), greatest(col("__n") - 1, lit(0)),
+          lit(stride))))
+      .withColumn("chunk",
+        slice(col("__toks"), col("start") + 1, lit(chunkLen)))
+      .withColumn("n_chunk", size(col("chunk")))
+      .filter(col("start") === 0 || col("n_chunk") >= minTail)
+      .select(col(idCol),
+        (col("start") / stride).cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start"),
+        col("chunk"), col("n_chunk"))
+  }
+
   /** Deterministic corpus shuffle — the "randomize training order" step
     * of a pretraining pipeline, as a pure function of (seed, id): the
     * sort key is a seeded hash of the id, so the permutation is

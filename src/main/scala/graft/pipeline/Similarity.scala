@@ -796,4 +796,35 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "dist", "rank")
   }
+
+  /** Symmetric per-vector INT8 scalar quantization — the standard 4-8x
+    * memory/IO lever for embedding stores (scan 1 byte/dim instead of
+    * 4-8): q_i = floor(x_i * 127 / scale + 0.5) with scale =
+    * max|x_i|, so q in [-127, 127] and the reconstruction error per
+    * element is <= scale/254 + ulp (spec-gated). `floor(r + 0.5)` is
+    * deliberate instead of round(): both engines (and both signs)
+    * floor identically, where round()'s half-case direction is
+    * engine-specific — the same determinism discipline as the 1e-6
+    * rate quantization in [[Curation.mixtureSample]]. Zero vectors get
+    * scale 0 and an all-zero code (dequantize restores exact zeros).
+    * Pure codegen over the scan, zero shuffle. Emits (id, scale,
+    * qvec: array<tinyint>). */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("scale", array_max(transform(col("__v"), x => abs(x))))
+      .select(col(idCol), col("scale"),
+        transform(col("__v"), x => when(col("scale") > 0,
+            floor(x * 127.0 / col("scale") + 0.5).cast("tinyint"))
+          .otherwise(lit(0).cast("tinyint"))).as("qvec"))
+
+  /** Inverse of [[quantizeInt8]]: x_i ~ q_i * scale / 127. Returns
+    * (id, embedding: array<double>) — feed straight back into any
+    * top-k/dedup path to trade exactness for 4-8x less IO. */
+  def dequantizeInt8(df: DataFrame, idCol: String = "vec_id",
+                     qCol: String = "qvec",
+                     scaleCol: String = "scale"): DataFrame =
+    df.select(col(idCol),
+      transform(col(qCol), q => q.cast("double") * col(scaleCol) / 127.0)
+        .as("embedding"))
 }

@@ -488,4 +488,59 @@ class CurationSpec extends SparkSpec {
     val nullRow = out.find(_.isNullAt(0)).get
     assert(nullRow.getString(1) == "unchanged")
   }
+
+  test("chunkSliding: hand case — overlap windows, short tail dropped, " +
+    "single short doc keeps its only window") {
+    val df = Seq(
+      (1L, (1 to 10).map(_.toString)), // 10 tokens
+      (2L, Seq("a", "b"))) // shorter than minTail, but the only window
+      .toDF("id", "toks")
+    val out = Curation.chunkSliding(df, "id", "toks",
+        chunkLen = 4, stride = 3, minTail = 3)
+      .orderBy("id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getSeq[String](3), r.getInt(4)))
+    // doc 1 starts: 0,3,6,9; start=9 yields 1 token < minTail=3 -> drop
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, Seq("1", "2", "3", "4"), 4),
+      (1L, 1L, 3L, Seq("4", "5", "6", "7"), 4),
+      (1L, 2L, 6L, Seq("7", "8", "9", "10"), 4),
+      (2L, 0L, 0L, Seq("a", "b"), 2)))
+  }
+
+  test("chunkSliding: randomized vs in-memory sliding windows; every " +
+    "token covered when stride <= chunkLen (seeded)") {
+    val rnd = new scala.util.Random(2311L)
+    for (trial <- 1 to 8) {
+      val chunkLen = 1 + rnd.nextInt(12)
+      val stride = 1 + rnd.nextInt(chunkLen)
+      val minTail = 1 + rnd.nextInt(chunkLen)
+      val docs = (1L to 20L).map(i =>
+        (i, Seq.fill(rnd.nextInt(40))(s"t${rnd.nextInt(9)}")))
+      // in-memory reference with identical semantics
+      val want = docs.flatMap { case (id, toks) =>
+        val n = math.max(toks.size, 1)
+        (0 until n by stride).map { st =>
+          (id, (st / stride).toLong, st.toLong,
+            toks.slice(st, st + chunkLen))
+        }.filter { case (_, _, st, ch) => st == 0 || ch.size >= minTail }
+      }.sorted(Ordering.by((t: (Long, Long, Long, Seq[String])) =>
+        (t._1, t._2)))
+      val got = Curation.chunkSliding(docs.toDF("id", "toks"), "id",
+          "toks", chunkLen, stride, minTail)
+        .orderBy("id", "chunk_idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getSeq[String](3)))
+      assert(got.toSeq == want,
+        s"trial $trial (len=$chunkLen stride=$stride tail=$minTail)")
+      // coverage: with minTail=1 no window drops, and stride <=
+      // chunkLen makes consecutive windows contiguous — every token
+      // index is covered
+      if (minTail == 1) docs.foreach { case (id, toks) =>
+        val covered = got.filter(_._1 == id).flatMap(t =>
+          t._3.toInt until (t._3.toInt + t._4.size)).toSet
+        assert(toks.indices.forall(covered), s"doc $id has coverage gaps")
+      }
+    }
+  }
 }

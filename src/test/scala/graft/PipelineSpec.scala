@@ -398,6 +398,46 @@ class PipelineSpec extends SparkSpec {
     assert(bc == expect, "broadcast path diverges from in-memory reference")
   }
 
+  test("quantizeInt8/dequantizeInt8: per-element error <= scale/254, " +
+    "codes in [-127,127], zero vectors roundtrip to exact zeros (seeded)") {
+    val rnd = new scala.util.Random(811L)
+    val vecs = (1L to 30L).map(i =>
+      (i, Array.fill(16)((rnd.nextDouble() - 0.5) * 20))) :+
+      (99L, Array.fill(16)(0.0))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df)
+    val back = Similarity.dequantizeInt8(q).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val scales = q.collect().map(r => r.getLong(0) ->
+      (r.getDouble(1), r.getSeq[Byte](2))).toMap
+    vecs.foreach { case (id, v) =>
+      val (scale, codes) = scales(id)
+      assert(math.abs(scale - v.map(math.abs).max) < 1e-12)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      val re = back(id)
+      v.indices.foreach { i =>
+        assert(math.abs(v(i) - re(i)) <= scale / 254 + 1e-9,
+          s"id=$id i=$i ${v(i)} vs ${re(i)} (scale $scale)")
+      }
+    }
+    assert(back(99L).forall(_ == 0.0))
+  }
+
+  test("quantizeInt8: brute-force top-k over dequantized vectors keeps " +
+    "high recall vs exact (seeded)") {
+    val rnd = new scala.util.Random(812L)
+    val corpus = (1L to 60L).map(i =>
+      (i, Array.fill(12)(rnd.nextGaussian()))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") <= 8)
+    val exact = Similarity.bruteForceTopK(queries, corpus, 5)
+    val deq = Similarity.dequantizeInt8(Similarity.quantizeInt8(corpus))
+    val approx = Similarity.bruteForceTopK(
+      Similarity.dequantizeInt8(Similarity.quantizeInt8(queries)), deq, 5)
+    val rec = Similarity.recallAtK(approx, exact, 5)
+      .agg(avg("recall")).head.getDouble(0)
+    assert(rec >= 0.85, s"int8 recall@5 fell to $rec")
+  }
+
   test("semanticDecontaminate: bench above maxBenchRows fails loudly " +
     "naming the distributed alternative (bound binds at collect)") {
     val bench = (0L until 10L).map(i => (i, Array(1.0, 0.0)))

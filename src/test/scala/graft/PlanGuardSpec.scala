@@ -213,7 +213,13 @@ class PlanGuardSpec extends SparkSpec {
         val li = spark.read.parquet(s"$sf/lineitem.parquet")
         li.select(graft.engine.Frame.rowCumsum(
           Seq(col("l_quantity"), col("l_discount")), Seq("q", "d")): _*)
-      })
+      },
+      "chunkSliding" -> graft.pipeline.Curation.chunkSliding(
+        docs.select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("toks")),
+        "doc_id", "toks", chunkLen = 32, stride = 24, minTail = 8),
+      "quantize+dequantize" -> graft.pipeline.Similarity.dequantizeInt8(
+        graft.pipeline.Similarity.quantizeInt8(emb)))
     zeroShuffle.foreach { case (name, df) =>
       val shuffles = walk(df.queryExecution.executedPlan).collect {
         case s: ShuffleExchangeLike => s
@@ -328,5 +334,24 @@ class PlanGuardSpec extends SparkSpec {
           "map-side digest must reduce each side to (id, digest) BEFORE " +
           "the join")
     }
+  }
+
+  test("heavyHitters: ONE partial-state shuffle (map-side combine of " +
+    "k-entry Misra-Gries summaries), never a per-distinct-key exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.engine.Reductions.heavyHitters(docs, "lang", k = 64)
+      .queryExecution.executedPlan
+    val nodes = walkPlan(plan)
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }
+    // one single-partition exchange of aggregate PARTIALS plus the
+    // trailing sort exchange over the <= k exploded output rows
+    assert(shuffles.size <= 2,
+      s"heavyHitters plans ${shuffles.size} exchanges — expected the " +
+        "partials exchange (+ the k-row sort)")
+    val aggs = nodes.filter(_.getClass.getSimpleName.contains("Aggregate"))
+    assert(aggs.size >= 2,
+      "heavyHitters lost its partial/final aggregate split — the " +
+        "k-entry summary must combine map-side before the shuffle")
   }
 }

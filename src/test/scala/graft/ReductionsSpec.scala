@@ -285,4 +285,50 @@ class ReductionsSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(math.abs(got - 997L) <= 997 * 0.05, s"got $got")
   }
+
+  test("heavyHitters: exact counts when distinct <= k") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => s"v${i % 7}").toDF("s").repartition(8)
+    val rows = Reductions.heavyHitters(df, "s", k = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // exact regime: identical to groupBy counts, ordered desc-then-item
+    val want = (0 to 6).map(r => s"v$r" ->
+      (if (r == 0) 142L else 143L)).sortBy { case (i, c) => (-c, i) }
+    assert(rows.toSeq == want)
+  }
+
+  test("heavyHitters: Misra-Gries bounds hold under distributed merge " +
+    "on skewed random data (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1111L)
+    // zipf-ish: item i drawn with weight ~ 1/(i+1)
+    val ids = (0 until 60).toArray
+    val weights = ids.map(i => 1.0 / (i + 1))
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    val total = cum.last
+    val data = Seq.fill(8000) {
+      val u = rnd.nextDouble() * total
+      s"item${ids(cum.indexWhere(u <= _))}"
+    }
+    val n = data.size
+    val truth = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (k <- Seq(8, 16, 32)) {
+      val est = Reductions.heavyHitters(
+          data.toDF("s").repartition(16), "s", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(est.size <= k)
+      val bound = n.toDouble / (k + 1)
+      est.foreach { case (item, e) =>
+        val t = truth(item)
+        assert(e <= t, s"k=$k: overcount $item: $e > $t")
+        assert(t - e <= bound + 1e-9, s"k=$k: $item est $e vs true $t " +
+          s"exceeds n/(k+1)=$bound")
+      }
+      truth.foreach { case (item, t) =>
+        if (t > bound)
+          assert(est.contains(item),
+            s"k=$k: frequent item $item (count $t > $bound) missing")
+      }
+    }
+  }
 }
