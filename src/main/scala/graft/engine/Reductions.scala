@@ -565,7 +565,9 @@ object Reductions {
     * entries per partial: "top domains over 100 TB" without shuffling
     * every distinct key. */
   def misraGriesAgg(k: Int): Aggregator[String,
-      java.util.HashMap[String, java.lang.Long], Map[String, Long]] =
+      java.util.HashMap[String, java.lang.Long], Map[String, Long]] = {
+    require(k >= 1, s"misraGriesAgg: need k >= 1; got $k (k <= 0 would " +
+      "silently discard every item as an empty summary)")
     new Aggregator[String, java.util.HashMap[String, java.lang.Long],
         Map[String, Long]] {
       def zero = new java.util.HashMap[String, java.lang.Long]
@@ -629,6 +631,7 @@ object Reductions {
       def outputEncoder: Encoder[Map[String, Long]] =
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
     }
+  }
 
   /** [[misraGriesAgg]] exploded to a (item, est_count) frame, largest
     * first (count desc, then item — deterministic). Nulls don't count

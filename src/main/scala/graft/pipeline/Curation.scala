@@ -622,8 +622,17 @@ object Curation {
         s"chunkLen=$chunkLen")
     require(minTail >= 1 && minTail <= chunkLen,
       s"chunkSliding: need 1 <= minTail <= chunkLen; got $minTail")
+    // working/output names must not shadow the id column — a clash
+    // would silently replace the id with window offsets
+    Seq("__toks", "__n", "start", "chunk", "n_chunk", "chunk_idx")
+      .foreach(n => require(idCol != n,
+        s"chunkSliding: idCol '$n' collides with a working/output " +
+          "column — rename it first"))
     val nTok = size(col(tokensCol))
-    df.select(col(idCol), col(tokensCol).as("__toks"), nTok.as("__n"))
+    // null token arrays yield NO chunks (size(null) is null and the
+    // `start === 0` escape would otherwise emit a phantom empty window)
+    df.filter(col(tokensCol).isNotNull)
+      .select(col(idCol), col(tokensCol).as("__toks"), nTok.as("__n"))
       .withColumn("start",
         explode(sequence(lit(0), greatest(col("__n") - 1, lit(0)),
           lit(stride))))

@@ -636,7 +636,8 @@ object Similarity {
     * filter on the flag to drop. Zero-norm vectors score null max_cos
     * but a FALSE (not null) contaminated flag, so `filter(!contaminated)`
     * keeps them — a three-valued null flag would silently drop clean
-    * rows. */
+    * rows. NaN-norm vectors (a NaN element) follow the zero-norm rule
+    * on BOTH sides, and null bench vectors are dropped up front. */
   def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
                             threshold: Double,
                             idCol: String = "vec_id",
@@ -650,26 +651,40 @@ object Similarity {
     // non-deterministic (unseeded sample, growing directory) could pass
     // the probe and still hand the driver an unbounded collect. The
     // limit makes the bound binding on the collect itself.
-    val bvecs: Array[Array[Double]] = bench.orderBy(col(idCol))
+    val collected: Array[Array[Double]] = bench.orderBy(col(idCol))
+      .filter(col(vecCol).isNotNull) // null vectors never match; a
+      // driver-side getSeq(null).toArray would NPE before any branch
       .select(asDouble(col(vecCol)).as("v")).limit(maxBenchRows + 1)
       .collect().map(_.getSeq[Double](0).toArray)
-    require(bvecs.nonEmpty, "semanticDecontaminate: empty benchmark set")
-    require(bvecs.length <= maxBenchRows,
+    require(collected.nonEmpty, "semanticDecontaminate: empty benchmark set")
+    require(collected.length <= maxBenchRows,
       s"semanticDecontaminate: benchmark set exceeds maxBenchRows=" +
-        s"$maxBenchRows (~${maxBenchRows.toLong * 8 * bvecs.head.length /
-          (1 << 20)} MB at dim ${bvecs.head.length}) — an eval set that " +
+        s"$maxBenchRows (~${maxBenchRows.toLong * 8 * collected.head.length /
+          (1 << 20)} MB at dim ${collected.head.length}) — an eval set that " +
         "large is a corpus-vs-corpus problem; use ivfTopKWith/lshTopKMulti or " +
         "Curation.decontaminate instead")
+    // zero/NaN-norm bench vectors can never produce a cosine — drop
+    // them ONCE here so both branches share identical semantics (the
+    // old per-branch guards disagreed on NaN: Catalyst orders NaN above
+    // every number, Scala compares it false)
+    val bvecs: Array[Array[Double]] =
+      collected.filter(v => { val n = l2(v); n > 0 && !n.isNaN })
     val base = corpus.select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", l2norm(col("__v")))
+    // corpus-side validity: positive FINITE-or-Inf norm; !isnan keeps
+    // the literal branch's Catalyst compare (NaN > 0 is TRUE in SQL)
+    // aligned with the UDF branch's Scala compare (false)
+    val vOk = col("__n") > 0 && !isnan(col("__n"))
     if (bvecs.length <= maxBenchLiteral) {
       val bLit = typedlit(bvecs.map(_.toSeq).toSeq)
       val bNorms = typedlit(bvecs.map(l2).toSeq)
-      val mx = array_max(transform(sequence(lit(0), lit(bvecs.length - 1)),
-        i => when(col("__n") > 0 && element_at(bNorms, i + 1) > 0,
-          dotNative(col("__v"), element_at(bLit, i + 1)) /
-            (col("__n") * element_at(bNorms, i + 1)))))
+      val mx =
+        if (bvecs.isEmpty) lit(null).cast("double")
+        else array_max(transform(sequence(lit(0), lit(bvecs.length - 1)),
+          i => when(vOk,
+            dotNative(col("__v"), element_at(bLit, i + 1)) /
+              (col("__n") * element_at(bNorms, i + 1)))))
       base.select(col("id"), mx.as("max_cos"),
         coalesce(mx >= threshold, lit(false)).as("contaminated"))
     } else {
@@ -806,25 +821,40 @@ object Similarity {
     * floor identically, where round()'s half-case direction is
     * engine-specific — the same determinism discipline as the 1e-6
     * rate quantization in [[Curation.mixtureSample]]. Zero vectors get
-    * scale 0 and an all-zero code (dequantize restores exact zeros).
+    * scale 0 and an all-zero code (dequantize restores exact zeros);
+    * non-finite vectors (NaN/Inf element) get a NULL scale and an
+    * all-zero code, so dequantize returns nulls, never garbage.
     * Pure codegen over the scan, zero shuffle. Emits (id, scale,
     * qvec: array<tinyint>). */
   def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame =
+                   vecCol: String = "embedding"): DataFrame = {
+    Seq("__v", "scale", "qvec").foreach(n => require(idCol != n,
+      s"quantizeInt8: idCol '$n' collides with an output column"))
     df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
-      .withColumn("scale", array_max(transform(col("__v"), x => abs(x))))
+      // non-finite max|x| (a NaN/Inf element) -> NULL scale and an
+      // all-zero code: dequantize then restores nulls, not garbage
+      // (Catalyst would otherwise take the NaN > 0 branch and emit
+      // codes that LOOK valid)
+      .withColumn("scale", {
+        val raw = array_max(transform(col("__v"), x => abs(x)))
+        when(!isnan(raw) && raw =!= Double.PositiveInfinity, raw)
+      })
       .select(col(idCol), col("scale"),
         transform(col("__v"), x => when(col("scale") > 0,
             floor(x * 127.0 / col("scale") + 0.5).cast("tinyint"))
           .otherwise(lit(0).cast("tinyint"))).as("qvec"))
+  }
 
   /** Inverse of [[quantizeInt8]]: x_i ~ q_i * scale / 127. Returns
     * (id, embedding: array<double>) — feed straight back into any
     * top-k/dedup path to trade exactness for 4-8x less IO. */
   def dequantizeInt8(df: DataFrame, idCol: String = "vec_id",
                      qCol: String = "qvec",
-                     scaleCol: String = "scale"): DataFrame =
+                     scaleCol: String = "scale"): DataFrame = {
+    require(idCol != "embedding",
+      "dequantizeInt8: idCol 'embedding' collides with the output column")
     df.select(col(idCol),
       transform(col(qCol), q => q.cast("double") * col(scaleCol) / 127.0)
         .as("embedding"))
+  }
 }

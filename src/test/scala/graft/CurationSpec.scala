@@ -506,6 +506,17 @@ class CurationSpec extends SparkSpec {
       (1L, 1L, 3L, Seq("4", "5", "6", "7"), 4),
       (1L, 2L, 6L, Seq("7", "8", "9", "10"), 4),
       (2L, 0L, 0L, Seq("a", "b"), 2)))
+    // null token arrays produce NO chunks (not a phantom empty window)
+    val withNull = Seq((3L, null.asInstanceOf[Seq[String]]))
+      .toDF("id", "toks")
+    assert(Curation.chunkSliding(withNull, "id", "toks", 4, 3, 1)
+      .count() == 0)
+    // id-name collision with a working column fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Curation.chunkSliding(df.withColumnRenamed("id", "start"),
+        "start", "toks", 4, 3, 1)
+    }
+    assert(e.getMessage.contains("collides"))
   }
 
   test("chunkSliding: randomized vs in-memory sliding windows; every " +

@@ -398,6 +398,30 @@ class PipelineSpec extends SparkSpec {
     assert(bc == expect, "broadcast path diverges from in-memory reference")
   }
 
+  test("semanticDecontaminate: NaN-element and null vectors score " +
+    "null/false IDENTICALLY on both branches (Catalyst NaN>0 is true, " +
+    "Scala's is false — the guards must agree)") {
+    val bench = (0L until 5L).map(i =>
+      (i, Array(1.0, 0.0, i.toDouble))) :+
+      (8L, Array(Double.NaN, 1.0, 0.0)) // NaN bench vector: dropped
+    val corpus = Seq(
+      (20L, Array(Double.NaN, 1.0, 0.0)), // NaN norm
+      (21L, null.asInstanceOf[Array[Double]]), // null vector
+      (22L, Array(1.0, 0.0, 0.0))) // clean
+    val b = bench.toDF("vec_id", "embedding")
+    val c = corpus.toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(math.round(r.getDouble(1) * 1e6)),
+        r.getBoolean(2))).toSeq
+    val lit = rows(Similarity.semanticDecontaminate(c, b, 0.5))
+    val bc = rows(Similarity.semanticDecontaminate(c, b, 0.5,
+      maxBenchLiteral = 2))
+    assert(lit == bc, s"branches diverge: $lit vs $bc")
+    assert(lit.take(2) == Seq((20L, None, false), (21L, None, false)))
+    assert(lit(2)._1 == 22L && lit(2)._2.contains(1000000L) && lit(2)._3)
+  }
+
   test("quantizeInt8/dequantizeInt8: per-element error <= scale/254, " +
     "codes in [-127,127], zero vectors roundtrip to exact zeros (seeded)") {
     val rnd = new scala.util.Random(811L)
@@ -421,6 +445,15 @@ class PipelineSpec extends SparkSpec {
       }
     }
     assert(back(99L).forall(_ == 0.0))
+    // non-finite vector: NULL scale, zero codes, null reconstruction
+    val nan = Seq((7L, Array(1.0, Double.NaN, 2.0)))
+      .toDF("vec_id", "embedding")
+    val qn = Similarity.quantizeInt8(nan).collect()(0)
+    assert(qn.isNullAt(1), "NaN vector must quantize to a NULL scale")
+    assert(qn.getSeq[Byte](2).forall(_ == 0))
+    val dq = Similarity.dequantizeInt8(Similarity.quantizeInt8(nan))
+      .collect()(0).getSeq[java.lang.Double](1)
+    assert(dq.forall(_ == null), "NaN-scale dequantize must be nulls")
   }
 
   test("quantizeInt8: brute-force top-k over dequantized vectors keeps " +
