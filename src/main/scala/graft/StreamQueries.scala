@@ -36,7 +36,8 @@ object StreamQueries {
     "q_stream_runmean" -> ((s, d) => streamRunMean(s, d)),
     "q_stream_interval_join" -> ((s, d) => streamIntervalJoin(s, d)),
     "q_stream_token_budget" -> ((s, d) => streamTokenBudget(s, d)),
-    "q_stream_decontam" -> ((s, d) => streamDecontam(s, d)))
+    "q_stream_decontam" -> ((s, d) => streamDecontam(s, d)),
+    "q_stream_heavy_hitters" -> ((s, d) => streamHeavyHitters(s, d)))
 
   val oracle: Map[String, String] = Map(
     // batch gap-sessionization (same 30-min gap as q_sessionize),
@@ -137,7 +138,12 @@ object StreamQueries {
     // stateless streaming decontamination == the batch operator: the
     // oracle IS q_decontam's, shared by reference so the shingle
     // definition can never desynchronize between the two rows
-    "q_stream_decontam" -> PipelineQueries2.oracle("q_decontam"))
+    "q_stream_decontam" -> PipelineQueries2.oracle("q_decontam"),
+
+    // streaming bucket-sharded Misra-Gries in the EXACT regime
+    // (5 langs << k): final summaries == the batch groupBy counts,
+    // same oracle as the batch q_heavy_hitters row
+    "q_stream_heavy_hitters" -> PipelineQueries4.oracle("q_heavy_hitters"))
 
   /** Replay scratch space (staging files, checkpoints, sink): prefer
     * the tmpfs at /dev/shm — streaming checkpoints are many small
@@ -469,5 +475,41 @@ object StreamQueries {
         .select(col("doc_id"), col("n_contaminated"),
           col("contaminated").cast("int").as("contaminated")))
       .orderBy("doc_id")
+  }
+
+  /** Streaming heavy hitters replayed over the documents table in two
+    * id-ordered micro-batches (state must carry a bucket's summary
+    * across the boundary). The memory sink accumulates every batch's
+    * emissions; each bucket's LATEST version is its final summary, and
+    * buckets partition the item space so a union is the global answer.
+    * k=64 >> 5 langs keeps every bucket exact — the oracle is the same
+    * batch groupBy count as q_heavy_hitters. */
+  private def streamHeavyHitters(spark: SparkSession,
+                                 dir: String): DataFrame = {
+    val docs = Core.normalizeTs(spark.read.parquet(s"$dir/documents.parquet"))
+      .select(col("doc_id"), col("lang"))
+    val base = scratchDir("q_stream_hh")
+    val src = replayByIdHalves(base, docs)
+    val table = s"hh_${base.getFileName.toString.replaceAll("[^a-zA-Z0-9_]", "_")}"
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val q = try { // same state-partition note as runToParquet
+      spark.conf.set(key, "4")
+      Streams.streamingHeavyHitters(src, "lang", k = 64, buckets = 8)
+        .toDF().writeStream
+        .format("memory")
+        .queryName(table)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally spark.conf.set(key, prev)
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+    spark.table(table)
+      .withColumn("__mx", max(col("version")).over(w))
+      .filter(col("version") === col("__mx"))
+      .select(col("item"), col("est_count"))
+      .orderBy(col("est_count").desc, col("item"))
   }
 }

@@ -564,6 +564,28 @@ object Reductions {
     * the oracle row pins; the error bound is spec-tested. State is k
     * entries per partial: "top domains over 100 TB" without shuffling
     * every distinct key. */
+  /** One Misra-Gries reduce step over a mutable summary: increment a
+    * present item, insert while under k, else decrement-all (dropping
+    * zeros). Shared by [[misraGriesAgg]] and the streaming
+    * [[graft.streaming.Streams.streamingHeavyHitters]] state handler so
+    * the two surfaces cannot drift. Null items are ignored. */
+  private[graft] def mgStep(b: java.util.HashMap[String, java.lang.Long],
+                            a: String, k: Int): Unit = {
+    if (a != null) {
+      val prev = b.get(a)
+      if (prev != null) b.put(a, prev + 1L)
+      else if (b.size < k) b.put(a, 1L)
+      else { // decrement-all: drop zeros, the new item is absorbed
+        val it = b.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue == 1L) it.remove()
+          else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+  }
+
   def misraGriesAgg(k: Int): Aggregator[String,
       java.util.HashMap[String, java.lang.Long], Map[String, Long]] = {
     require(k >= 1, s"misraGriesAgg: need k >= 1; got $k (k <= 0 would " +
@@ -572,23 +594,7 @@ object Reductions {
         Map[String, Long]] {
       def zero = new java.util.HashMap[String, java.lang.Long]
       def reduce(b: java.util.HashMap[String, java.lang.Long],
-                 a: String) = {
-        if (a == null) b
-        else {
-          val prev = b.get(a)
-          if (prev != null) { b.put(a, prev + 1L); b }
-          else if (b.size < k) { b.put(a, 1L); b }
-          else { // decrement-all: drop zeros, the new item is absorbed
-            val it = b.entrySet().iterator()
-            while (it.hasNext) {
-              val e = it.next()
-              if (e.getValue == 1L) it.remove()
-              else e.setValue(e.getValue - 1L)
-            }
-            b
-          }
-        }
-      }
+                 a: String) = { mgStep(b, a, k); b }
       def merge(b1: java.util.HashMap[String, java.lang.Long],
                 b2: java.util.HashMap[String, java.lang.Long]) = {
         val it = b2.entrySet().iterator()

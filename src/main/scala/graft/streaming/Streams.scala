@@ -340,4 +340,64 @@ object Streams {
       .drop("__w")
       .withColumn("contaminated", col("n_contaminated") > 0)
   }
+
+  case class HHIn(item: String, bucket: Int)
+  case class HHState(counts: Map[String, Long], n: Long)
+  case class HHOut(bucket: Int, version: Long, item: String,
+                   est_count: Long)
+
+  /** Streaming heavy hitters — "top domains/langs on the ingest stream"
+    * with state bounded by construction: items shard across `buckets`
+    * hash groups, each group's state is ONE k-entry Misra-Gries summary
+    * ([[graft.engine.Reductions.mgStep]], the identical batch kernel),
+    * so total state is `buckets * k` entries FOREVER, independent of
+    * how many distinct items the stream ever carries (a plain streaming
+    * groupBy().count() grows state per distinct key — the thing this op
+    * exists to avoid). Buckets partition the item space, so per-item
+    * guarantees are the batch MG bounds with n = that bucket's arrival
+    * count; a bucket's summary is EXACT while its distinct items stay
+    * <= k. Each micro-batch emits every updated bucket's full summary
+    * stamped with a monotone `version` (items processed); the reader
+    * keeps each bucket's latest version and unions — buckets are
+    * disjoint, so no cross-summary merge is needed. Within-batch
+    * arrivals fold in (item-)sorted order, making the decayed regime's
+    * output a pure function of batch contents, not partition arrival
+    * order. */
+  def streamingHeavyHitters(items: DataFrame, itemCol: String, k: Int,
+                            buckets: Int = 64): Dataset[HHOut] = {
+    require(k >= 1 && buckets >= 1,
+      s"streamingHeavyHitters: need k >= 1, buckets >= 1; got $k, $buckets")
+    import items.sparkSession.implicits._
+    items.select(col(itemCol).cast("string").as("item"))
+      .filter(col("item").isNotNull)
+      .withColumn("bucket",
+        pmod(xxhash64(col("item")), lit(buckets.toLong)).cast("int"))
+      .as[HHIn]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(
+        (b: Int, it: Iterator[HHIn], state: GroupState[HHState]) => {
+          val m = new java.util.HashMap[String, java.lang.Long]
+          var n = 0L
+          state.getOption.foreach { s =>
+            s.counts.foreach { case (item, c) => m.put(item, c) }
+            n = s.n
+          }
+          it.toSeq.map(_.item).sorted.foreach { item =>
+            graft.engine.Reductions.mgStep(m, item, k)
+            n += 1
+          }
+          val counts = {
+            val bld = Map.newBuilder[String, Long]
+            val eit = m.entrySet().iterator()
+            while (eit.hasNext) {
+              val e = eit.next()
+              bld += (e.getKey -> e.getValue.longValue())
+            }
+            bld.result()
+          }
+          state.update(HHState(counts, n))
+          counts.iterator.map { case (item, c) => HHOut(b, n, item, c) }
+        })
+  }
 }

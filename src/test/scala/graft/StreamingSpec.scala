@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, max}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.Streams
 import graft.streaming.Streams.SessionEvent
@@ -289,6 +290,76 @@ class StreamingSpec extends SparkSpec {
       }
       assert(big.getMessage.contains("maxBenchGrams") ||
         big.getMessage.contains("distinct grams"))
+    } finally q.stop()
+  }
+
+  /** Latest summary per bucket from the accumulated update-mode table,
+    * unioned (buckets are disjoint) — the reader protocol every
+    * streamingHeavyHitters consumer uses. */
+  private def hhFinal(table: String): Map[String, Long] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bucket"))
+    spark.table(table)
+      .withColumn("__mx", max(col("version")).over(w))
+      .filter(col("version") === col("__mx"))
+      .collect().map(r => r.getAs[String]("item") ->
+        r.getAs[Long]("est_count")).toMap
+  }
+
+  test("streaming heavy hitters: exact regime carries bucket summaries " +
+    "across batches — final state equals whole-stream counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.streamingHeavyHitters(
+        in.toDF().toDF("id", "lang"), "lang", k = 16, buckets = 4)
+      .writeStream.format("memory").queryName("shh")
+      .outputMode(OutputMode.Update).start()
+    val batch1 = Seq("en", "en", "fr", "de", "en")
+    val batch2 = Seq("fr", "en", "zh", "fr", "de", "en")
+    try {
+      in.addData(batch1.zipWithIndex.map { case (l, i) => (i.toLong, l) })
+      q.processAllAvailable()
+      in.addData(batch2.zipWithIndex.map { case (l, i) => (100L + i, l) })
+      q.processAllAvailable()
+      val want = (batch1 ++ batch2).groupBy(identity)
+        .map { case (l, xs) => l -> xs.size.toLong }
+      assert(hhFinal("shh") == want)
+    } finally q.stop()
+  }
+
+  test("streaming heavy hitters: decayed regime (distinct > k) keeps " +
+    "the Misra-Gries bounds on the final state (seeded)") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(911L)
+    val items = Seq.fill(400)(s"d${rnd.nextInt(12)}") ++
+      Seq.fill(200)("hot.example") // guaranteed heavy hitter
+    val (b1, b2) = rnd.shuffle(items).splitAt(items.size / 2)
+    val in = MemoryStream[(Long, String)]
+    val k = 4
+    val q = Streams.streamingHeavyHitters(
+        in.toDF().toDF("id", "item"), "item", k, buckets = 1)
+      .writeStream.format("memory").queryName("shh2")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(b1.zipWithIndex.map { case (l, i) => (i.toLong, l) })
+      q.processAllAvailable()
+      in.addData(b2.zipWithIndex.map { case (l, i) => (1000L + i, l) })
+      q.processAllAvailable()
+      val est = hhFinal("shh2")
+      val truth = items.groupBy(identity)
+        .map { case (l, xs) => l -> xs.size.toLong }
+      val n = items.size
+      val bound = n.toDouble / (k + 1)
+      assert(est.size <= k)
+      est.foreach { case (item, e) =>
+        assert(e <= truth(item), s"overcount $item: $e > ${truth(item)}")
+        assert(truth(item) - e <= bound + 1e-9,
+          s"$item est $e vs true ${truth(item)} exceeds n/(k+1)=$bound")
+      }
+      truth.foreach { case (item, t) =>
+        if (t > bound) assert(est.contains(item),
+          s"frequent item $item (count $t > $bound) missing")
+      }
     } finally q.stop()
   }
 }
