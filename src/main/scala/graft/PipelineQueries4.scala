@@ -143,9 +143,11 @@ object PipelineQueries4 {
          s AS (SELECT vec_id, e,
                  list_max(list_transform(e, x -> abs(x))) AS scale
                FROM v)
-         SELECT vec_id, round(scale + 1e-9, 6) AS scale,
+         SELECT vec_id,
+           CASE WHEN isfinite(scale) THEN round(scale + 1e-9, 6) END
+             AS scale,
            array_to_string(list_transform(e, x ->
-             CASE WHEN scale > 0
+             CASE WHEN isfinite(scale) AND scale > 0
                THEN CAST(floor(x * 127.0 / scale + 0.5) AS TINYINT)
                ELSE CAST(0 AS TINYINT) END), ',') AS qvec_csv
          FROM s ORDER BY vec_id""")

@@ -505,11 +505,7 @@ object StreamQueries {
         .start()
     } finally spark.conf.set(key, prev)
     q.awaitTermination()
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
-    spark.table(table)
-      .withColumn("__mx", max(col("version")).over(w))
-      .filter(col("version") === col("__mx"))
-      .select(col("item"), col("est_count"))
+    Streams.hhLatest(spark.table(table))
       .orderBy(col("est_count").desc, col("item"))
   }
 }

@@ -663,19 +663,26 @@ object Similarity {
           (1 << 20)} MB at dim ${collected.head.length}) — an eval set that " +
         "large is a corpus-vs-corpus problem; use ivfTopKWith/lshTopKMulti or " +
         "Curation.decontaminate instead")
-    // zero/NaN-norm bench vectors can never produce a cosine — drop
-    // them ONCE here so both branches share identical semantics (the
-    // old per-branch guards disagreed on NaN: Catalyst orders NaN above
-    // every number, Scala compares it false)
+    // zero/NaN/Inf-norm bench vectors can never produce a meaningful
+    // cosine — drop them ONCE here so both branches share identical
+    // semantics (the old per-branch guards disagreed on non-finite
+    // norms: Catalyst orders NaN above every number and Inf/Inf is a
+    // NaN cosine, Scala compares both false)
     val bvecs: Array[Array[Double]] =
-      collected.filter(v => { val n = l2(v); n > 0 && !n.isNaN })
+      collected.filter(v => { val n = l2(v); n > 0 && !n.isNaN &&
+        !n.isInfinite })
     val base = corpus.select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", l2norm(col("__v")))
-    // corpus-side validity: positive FINITE-or-Inf norm; !isnan keeps
-    // the literal branch's Catalyst compare (NaN > 0 is TRUE in SQL)
-    // aligned with the UDF branch's Scala compare (false)
-    val vOk = col("__n") > 0 && !isnan(col("__n"))
+    // corpus-side validity: positive FINITE norm, so the literal
+    // branch's Catalyst compares (NaN > 0 is TRUE in SQL; an Inf norm
+    // makes a NaN cosine that array_max surfaces as the max) stay
+    // aligned with the UDF branch's Scala compares (both false). A
+    // residual caveat survives any guard: elements large enough to
+    // overflow the DOT to +/-Inf with finite norms (~1e154) can still
+    // produce a NaN cosine — normalize such embeddings upstream.
+    val vOk = col("__n") > 0 && !isnan(col("__n")) &&
+      col("__n") =!= Double.PositiveInfinity
     if (bvecs.length <= maxBenchLiteral) {
       val bLit = typedlit(bvecs.map(_.toSeq).toSeq)
       val bNorms = typedlit(bvecs.map(l2).toSeq)
@@ -707,7 +714,9 @@ object Similarity {
           var any = false
           var i = 0
           while (i < bv.length) {
-            if (n > 0 && bn(i) > 0) {
+            // mirror vOk: positive FINITE norm (bench norms are
+            // pre-filtered; NaN compares false here by itself)
+            if (n > 0 && !n.isInfinite && bn(i) > 0) {
               val b = bv(i)
               val d = math.min(arr.length, b.length)
               var s = 0.0

@@ -397,7 +397,26 @@ object Streams {
             bld.result()
           }
           state.update(HHState(counts, n))
-          counts.iterator.map { case (item, c) => HHOut(b, n, item, c) }
+          // an EMPTY summary (a decrement-all round evicted everything)
+          // must still emit a tombstone at the new version — otherwise
+          // the latest-version reader would serve the stale superseded
+          // summary forever
+          if (counts.isEmpty) Iterator.single(HHOut(b, n, null, 0L))
+          else counts.iterator.map { case (item, c) => HHOut(b, n, item, c) }
         })
+  }
+
+  /** The reader protocol for [[streamingHeavyHitters]]' accumulated
+    * update-mode sink: keep each bucket's LATEST version, drop
+    * tombstones (null item = that bucket's summary is currently empty),
+    * and union — buckets partition the item space, so no cross-summary
+    * merge is needed. Lives HERE so emitter and every consumer share
+    * one contract (the same no-drift argument as the shared
+    * [[graft.engine.Reductions.mgStep]] kernel). */
+  def hhLatest(sink: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+    sink.withColumn("__mx", max(col("version")).over(w))
+      .filter(col("version") === col("__mx") && col("item").isNotNull)
+      .select(col("item"), col("est_count"))
   }
 }

@@ -293,18 +293,12 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  /** Latest summary per bucket from the accumulated update-mode table,
-    * unioned (buckets are disjoint) — the reader protocol every
-    * streamingHeavyHitters consumer uses. */
-  private def hhFinal(table: String): Map[String, Long] = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("bucket"))
-    spark.table(table)
-      .withColumn("__mx", max(col("version")).over(w))
-      .filter(col("version") === col("__mx"))
+  /** Final summaries via the shared reader protocol
+    * ([[Streams.hhLatest]]). */
+  private def hhFinal(table: String): Map[String, Long] =
+    Streams.hhLatest(spark.table(table))
       .collect().map(r => r.getAs[String]("item") ->
         r.getAs[Long]("est_count")).toMap
-  }
 
   test("streaming heavy hitters: exact regime carries bucket summaries " +
     "across batches — final state equals whole-stream counts") {
@@ -360,6 +354,27 @@ class StreamingSpec extends SparkSpec {
         if (t > bound) assert(est.contains(item),
           s"frequent item $item (count $t > $bound) missing")
       }
+    } finally q.stop()
+  }
+
+  test("streaming heavy hitters: a decrement-all round that EMPTIES a " +
+    "summary tombstones the old one — the reader never serves stale " +
+    "evicted items") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.streamingHeavyHitters(
+        in.toDF().toDF("id", "item"), k = 2, buckets = 1, itemCol = "item")
+      .writeStream.format("memory").queryName("shh3")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData((1L, "a"))
+      q.processAllAvailable()
+      assert(hhFinal("shh3") == Map("a" -> 1L))
+      // b fills the summary to k, c triggers decrement-all -> empty
+      in.addData((2L, "b"), (3L, "c"))
+      q.processAllAvailable()
+      assert(hhFinal("shh3") == Map.empty,
+        "reader served a stale superseded summary after eviction")
     } finally q.stop()
   }
 }
