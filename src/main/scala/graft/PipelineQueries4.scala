@@ -78,7 +78,21 @@ object PipelineQueries4 {
       Similarity.quantizeInt8(T(s, d, "embeddings"))
         .select(col("vec_id"), r(col("scale"), 6).as("scale"),
           concat_ws(",", col("qvec")).as("qvec_csv"))
-        .orderBy("vec_id")))
+        .orderBy("vec_id")),
+
+    // ---- the int8 story end-to-end: top-k over the DEQUANTIZED store
+    //      vs exact top-k — the oracle recomputes quantize, dequantize,
+    //      both rankings, and the recall join independently ----
+    "q_quant_recall" -> ((s, d) => {
+      val emb = T(s, d, "embeddings")
+      val deq = Similarity.dequantizeInt8(Similarity.quantizeInt8(emb))
+      Similarity.recallAtK(
+          Similarity.bruteForceTopK(deq.filter(col("vec_id") < 10),
+            deq, k = 5),
+          Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10),
+            emb, k = 5), k = 5)
+        .orderBy("query_id")
+    }))
 
   val oracle: Map[String, String] = Map(
 
@@ -150,5 +164,42 @@ object PipelineQueries4 {
              CASE WHEN isfinite(scale) AND scale > 0
                THEN CAST(floor(x * 127.0 / scale + 0.5) AS TINYINT)
                ELSE CAST(0 AS TINYINT) END), ',') AS qvec_csv
-         FROM s ORDER BY vec_id""")
+         FROM s ORDER BY vec_id""",
+
+    "q_quant_recall" ->
+      """WITH v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+           FROM embeddings),
+         s AS (SELECT vec_id, e,
+                 list_max(list_transform(e, x -> abs(x))) AS scale
+               FROM v),
+         dq AS (SELECT vec_id,
+                  CASE WHEN isfinite(scale) AND scale > 0
+                    THEN list_transform(e, x ->
+                      CAST(floor(x * 127.0 / scale + 0.5) AS TINYINT)
+                        * scale / 127.0)
+                    ELSE list_transform(e, x -> CAST(0 AS DOUBLE)) END AS d
+                FROM s),
+         ann AS (SELECT qid, nid FROM (
+                   SELECT q.vec_id AS qid, c.vec_id AS nid,
+                     row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                       list_cosine_similarity(q.d, c.d) DESC,
+                       c.vec_id) AS rank
+                   FROM (SELECT * FROM dq WHERE vec_id < 10) q, dq c
+                   WHERE c.vec_id <> q.vec_id)
+                 WHERE rank <= 5),
+         bf AS (SELECT qid, nid FROM (
+                  SELECT q.vec_id AS qid, c.vec_id AS nid,
+                    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                      list_cosine_similarity(q.e, c.e) DESC,
+                      c.vec_id) AS rank
+                  FROM (SELECT * FROM v WHERE vec_id < 10) q, v c
+                  WHERE c.vec_id <> q.vec_id)
+                WHERE rank <= 5),
+         hits AS (SELECT a.qid, count(*) AS h
+                  FROM ann a JOIN bf b ON a.qid = b.qid AND a.nid = b.nid
+                  GROUP BY 1)
+         SELECT b.qid AS query_id, coalesce(h, 0) / 5.0 AS recall
+         FROM (SELECT DISTINCT qid FROM bf) b
+         LEFT JOIN hits USING (qid) ORDER BY query_id""")
 }
