@@ -167,23 +167,36 @@ object PipelineQueries4 {
          FROM s ORDER BY vec_id""",
 
     "q_quant_recall" ->
-      """WITH v AS (SELECT vec_id,
+      """WITH v0 AS (SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
            FROM embeddings),
+         v AS (SELECT vec_id, e,
+                 sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+               FROM v0),
          s AS (SELECT vec_id, e,
                  list_max(list_transform(e, x -> abs(x))) AS scale
-               FROM v),
-         dq AS (SELECT vec_id,
-                  CASE WHEN isfinite(scale) AND scale > 0
-                    THEN list_transform(e, x ->
-                      CAST(floor(x * 127.0 / scale + 0.5) AS TINYINT)
-                        * scale / 127.0)
-                    ELSE list_transform(e, x -> CAST(0 AS DOUBLE)) END AS d
-                FROM s),
+               FROM v0),
+         dq0 AS (SELECT vec_id,
+                   CASE WHEN isfinite(scale) AND scale > 0
+                     THEN list_transform(e, x ->
+                       CAST(floor(x * 127.0 / scale + 0.5) AS TINYINT)
+                         * scale / 127.0)
+                     ELSE list_transform(e, x -> CAST(0 AS DOUBLE)) END AS d
+                 FROM s),
+         dq AS (SELECT vec_id, d,
+                  sqrt(list_sum(list_transform(d, x -> x * x))) AS nrm
+                FROM dq0),
+         -- cosine is NULL (ranked LAST) unless BOTH norms are positive
+         -- and finite — Spark's pairCos rule; a bare
+         -- list_cosine_similarity yields NaN for a zero vector, which
+         -- DuckDB would rank FIRST (NaN > all) while Spark ranks it last
          ann AS (SELECT qid, nid FROM (
                    SELECT q.vec_id AS qid, c.vec_id AS nid,
                      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                       list_cosine_similarity(q.d, c.d) DESC,
+                       CASE WHEN q.nrm > 0 AND isfinite(q.nrm)
+                             AND c.nrm > 0 AND isfinite(c.nrm)
+                         THEN list_cosine_similarity(q.d, c.d) END
+                         DESC NULLS LAST,
                        c.vec_id) AS rank
                    FROM (SELECT * FROM dq WHERE vec_id < 10) q, dq c
                    WHERE c.vec_id <> q.vec_id)
@@ -191,7 +204,10 @@ object PipelineQueries4 {
          bf AS (SELECT qid, nid FROM (
                   SELECT q.vec_id AS qid, c.vec_id AS nid,
                     row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                      list_cosine_similarity(q.e, c.e) DESC,
+                      CASE WHEN q.nrm > 0 AND isfinite(q.nrm)
+                            AND c.nrm > 0 AND isfinite(c.nrm)
+                        THEN list_cosine_similarity(q.e, c.e) END
+                        DESC NULLS LAST,
                       c.vec_id) AS rank
                   FROM (SELECT * FROM v WHERE vec_id < 10) q, v c
                   WHERE c.vec_id <> q.vec_id)
