@@ -169,4 +169,22 @@ class SyntaxSpec extends SparkSpec {
     assert(math.abs(e(0) - 1.0) < 1e-12)
     assert(math.abs(e(1) - 7.0 / 3) < 1e-9)
   }
+
+  test("round-11 surface: chunkSliding / heavyHitters / quantizeInt8 " +
+    "/ dequantizeInt8 through the accessor") {
+    val docs = Seq((1L, Seq("a", "b", "c", "d", "e")))
+      .toDF("doc_id", "toks")
+    assert(docs.pp.chunkSliding("doc_id", "toks", 3, 2).count() == 3)
+    val langs = Seq("en", "en", "fr").toDF("lang")
+    val hh = langs.pp.heavyHitters("lang", 8).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(hh == Seq("en" -> 2L, "fr" -> 1L))
+    val vecs = Seq((1L, Array(2.0, -1.0))).toDF("vec_id", "embedding")
+    val q = vecs.pp.quantizeInt8()
+    // floor(-63.5 + 0.5) = -63: the +0.5 shift rounds half-cases UP
+    assert(q.collect()(0).getSeq[Byte](2) == Seq[Byte](127, -63))
+    val back = q.pp.dequantizeInt8().collect()(0).getSeq[Double](1)
+    assert(math.abs(back(0) - 2.0) < 1e-12 &&
+      math.abs(back(1) + (63.0 * 2 / 127)) < 1e-12)
+  }
 }
