@@ -662,11 +662,16 @@ object Dedup {
     *
     * Plan shape at 100 TB: the exploded (hash, doc, pos) table has
     * ~|corpus chars| / stride rows — `stride` is the knob trading
-    * boundary precision for explode volume. The duplicate-window count
-    * is a map-side-combinable hash aggregate on a 128-bit content hash
-    * (a boilerplate window repeated a billion times collapses to one
-    * row per map task before the shuffle); the join back is LEFT SEMI
-    * on the same key, so hot windows cause no row multiplication. The
+    * boundary precision for explode volume. Duplicate detection is ONE
+    * `count(*) over (partition by h1, h2)` window pass: the exploded
+    * stream is evaluated once and shuffled once on the 128-bit content
+    * key, then filtered to count > 1. (The previous dup-aggregate +
+    * left-semi-join shape re-evaluated the explode subtree — the
+    * dominant scan+hash cost — once per branch, and its semi join
+    * shuffled the same full row stream on the same key anyway, so the
+    * window form strictly removes one explode evaluation and one
+    * shuffle without changing the skew profile; a hot window's rows
+    * land on one reducer either way and stream through the count.) The
     * span merge is one window pass partitioned by doc, state bounded by
     * one doc's window count. Two shuffles + the per-doc sort, total.
     *
@@ -708,9 +713,12 @@ object Dedup {
       .select(col(id),
         (col("__i").cast("long") * stride + 1).as("__p"),
         col("__z.h1").as("__h"), col("__z.h2").as("__h2"))
-    val dup = pos.groupBy(col("__h"), col("__h2")).agg(count(lit(1)).as("__c"))
-      .filter(col("__c") > 1).select(col("__h"), col("__h2"))
-    val hits = pos.join(dup, Seq("__h", "__h2"), "left_semi")
+    // one count-over-(h1,h2) window: the explode subtree is evaluated
+    // exactly once (PlanGuardSpec pins one Generate in the plan)
+    val byHash = Window.partitionBy(col("__h"), col("__h2"))
+    val hits = pos
+      .withColumn("__c", count(lit(1)).over(byHash))
+      .filter(col("__c") > 1)
       .select(col(id), col("__p"), (col("__p") + (win - 1)).as("__e"))
     val byDoc = Window.partitionBy(col(id)).orderBy(col("__p"))
     val prevEnd = max(col("__e"))

@@ -354,4 +354,22 @@ class PlanGuardSpec extends SparkSpec {
       "heavyHitters lost its partial/final aggregate split — the " +
         "k-entry summary must combine map-side before the shuffle")
   }
+
+  test("substringSpans: the WindowHashPairs explode is evaluated " +
+    "exactly ONCE (count-over-hash window, not dup-agg + semi-join)") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.pipeline.Dedup.substringSpans(docs, "doc_id", "text",
+      win = 30, stride = 4).queryExecution.executedPlan
+    val nodes = walkPlan(plan)
+    val gens = nodes.collect { case g: GenerateExec => g }
+    assert(gens.size == 1,
+      s"substringSpans plans ${gens.size} Generate nodes — the rolling-" +
+        "hash explode (the dominant scan cost at 100 TB) must appear " +
+        "exactly once; a second one means a branch re-evaluates it")
+    assert(!nodes.exists(_.isInstanceOf[BaseJoinExec]),
+      "substringSpans grew a join — dup detection must stay the single " +
+        "count-over-(h1,h2) window pass")
+  }
 }
