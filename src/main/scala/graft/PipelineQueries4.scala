@@ -21,8 +21,8 @@ object PipelineQueries4 {
     //      preferred but not guaranteed). lang is skewed (en 43%), so
     //      cap=50 exercises both the salted top-k path (en/es/zh) and
     //      the under-cap bypass (fr/de). The oracle recomputes the
-    //      exponential-clock key -ln(u)/w from md5(doc_id)
-    //      independently ----
+    //      log-space exponential-clock key ln(-ln(u)) - ln(w) from
+    //      md5(doc_id) independently ----
     "q_weighted_cap" -> ((s, d) =>
       Curation.weightedCapPerStratum(T(s, d, "documents"),
           "doc_id", "lang", "n_chars", cap = 50)
@@ -98,9 +98,9 @@ object PipelineQueries4 {
 
     "q_weighted_cap" ->
       """WITH e AS (SELECT doc_id, lang, n_chars,
-             round(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
-                       / 4294967296.0)
-                   / CAST(n_chars AS DOUBLE), 6) AS wkey
+             round(ln(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                          / 4294967296.0))
+                   - ln(CAST(n_chars AS DOUBLE)), 6) AS wkey
            FROM documents WHERE n_chars > 0),
          c AS (SELECT lang, count(*) AS n_stratum FROM e GROUP BY 1),
          r AS (SELECT doc_id, lang, n_chars, wkey,
@@ -134,8 +134,8 @@ object PipelineQueries4 {
              string_split_regex(lower(trim(text)), '\s+') AS w
            FROM documents),
          s AS (SELECT doc_id, w,
-                 unnest(range(0, greatest(len(w), 1), 24)) AS start
-               FROM words)
+                 unnest(range(0, len(w), 24)) AS start
+               FROM words WHERE len(w) >= 1)
          SELECT doc_id,
            CAST(start / 24 AS BIGINT) AS chunk_idx,
            CAST(start AS BIGINT) AS start,

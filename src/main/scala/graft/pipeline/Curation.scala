@@ -213,17 +213,27 @@ object Curation {
     * `u` derives bit-exactly from md5(id) — `(int(md5[0:8]) + 0.5) /
     * 2^32` is exact binary arithmetic — so the kept set is a pure
     * function of (id, weight), stable under repartition/retry/ingest
-    * order and reproducible by the oracle. The key is quantized to
-    * 1e-6 (ties broken by id), which shrinks the cross-engine risk of
-    * a last-ulp `ln` divergence from ~1e-10/row (raw double ordering)
-    * to the ~1e-12/row chance that the ulp lands exactly on a
-    * quantization boundary AND the two engines' round() disagree
-    * there — negligible at any realistic scale, but not zero.
+    * order and reproducible by the oracle. The clock is carried in LOG
+    * space: `wkey = ln(-ln(u)) - ln(w)`, a monotone transform of
+    * -ln(u)/w (both sides positive), so ordering — and therefore the
+    * kept set — is identical, while the 1e-6 quantization (ties broken
+    * by id) is now RELATIVE to the key's magnitude (~6 significant
+    * figures) instead of absolute. An absolute 1e-6 on the raw key
+    * collapsed every key to 0.000000 once weights reached ~1e5-1e6
+    * (keys shrink as 1/w), silently degrading selection to
+    * lowest-id-first; in log space the key stays in ~[-733, 23] for
+    * every positive finite weight and no weight range is privileged.
+    * The quantization shrinks the cross-engine risk of a last-ulp `ln`
+    * divergence from ~1e-10/row (raw double ordering) to the
+    * ~1e-12/row chance that the ulp lands exactly on a quantization
+    * boundary AND the two engines' round() disagree there — negligible
+    * at any realistic scale, but not zero.
     *
     * Rows with null, NaN, or non-positive weight are EXCLUDED (weight
     * 0 = never sampled); `n_stratum` counts the eligible rows. Same
     * skew-aware two-phase selection as [[capPerStratum]]. Emits the
-    * kept rows + n_stratum + the quantized key as `wkey`. */
+    * kept rows + n_stratum + the quantized LOG-space key as `wkey`
+    * (smaller = more preferred, as before). */
   def weightedCapPerStratum(df: DataFrame, idCol: String,
                             strataCol: String, weightCol: String,
                             cap: Int, salts: Int = 32): DataFrame = {
@@ -232,7 +242,9 @@ object Curation {
     val u = (conv(substring(md5(col(idCol).cast("string").cast("binary")),
         1, 8), 16, 10).cast("long").cast("double") + 0.5) /
       lit(4294967296.0)
-    val key = round(-log(u) / col(weightCol).cast("double"), 6)
+    // log-space clock: ln(-ln(u)) - ln(w); -ln(u) > 0 always because
+    // u = (int+0.5)/2^32 lies strictly inside (0, 1)
+    val key = round(log(-log(u)) - log(col(weightCol).cast("double")), 6)
     // NaN guard is load-bearing: Spark orders NaN ABOVE every number,
     // so `NaN > 0.0` is TRUE and a NaN quality score would ride in
     // with wkey=NaN instead of being excluded like null/<=0.
@@ -258,7 +270,16 @@ object Curation {
     * NULL-SAFE on id, so a null-id row on both sides compares rather
     * than splitting into a spurious added+removed pair. Ids must be
     * unique within each snapshot (corpus snapshots are keyed by doc
-    * id); duplicate ids produce one output row per pairing. */
+    * id); duplicate ids produce one output row per pairing.
+    *
+    * Equality semantics caveat: content compares through each column's
+    * STRING RENDERING (the digest hashes `cast("string")`), so
+    * distinct values with identical renderings read 'unchanged' —
+    * e.g. -0.0 vs 0.0 doubles, or equal-instant timestamps of
+    * different sub-second precision. For text/categorical snapshot
+    * columns (the intended use) rendering is injective; if byte-exact
+    * numeric/timestamp diffing matters, pre-encode those columns into
+    * a canonical form (e.g. ieee bits via `hex`) before calling. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
                    contentCols: Seq[String]): DataFrame = {
     require(contentCols.nonEmpty, "snapshotDiff: need content columns")
@@ -607,8 +628,9 @@ object Curation {
     * [[packGreedy]], which concatenates across documents. Tail windows
     * shorter than `minTail` drop (a near-duplicate suffix of the
     * previous window) unless they are the document's ONLY window.
-    * Emits one row per (doc, window): id, chunk_idx, start, chunk
-    * (token slice), n_chunk.
+    * Null and EMPTY token arrays yield no rows (no zero-length
+    * training examples). Emits one row per (doc, window): id,
+    * chunk_idx, start, chunk (token slice), n_chunk.
     *
     * Scale shape: pure per-row `sequence` + `explode` + `slice` inside
     * the scan — ZERO shuffle, no state, output volume ~n_tokens/stride
@@ -629,9 +651,11 @@ object Curation {
         s"chunkSliding: idCol '$n' collides with a working/output " +
           "column — rename it first"))
     val nTok = size(col(tokensCol))
-    // null token arrays yield NO chunks (size(null) is null and the
-    // `start === 0` escape would otherwise emit a phantom empty window)
-    df.filter(col(tokensCol).isNotNull)
+    // null AND empty token arrays yield NO chunks: size(null) is null
+    // so the predicate drops both, and without it the `start === 0`
+    // escape would emit a phantom (chunk_idx=0, chunk=[], n_chunk=0)
+    // row per empty doc — a zero-length training example downstream
+    df.filter(nTok >= 1)
       .select(col(idCol), col(tokensCol).as("__toks"), nTok.as("__n"))
       .withColumn("start",
         explode(sequence(lit(0), greatest(col("__n") - 1, lit(0)),

@@ -637,7 +637,10 @@ object Similarity {
     * but a FALSE (not null) contaminated flag, so `filter(!contaminated)`
     * keeps them — a three-valued null flag would silently drop clean
     * rows. NaN-norm vectors (a NaN element) follow the zero-norm rule
-    * on BOTH sides, and null bench vectors are dropped up front. */
+    * on BOTH sides, and null bench vectors are dropped up front. If
+    * EVERY bench vector is degenerate (zero/NaN/Inf norm) the call
+    * fails loudly instead of failing open — a broken upstream
+    * embedding job must not mark the whole corpus clean. */
   def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
                             threshold: Double,
                             idCol: String = "vec_id",
@@ -671,6 +674,12 @@ object Similarity {
     val bvecs: Array[Array[Double]] =
       collected.filter(v => { val n = l2(v); n > 0 && !n.isNaN &&
         !n.isInfinite })
+    // fail CLOSED when the whole benchmark is degenerate: a broken
+    // upstream embedding job (all-zero / NaN vectors) must not silently
+    // mark the entire corpus clean — mirrors the empty-bench guard
+    require(bvecs.nonEmpty, "semanticDecontaminate: all benchmark " +
+      "vectors are degenerate (zero/NaN/Inf norm) — refusing to mark " +
+      "the corpus clean against an unusable benchmark")
     val base = corpus.select(col(idCol).cast("long").as("id"),
         asDouble(col(vecCol)).as("__v"))
       .withColumn("__n", l2norm(col("__v")))
@@ -687,8 +696,7 @@ object Similarity {
       val bLit = typedlit(bvecs.map(_.toSeq).toSeq)
       val bNorms = typedlit(bvecs.map(l2).toSeq)
       val mx =
-        if (bvecs.isEmpty) lit(null).cast("double")
-        else array_max(transform(sequence(lit(0), lit(bvecs.length - 1)),
+        array_max(transform(sequence(lit(0), lit(bvecs.length - 1)),
           i => when(vOk,
             dotNative(col("__v"), element_at(bLit, i + 1)) /
               (col("__n") * element_at(bNorms, i + 1)))))

@@ -329,7 +329,7 @@ class CurationSpec extends SparkSpec {
       (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
     }
     def key(id: Long, w: Double): Double =
-      BigDecimal(-math.log(u(id)) / w)
+      BigDecimal(math.log(-math.log(u(id))) - math.log(w))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // "big": 10 eligible rows (id 1-10, weight id*10), one zero-weight
     // and one null-weight row that must NOT count or be kept;
@@ -361,7 +361,7 @@ class CurationSpec extends SparkSpec {
   }
 
   test("weightedCapPerStratum: raising a row's weight only improves its " +
-    "rank (fixed u, key = -ln(u)/w monotone in w)") {
+    "rank (fixed u, key = ln(-ln(u)) - ln(w) decreasing in w)") {
     val base = (1L to 8L).map(i => (i, "s", 10.0)).toDF("id", "stratum", "w")
     val keptBase = Curation.weightedCapPerStratum(base, "id", "stratum",
       "w", cap = 3).select("id").collect().map(_.getLong(0)).toSet
@@ -407,7 +407,9 @@ class CurationSpec extends SparkSpec {
   }
 
   test("weightedCapPerStratum: seeded randomized differential vs a " +
-    "local A-ES reference (random weights across 3 decades)") {
+    "local A-ES reference (random weights across 9 decades — the " +
+    "log-space key keeps discriminating where an absolute 1e-6 " +
+    "quantization of -ln(u)/w collapsed every w >~ 1e5 key to 0)") {
     import java.security.MessageDigest
     def u(id: Long): Double = {
       val hex = MessageDigest.getInstance("MD5")
@@ -416,14 +418,14 @@ class CurationSpec extends SparkSpec {
       (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
     }
     def key(id: Long, w: Double): Double =
-      BigDecimal(-math.log(u(id)) / w)
+      BigDecimal(math.log(-math.log(u(id))) - math.log(w))
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val rnd = new scala.util.Random(1234)
     for (trial <- 1 to 3) {
       val n = 40 + rnd.nextInt(60)
       val rows = (1 to n).map { i =>
         (i.toLong, s"s${rnd.nextInt(4)}",
-          math.pow(10.0, rnd.nextDouble() * 3.0))
+          math.pow(10.0, rnd.nextDouble() * 9.0 - 1.0))
       }
       val cap = 1 + rnd.nextInt(8)
       val got = Curation.weightedCapPerStratum(
@@ -506,10 +508,11 @@ class CurationSpec extends SparkSpec {
       (1L, 1L, 3L, Seq("4", "5", "6", "7"), 4),
       (1L, 2L, 6L, Seq("7", "8", "9", "10"), 4),
       (2L, 0L, 0L, Seq("a", "b"), 2)))
-    // null token arrays produce NO chunks (not a phantom empty window)
-    val withNull = Seq((3L, null.asInstanceOf[Seq[String]]))
-      .toDF("id", "toks")
-    assert(Curation.chunkSliding(withNull, "id", "toks", 4, 3, 1)
+    // null AND empty token arrays produce NO chunks (not a phantom
+    // zero-length window)
+    val degenerate = Seq((3L, null.asInstanceOf[Seq[String]]),
+      (4L, Seq.empty[String])).toDF("id", "toks")
+    assert(Curation.chunkSliding(degenerate, "id", "toks", 4, 3, 1)
       .count() == 0)
     // id-name collision with a working column fails loudly
     val e = intercept[IllegalArgumentException] {
@@ -528,9 +531,10 @@ class CurationSpec extends SparkSpec {
       val minTail = 1 + rnd.nextInt(chunkLen)
       val docs = (1L to 20L).map(i =>
         (i, Seq.fill(rnd.nextInt(40))(s"t${rnd.nextInt(9)}")))
-      // in-memory reference with identical semantics
-      val want = docs.flatMap { case (id, toks) =>
-        val n = math.max(toks.size, 1)
+      // in-memory reference with identical semantics (empty docs
+      // yield nothing)
+      val want = docs.filter(_._2.nonEmpty).flatMap { case (id, toks) =>
+        val n = toks.size
         (0 until n by stride).map { st =>
           (id, (st / stride).toLong, st.toLong,
             toks.slice(st, st + chunkLen))

@@ -484,6 +484,17 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("ivfTopKWith"))
   }
 
+  test("semanticDecontaminate: fails CLOSED when every bench vector " +
+    "is degenerate (zero/NaN norm) instead of marking the corpus clean") {
+    val bench = Seq((1L, Array(0.0, 0.0)), (2L, Array(Double.NaN, 1.0)))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq((99L, Array(1.0, 0.0))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(corpus, bench, 0.5)
+    }
+    assert(e.getMessage.contains("degenerate"))
+  }
+
   test("bpeTrain/bpeApply vs a reference in-memory BPE") {
     // reference word-histogram BPE (Sennrich): same tie-break
     def refBpe(words: Map[String, Int], k: Int)
