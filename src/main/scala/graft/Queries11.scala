@@ -85,37 +85,52 @@ object Queries11 {
         "l_tax")
       val li = T(s, d, "lineitem")
       val acc = 10000
+      // parquet count is metadata-only; del needs n before the
+      // percentile list can be built
       val n = li.count().toDouble
       val del = 1.5 / acc + 2.5 / n
+      require(del < 0.125, s"band delta $del would disorder fractions")
       val ps = Seq(0.25, 0.5, 0.75)
-      val labels = Seq("25%", "50%", "75%")
-      val fr = ps.map(p => math.max(0.0, p - del)) ++
-        ps.map(p => math.min(1.0, p + del))
-      // ONE percentile aggregate per column (each `percentile` buffers
-      // the whole column, so one 6-fraction call costs half of two
-      // 3-fraction calls)
-      val bandAggs = cols.map(c =>
-        expr(s"percentile($c, array(${fr.mkString(",")}))").as(s"b_$c"))
-      val band = li.agg(bandAggs.head, bandAggs.tail: _*).head()
-      def bnd(pre: String, c: String, i: Int): Double =
-        band.getAs[Seq[Double]](s"b_$c")(
-          if (pre == "lo") i else i + ps.length)
-      val exact = Reductions.describe(li, cols)
-      val approx = Reductions.describeApprox(li, cols)
-        .select(col("stat").as("__s") +:
-          cols.map(c => col(c).as(s"__a_$c")): _*)
-      def okFor(c: String): org.apache.spark.sql.Column =
-        labels.zipWithIndex.foldLeft(
-          abs(col(s"__a_$c") - col(c)) <= (abs(col(c)) + 1) * 0.01) {
-          case (other, (lab, i)) =>
-            when(col("stat") === lab,
-              col(s"__a_$c").between(bnd("lo", c, i) - 1e-9,
-                bnd("hi", c, i) + 1e-9)).otherwise(other)
+      // the p +/- delta band fractions ride the SAME exact describe
+      // pass as the surface quartiles (one persisted sort per column
+      // prices all nine fractions) — the previous shape ran a second
+      // value-buffering `percentile` aggregate per column just for the
+      // bands, doubling the row's exact-pass cost to verify one sketch
+      val frs = ps.flatMap(p => Seq(math.max(0.0, p - del), p,
+        math.min(1.0, p + del)))
+      // describe's row order is count/mean/std/min, then the sorted
+      // percentiles, then max — positional access below relies on it
+      val exact = Reductions.describe(li, cols, frs).collect()
+      val approx = Reductions.describeApprox(li, cols).collect()
+        .map(r => r.getString(0) -> r).toMap
+      def cell(row: org.apache.spark.sql.Row, c: String): Double = {
+        val i = row.fieldIndex(c)
+        if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
+      }
+      val byStat = Map("count" -> exact(0), "mean" -> exact(1),
+        "std" -> exact(2), "min" -> exact(3), "max" -> exact(13)) ++
+        Seq("25%", "50%", "75%").zipWithIndex.map { case (lab, i) =>
+          lab -> exact(4 + 3 * i + 1) }
+      def okFor(stat: String, c: String): Boolean = {
+        val a = cell(approx(stat), c)
+        ps.indices.find(i => s"${(ps(i) * 100).toInt}%" == stat) match {
+          case Some(i) =>
+            a >= cell(exact(4 + 3 * i), c) - 1e-9 &&
+              a <= cell(exact(4 + 3 * i + 2), c) + 1e-9
+          case None =>
+            val e = cell(byStat(stat), c)
+            math.abs(a - e) <= (math.abs(e) + 1) * 0.01
         }
-      exact.join(approx, col("stat") === col("__s"))
+      }
+      val stats = Seq("count", "mean", "std", "min",
+        "25%", "50%", "75%", "max")
+      import s.implicits._
+      stats.map { st =>
+        val vs = cols.map(c => cell(byStat(st), c))
+        (st, vs(0), vs(1), vs(2), vs(3), cols.forall(okFor(st, _)))
+      }.toDF("stat" +: cols :+ "ok": _*)
         .select(col("stat") +:
-          (cols.map(c => r(col(c), 4).as(c)) :+
-            cols.map(okFor).reduce(_ && _).as("ok")): _*)
+          (cols.map(c => r(col(c), 4).as(c)) :+ col("ok")): _*)
         .orderBy("stat")
     }),
 
