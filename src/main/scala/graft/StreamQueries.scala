@@ -145,6 +145,19 @@ object StreamQueries {
     // same oracle as the batch q_heavy_hitters row
     "q_stream_heavy_hitters" -> PipelineQueries4.oracle("q_heavy_hitters"))
 
+  /** Phase timing for the replay harness, printed only when
+    * GRAFT_STREAM_PROFILE is set — the rows are harness-dominated, so
+    * knowing WHERE the seconds go (staging writes vs micro-batch run
+    * vs sink read) is the difference between optimizing and guessing. */
+  private def prof[A](label: String)(f: => A): A =
+    if (sys.env.contains("GRAFT_STREAM_PROFILE")) {
+      val t0 = System.nanoTime()
+      val out = f
+      System.err.println(
+        f"[stream-prof] $label%-20s ${(System.nanoTime() - t0) / 1e9}%.3fs")
+      out
+    } else f
+
   /** Replay scratch space (staging files, checkpoints, sink): prefer
     * the tmpfs at /dev/shm — streaming checkpoints are many small
     * fsync-heavy writes, worth ~1s/query on ext4 /tmp. Production
@@ -186,21 +199,37 @@ object StreamQueries {
     * (FileStreamSource processes files by modification time), under
     * `base/in`. Returns the input dir path. */
   private def stageReplay(base: java.nio.file.Path,
-                          splits: Seq[DataFrame]): String = {
+                          splits: Seq[DataFrame]): String = prof("stage") {
     val inDir = base.resolve("in")
     Files.createDirectories(inDir)
     val now = System.currentTimeMillis()
-    splits.zipWithIndex.foreach { case (df, i) =>
-      val stage = base.resolve(s"stage_b$i").toString
-      df.coalesce(1).write.mode("overwrite").parquet(stage)
-      val part = new java.io.File(stage).listFiles()
-        .find(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no part file in $stage"))
-      val dst = inDir.resolve(f"b$i%03d.parquet")
-      Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
-      dst.toFile.setLastModified(now - 60000L + i * 20000L)
-    }
+    // the per-split write JOBS run concurrently (Spark interleaves
+    // independent jobs, so staging costs ~one job instead of N serial
+    // ones); each split keeps its own coalesce(1) single-task write so
+    // the staged file's ROW ORDER stays exactly the source order —
+    // a union+repartition single-job form would shuffle row order
+    // inside each staged file and change what order-sensitive stateful
+    // operators see within a micro-batch. Batch identity comes from
+    // the deterministic per-index mtime, not job completion order.
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(splits.size, 4))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(splits.zipWithIndex.map {
+        case (df, i) => scala.concurrent.Future {
+          val stage = base.resolve(s"stage_b$i").toString
+          df.coalesce(1).write.mode("overwrite").parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file in $stage"))
+          val dst = inDir.resolve(f"b$i%03d.parquet")
+          Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+          dst.toFile.setLastModified(now - 60000L + i * 20000L)
+        }
+      }), scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
     inDir.toString
   }
 
@@ -232,7 +261,10 @@ object StreamQueries {
         .trigger(Trigger.AvailableNow())
         .start()
     } finally spark.conf.set(key, prev)
-    q.awaitTermination()
+    prof("run")(q.awaitTermination())
+    if (sys.env.contains("GRAFT_STREAM_PROFILE"))
+      q.recentProgress.foreach(p => System.err.println(
+        s"[stream-prof]   batch ${p.batchId}: ${p.durationMs}"))
     spark.read.parquet(outDir)
   }
 
