@@ -170,7 +170,7 @@ object PipelineQueries {
 
   /** Shared shingle CTE (word 3-grams, distinct) mirroring
     * Dedup.shingles(k=3). */
-  private val ShingleCte =
+  private[graft] val ShingleCte =
     """words AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
                  FROM documents),
        s0 AS (SELECT doc_id,

@@ -235,6 +235,11 @@ object Syntax {
       graft.pipeline.Dedup.clusters(
         graft.pipeline.Dedup.minhashLshPairs(df, id, text,
           maxBucket = maxBucket))
+    def minhashLshEdges(id: String, text: String): DataFrame =
+      graft.pipeline.Dedup.minhashLshEdges(df, id, text)
+    def ngramShingleEdges(id: String, text: String, k: Int = 3,
+                          maxShingleDf: Int = 1000): DataFrame =
+      graft.pipeline.Dedup.ngramShingleEdges(df, id, text, k, maxShingleDf)
     def dedupFuzzy(id: String, text: String): DataFrame =
       graft.pipeline.Dedup.fuzzy(df, id, text)
     def decontaminate(bench: DataFrame, id: String, text: String,

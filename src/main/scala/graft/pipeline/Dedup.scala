@@ -342,6 +342,52 @@ object Dedup {
       .toDF("doc1", "doc2")
   }
 
+  /** Path-chain a group's doc ids into (n-1) connectivity edges with
+    * O(1) state: consecutive iterator elements link as (prev, cur),
+    * normalized to (min, max). The emitted graph's CONNECTED COMPONENTS
+    * equal those of the complete within-group graph (a path spans the
+    * group), but the concrete edge SET follows iterator order — which
+    * is partition- and retry-dependent — so consumers must only read
+    * component structure ([[clusters]] does), never individual edges. */
+  private def chainEdges(it: Iterator[Long]): Iterator[(Long, Long)] =
+    if (!it.hasNext) Iterator.empty
+    else {
+      var prev = it.next()
+      it.map { cur =>
+        val e = if (prev < cur) (prev, cur) else (cur, prev)
+        prev = cur
+        e
+      }
+    }
+
+  /** Connectivity-only emission mode of [[minhashLshPairs]] (the
+    * "star-edge" lever): each LSH bucket emits a spanning PATH of its
+    * members instead of all O(n²) within-bucket pairs, so output volume
+    * is Σ(bucket-1) — linear in the posting volume — while the
+    * connected components (all [[clusters]] needs) are IDENTICAL to the
+    * all-pairs graph's by construction. Use when the pairs feed
+    * component extraction / keep-best dedup rather than a similarity
+    * join; a corpus whose near-dup clusters are large (the exact regime
+    * where all-pairs emission blows up at 100 TB) costs no more than a
+    * clean one. Chaining beats a min-hub star here: the hub form must
+    * buffer every bucket member to find the minimum, the chain holds
+    * one id. Edge set is iterator-order-dependent (components are not);
+    * output (doc1 < doc2), distinct. */
+  def minhashLshEdges(df: DataFrame, id: String, text: String,
+                      k: Int = 3, bands: Int = 4,
+                      rowsPerBand: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    minhashBandKeys(df, id, text, k, bands, rowsPerBand)
+      .select(col("band"), col("key"), col("doc"))
+      .as[(Int, Seq[Long], Long)]
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups((_: (Int, Seq[Long]), it: Iterator[(Int, Seq[Long], Long)]) =>
+        chainEdges(it.map(_._3)))
+      .toDF("doc1", "doc2")
+      .distinct()
+  }
+
   /** 32-bit SimHash fingerprint from word tokens (md5-derived token
     * hashes so the oracle can reproduce it; production: xxhash64 + 64
     * bits). Fingerprints come straight off the scan via [[simhashFpUdf]]
@@ -642,6 +688,47 @@ object Dedup {
         col("inter").cast("double") / (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= minJaccard)
       .select("doc1", "doc2", "jaccard")
+  }
+
+  /** Connectivity-only emission mode of [[ngramJaccardPairs]]: spanning
+    * edges of the shares-a-retained-shingle graph (the minJaccard=0
+    * candidate graph), one PATH per posting list instead of all O(n²)
+    * within-posting pairs. The Jaccard value cannot ride along — a
+    * pair's true intersection count needs every posting it co-occurs
+    * in, which spanning emission deliberately does not enumerate — so
+    * this mode is for component consumers ([[clusters]], keep-best),
+    * not similarity joins; full-pair mode stays the default semantics.
+    * `maxShingleDf` drops ubiquitous shingles exactly as in the pairs
+    * form (state per group: one capped id buffer). Edge set is
+    * iterator-order-dependent; components are not. Output volume is
+    * Σ min(df_s, cap) over shingles — at sf1's 10×-duplicated corpus
+    * this is ~100× below the all-pairs within-cluster volume. */
+  def ngramShingleEdges(df: DataFrame, id: String, text: String,
+                        k: Int = 3, maxShingleDf: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docs = graft.engine.Core.spread(df)
+      .select(col(id).as("doc"),
+        shingleHash64SetUdf(k)(words(col(text))).as("shl"))
+    docs.select(explode(col("shl")).as("s"), col("doc"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Long, it: Iterator[(Long, Long)]) =>
+        // the df cap needs the full count before any edge may be
+        // emitted, so buffer up to cap+1 ids (same bound as the pairs
+        // form's buffer) and chain the survivors
+        val buf = new scala.collection.mutable.ArrayBuffer[Long](8)
+        var n = 0
+        while (it.hasNext) {
+          val t = it.next()
+          n += 1
+          if (n <= maxShingleDf + 1) buf += t._2
+        }
+        if (n > maxShingleDf) Iterator.empty
+        else chainEdges(buf.iterator)
+      }
+      .toDF("doc1", "doc2")
+      .distinct()
   }
 
   // ---------------------------------------------------------------

@@ -83,6 +83,46 @@ class PipelineSpec extends SparkSpec {
     assert((1L to 6L).forall(comps(_) == 1L))
   }
 
+  test("spanning-edge modes: components equal all-pairs components; " +
+    "edge volume is linear in posting size (seeded randomized)") {
+    val rnd = new scala.util.Random(4217L)
+    // corpora with deliberate dup clusters: base phrases repeated with
+    // varying copy counts so posting lists span sizes 1..12
+    for (trial <- 1 to 3) {
+      val rows = (1 to 8).flatMap { g =>
+        val body = (1 to 6).map(_ => s"w${rnd.nextInt(12)}").mkString(" ")
+        (1 to 1 + rnd.nextInt(11)).map(c => (g * 100L + c, body))
+      }
+      val df = rows.toDF("doc_id", "text")
+      def comps(pairs: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        Dedup.clusters(pairs).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // minhash: star/path edges vs all-pairs — identical components
+      val full = comps(Dedup.minhashLshPairs(df, "doc_id", "text"))
+      val star = comps(Dedup.minhashLshEdges(df, "doc_id", "text"))
+      assert(star == full, s"trial $trial minhash components diverged")
+      // ngram: spanning edges of the share-a-shingle graph vs the
+      // minJaccard=0 all-pairs graph — identical components
+      val fullN = comps(Dedup.ngramJaccardPairs(df, "doc_id", "text",
+        minJaccard = 0.0))
+      val starN = comps(Dedup.ngramShingleEdges(df, "doc_id", "text"))
+      assert(starN == fullN, s"trial $trial ngram components diverged")
+      // volume: a size-m dup cluster costs m-1 edges, not m(m-1)/2
+      val m = rows.groupBy(_._2).map(_._2.size).max
+      if (m >= 6) {
+        val nPairs = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+          minJaccard = 0.0).count()
+        val nEdges = Dedup.ngramShingleEdges(df, "doc_id", "text").count()
+        assert(nEdges < nPairs,
+          s"trial $trial: spanning mode emitted $nEdges >= $nPairs pairs")
+      }
+    }
+    // df cap parity: a shingle above maxShingleDf contributes no edges
+    val hot = (1L to 5L).map(i => (i, "hot shingle body text")).toDF("doc_id", "text")
+    assert(Dedup.ngramShingleEdges(hot, "doc_id", "text",
+      maxShingleDf = 4).count() == 0)
+  }
+
   test("clusters: min-label propagation finds connected components") {
     // chain 1-2, 2-3 plus isolated pair 10-11: two components
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc1", "doc2")

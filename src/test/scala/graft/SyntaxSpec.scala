@@ -187,4 +187,19 @@ class SyntaxSpec extends SparkSpec {
     assert(math.abs(back(0) - 2.0) < 1e-12 &&
       math.abs(back(1) + (63.0 * 2 / 127)) < 1e-12)
   }
+
+  test("round-12 surface: minhashLshEdges / ngramShingleEdges through " +
+    "the accessor") {
+    val dup = (1L to 4L).map(i => (i, "same text body for every doc"))
+      .toDF("doc_id", "text")
+    // 4 identical docs: the edge SET is iterator-order-dependent, so
+    // pin only what the mode guarantees — a spanning (connected) graph
+    // far below the 6-pair full enumeration per group
+    for (edges <- Seq(dup.pp.minhashLshEdges("doc_id", "text"),
+                      dup.pp.ngramShingleEdges("doc_id", "text"))) {
+      val comps = graft.pipeline.Dedup.clusters(edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 4L).forall(comps(_) == 1L))
+    }
+  }
 }
