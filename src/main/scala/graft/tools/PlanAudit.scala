@@ -51,7 +51,10 @@ object PlanAudit {
     "q_corr_matrix_full" -> "full-scale corr matrix: spearman midranks via broadcast rank-stats joins + bucketed windows (no value-partitioned window), then ONE aggregate evaluates every pearson+spearman cell",
     "q_chunk_sliding" -> "sliding-window chunking: sequence+explode+slice entirely inside the scan — the only exchange is the presentation sort",
     "q_heavy_hitters" -> "Misra-Gries heavy hitters: partial/final ObjectHashAggregate split (k-entry summaries combine map-side), one partials exchange + the k-row sort",
-    "q_quantize_int8" -> "int8 quantization: pure codegen transform over the scan, zero shuffle before the presentation sort")
+    "q_quantize_int8" -> "int8 quantization: pure codegen transform over the scan, zero shuffle before the presentation sort",
+    "q_substring_dedup" -> "substring-span dedup: the rolling-hash explode appears ONCE (count-over-(h1,h2) window, no dup-agg/semi-join pair), then the per-doc span merge",
+    "q_dedup_clusters_star" -> "spanning-edge (path-per-bucket) LSH emission: same single-shuffle flatMapGroups shape as all-pairs, output linear in posting volume, identical components",
+    "q_pipeline_e2e" -> "9-stage pipeline composition: stage-boundary persists stop consumer fan-out from re-evaluating upstream; final joins read the persisted survivor frame")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
