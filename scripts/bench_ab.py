@@ -46,6 +46,25 @@ def norm(run):
 
 qa, calA = norm(a)
 qb, calB = norm(b)
+# Self-annotate ambient context (BASELINE.md round-11/12 observation:
+# same-tree sessions 90 minutes apart measured calibration 1.3-1.4x
+# apart; within-run cycles swung 0.20-0.79s). Two flags:
+#  - cross-run ambient ratio far from 1: calibration units carry the
+#    correction, but raw totals are NOT comparable — read cal units;
+#  - within-run calibration spread: per-rep normalization DEFLATES raw
+#    times measured in inflated cycles, so min-of-calibrated can pick
+#    a fictitious fast rep — trust medians and raw mins alongside.
+amb = calB / calA if calA else float("inf")
+if not 1 / 1.3 <= amb <= 1.3:
+    print(f"AMBIENT: cross-run calibration ratio {amb:.2f} exceeds 1.3x — "
+          "raw totals are not comparable; read calibration units only")
+for name, run in (("A", a), ("B", b)):
+    cal = run.get("calibration") or []
+    if cal and max(cal) / min(cal) > 1.3:
+        print(f"AMBIENT: run {name} calibration swings "
+              f"{min(cal):.3f}-{max(cal):.3f}s ({max(cal)/min(cal):.1f}x) "
+              "within one run — min-of-calibrated is unreliable for its "
+              "rows; cross-check medians/raw mins")
 common = sorted(set(qa) & set(qb))
 ratios = {q: qb[q] / qa[q] for q in common if qa[q] > 0}
 if not ratios:

@@ -115,6 +115,22 @@ object Bench {
     "q_cumsum_global", "q_rolling_stats", "q_dedup_fuzzy",
     "q_ngram_jaccard", "q_top_ngrams", "q_pq_topk", "q_pagerank")
 
+  /** The ~30-row sf1 slice (VERDICT r11 item 3): hot10 plus one row per
+    * previously-unmeasured family — joins (merge/asof/range), reshape
+    * (pivot/melt/unstack), str/dt, qcut, groupby transform+apply,
+    * value_counts, minhash dedup + the round-12 star mode, tfidf/dsir,
+    * pack, snapshot diff, heavy hitters, ewm. Every family now has
+    * order-of-magnitude scale evidence. Run with `--sf sf1 --only
+    * hot30`. */
+  val hot30: Seq[String] = hot10 ++ Seq(
+    "q_merge", "q_asof_join", "q_range_join",
+    "q_pivot", "q_melt", "q_unstack",
+    "q_str_ops", "q_dt_ops", "q_cut_qcut",
+    "q_groupby_transform", "q_groupby_apply", "q_value_counts",
+    "q_dedup_minhash", "q_ngram_star_clusters",
+    "q_tfidf", "q_dsir", "q_pack", "q_snapshot_diff",
+    "q_heavy_hitters", "q_ewm")
+
   /** `--sf` resolution: an existing directory path is used as-is; a
     * bare name is looked up under /root/testdata first; `sf1` (absent
     * from the driver testdata) is GENERATED on first use into
@@ -175,6 +191,7 @@ object Bench {
     // (driver leaves it unset -> full set). "hot10" = the sf1 gate set.
     val only = onlyOpt.orElse(sys.env.get("SPARK_GRAFT_ONLY"))
       .map(v => if (v == "hot10") hot10.toSet
+        else if (v == "hot30") hot30.toSet
         else v.split(",").map(_.trim).toSet)
     val rt = Runtime.getRuntime
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
