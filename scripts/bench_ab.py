@@ -54,6 +54,17 @@ qb, calB = norm(b)
 #  - within-run calibration spread: per-rep normalization DEFLATES raw
 #    times measured in inflated cycles, so min-of-calibrated can pick
 #    a fictitious fast rep — trust medians and raw mins alongside.
+# a run without a calibration record (pre-r11 format) gets norm()'s
+# cal=1.0 sentinel: its q-values stay RAW while the other run's are
+# calibrated — the per-row ratios below would be systematically skewed
+# by the calibrated run's median, with or without a warning. Refuse.
+missing_cal = [n for n, run in (("A", a), ("B", b))
+               if not run.get("calibration")]
+if missing_cal:
+    print(f"run(s) {','.join(missing_cal)} carry no calibration record "
+          "(pre-r11 format) — mixed raw-vs-calibrated per-row ratios "
+          "are meaningless; compare raw totals by hand instead")
+    sys.exit(2)
 amb = calB / calA if calA else float("inf")
 if not 1 / 1.3 <= amb <= 1.3:
     print(f"AMBIENT: cross-run calibration ratio {amb:.2f} exceeds 1.3x — "

@@ -81,8 +81,8 @@ object PipelineQueries5 {
       val win = Curation.chunkSliding(
         bud.select(col("doc_id"), TextAnalysis.tokens(col("t")).as("toks")),
         "doc_id", "toks", chunkLen = 32, stride = 24, minTail = 8)
-      bud.select(col("doc_id"), col("lang"), col("tier"), col("rate"),
-          col("n_tokens"), col("cum_tokens"))
+      val out = bud.select(col("doc_id"), col("lang"), col("tier"),
+          col("rate"), col("n_tokens"), col("cum_tokens"))
         .join(pk, Seq("doc_id")).join(sk, Seq("doc_id"))
         .join(win, Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("tier"), col("rate"),
@@ -91,6 +91,16 @@ object PipelineQueries5 {
           col("start"), concat_ws(" ", col("chunk")).as("chunk_text"),
           col("n_chunk"))
         .orderBy("doc_id", "chunk_idx")
+      // materialize the (window-level, ~hundreds-row) result eagerly so
+      // the three stage caches can be RELEASED before returning —
+      // Verify runs ~200 queries in one session with no clearCache
+      // between them, and leaked MEMORY_AND_DISK blocks would tax every
+      // later query's storage memory
+      val rows = out.collect().toIndexedSeq
+      val local = s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), out.schema)
+      Seq(gated, dec, bud).foreach(_.unpersist(blocking = false))
+      local
     }),
 
     // ---- clusters over spanning edges of the shares-a-retained-

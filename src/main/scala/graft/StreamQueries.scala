@@ -211,25 +211,17 @@ object StreamQueries {
     // inside each staged file and change what order-sensitive stateful
     // operators see within a micro-batch. Batch identity comes from
     // the deterministic per-index mtime, not job completion order.
-    val pool = java.util.concurrent.Executors
-      .newFixedThreadPool(math.min(splits.size, 4))
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    try scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(splits.zipWithIndex.map {
-        case (df, i) => scala.concurrent.Future {
-          val stage = base.resolve(s"stage_b$i").toString
-          df.coalesce(1).write.mode("overwrite").parquet(stage)
-          val part = new java.io.File(stage).listFiles()
-            .find(f => f.getName.startsWith("part-") &&
-              f.getName.endsWith(".parquet"))
-            .getOrElse(sys.error(s"no part file in $stage"))
-          val dst = inDir.resolve(f"b$i%03d.parquet")
-          Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
-          dst.toFile.setLastModified(now - 60000L + i * 20000L)
-        }
-      }), scala.concurrent.duration.Duration.Inf)
-    finally pool.shutdown()
+    Core.runConcurrently(splits.zipWithIndex, cap = 4) { case (df, i) =>
+      val stage = base.resolve(s"stage_b$i").toString
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file in $stage"))
+      val dst = inDir.resolve(f"b$i%03d.parquet")
+      Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(now - 60000L + i * 20000L)
+    }
     inDir.toString
   }
 

@@ -139,6 +139,26 @@ object Core {
     when(sx > 0 && sy > 0, covar_samp(a, b) / (sx * sy))
   }
 
+  /** Run `f` over `items` on a bounded fixed pool and await all
+    * results — the shared scaffold for submitting INDEPENDENT Spark
+    * jobs concurrently (the scheduler interleaves them, so wall time
+    * is ~the slowest job instead of the sum). Submission threads only
+    * enqueue jobs, so a small cap is plenty for any item count; an
+    * empty `items` is a no-op (no zero-sized pool). */
+  def runConcurrently[A, B](items: Seq[A], cap: Int = 8)(f: A => B): Seq[B] =
+    if (items.isEmpty) Seq.empty
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.max(1, math.min(items.size, cap)))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          items.map(a => scala.concurrent.Future(f(a)))),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    }
+
   /** A lineage-truncated frame plus the handle to free its storage.
     * `release()` drops the checkpointed blocks — call it only after the
     * NEXT iteration's state is materialized; the frame is unusable

@@ -856,22 +856,11 @@ object Reductions {
       val i = one.fieldIndex(s"${name}__$c")
       if (one.isNullAt(i)) Double.NaN else one.getDouble(i)
     }
-    // one sort job per column; submit them CONCURRENTLY — Spark's
-    // scheduler interleaves independent jobs, so wall time is ~one sort
-    // instead of cols.size sequential sorts. Pool capped: submission
-    // threads only enqueue jobs, so 8 is plenty for any column count.
-    val quarts = {
-      val pool = java.util.concurrent.Executors
-        .newFixedThreadPool(math.min(cols.size, 8))
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      try scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(cols.map(c => scala.concurrent.Future(
-          c -> quantilesBySort(df, c, ps,
-            knownCount = Some(cell("count", c).toLong))))),
-        scala.concurrent.duration.Duration.Inf).toMap
-      finally pool.shutdown()
-    }
+    // one sort job per column; submit them CONCURRENTLY so wall time
+    // is ~one sort instead of cols.size sequential sorts
+    val quarts = Core.runConcurrently(cols)(c =>
+      c -> quantilesBySort(df, c, ps,
+        knownCount = Some(cell("count", c).toLong))).toMap
     val rows: Seq[(String, Seq[Double])] =
       Seq("count" -> cols.map(cell("count", _)),
         "mean" -> cols.map(cell("mean", _)),
