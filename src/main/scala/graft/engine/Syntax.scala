@@ -230,11 +230,13 @@ object Syntax {
     // ---- dedup / curation pipeline ----
     def dedupExact(id: String, text: String): DataFrame =
       graft.pipeline.Dedup.exact(df, id, text)
+    // spanning-edge candidates (r12): clusters only consume component
+    // structure, and edges give identical components with linear
+    // output per bucket; maxBucket kept for signature compatibility
     def dedupClusters(id: String, text: String,
                       maxBucket: Int = 10000): DataFrame =
       graft.pipeline.Dedup.clusters(
-        graft.pipeline.Dedup.minhashLshPairs(df, id, text,
-          maxBucket = maxBucket))
+        graft.pipeline.Dedup.minhashLshEdges(df, id, text))
     def minhashLshEdges(id: String, text: String): DataFrame =
       graft.pipeline.Dedup.minhashLshEdges(df, id, text)
     def ngramShingleEdges(id: String, text: String, k: Int = 3,

@@ -556,23 +556,32 @@ object Dedup {
     mapping.select(col("doc"), resolve(col("lbl")).as("cluster_rep"))
   }
 
-  /** End-to-end fuzzy dedup: MinHash-LSH candidate pairs →
+  /** End-to-end fuzzy dedup: MinHash-LSH candidate edges →
     * connected-component clusters → keep the canonical (minimum-id)
     * member of every near-dup cluster; docs in no cluster keep
     * themselves. One call from corpus to keep/drop decision — the
     * composition a user would otherwise hand-wire from
-    * [[minhashLshPairs]] + [[clusters]].
+    * [[minhashLshEdges]] + [[clusters]].
+    *
+    * Candidate generation is SPANNING-EDGE ([[minhashLshEdges]],
+    * round 12): fuzzy only ever consumes component structure, so
+    * all-pairs enumeration inside each LSH bucket was pure waste —
+    * spanning paths give IDENTICAL clusters (and thus identical keep
+    * decisions) with output linear in posting volume, making a
+    * 10^6-member boilerplate family cost 10^6-1 edges instead of the
+    * maxBucket-capped quadratic. `maxBucket` is retained for signature
+    * compatibility but no longer needed — the edge form has no
+    * quadratic to cap.
     *
     * Returns one row per input doc: (id, cluster_rep, keep). The final
     * join back to the corpus is on the doc id against the cluster table
     * (|clustered docs| rows — only docs with at least one near-dup),
-    * which AQE broadcasts when small; everything upstream keeps the
-    * single-shuffle LSH shape documented on [[minhashLshPairs]]. */
+    * which AQE broadcasts when small. */
   def fuzzy(df: DataFrame, id: String, text: String, k: Int = 3,
             bands: Int = 4, rowsPerBand: Int = 2,
             maxBucket: Int = 100000): DataFrame = {
     val cl = clusters(
-      minhashLshPairs(df, id, text, k, bands, rowsPerBand, maxBucket))
+      minhashLshEdges(df, id, text, k, bands, rowsPerBand))
       .withColumnRenamed("doc", "__doc")
     df.select(col(id))
       .join(cl, col(id) === col("__doc"), "left")
@@ -588,7 +597,7 @@ object Dedup {
     * scoring variant of a boilerplate family should survive, not the
     * one that happened to be crawled first.
     *
-    * Scale shape: identical to [[fuzzy]] upstream (single-shuffle LSH,
+    * Scale shape: identical to [[fuzzy]] upstream (spanning-edge LSH,
     * contracted CC). Survivor selection is ONE |docs|-row hash
     * aggregate to |clusters| rows — `max_by(id, (quality, -id))` is
     * map-side combinable, so no cluster is ever sorted — and the
@@ -599,7 +608,7 @@ object Dedup {
                     bands: Int = 4, rowsPerBand: Int = 2,
                     maxBucket: Int = 100000): DataFrame = {
     val cl = clusters(
-      minhashLshPairs(df, id, text, k, bands, rowsPerBand, maxBucket))
+      minhashLshEdges(df, id, text, k, bands, rowsPerBand))
       .withColumnRenamed("doc", "__doc")
     val labeled = df.select(col(id), quality.as("__q"))
       .join(cl, col(id) === col("__doc"), "left")
