@@ -637,7 +637,7 @@ object PipelineQueries2 {
     * by md5(window); any md5 collision would surface here as a diff). */
   // (def, not val: referenced from the `oracle` map above — a val here
   // would still be null during that map's initialization)
-  private def SubstringSpanCte =
+  private[graft] def SubstringSpanCte =
     """d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 30),
        w AS (SELECT doc_id, unnest(generate_series(1, length(text) - 29)) AS pos,
                     text

@@ -103,6 +103,21 @@ object PipelineQueries5 {
       local
     }),
 
+    // ---- substring-dedup APPLIED: excise every duplicated >=30-char
+    //      window span and return the spliced text (aggressive policy,
+    //      all occurrences removed). The oracle re-derives the spans
+    //      from RAW window text (any Spark-side hash collision would
+    //      surface as a text diff) and rebuilds the remainder with
+    //      lag()-gap segments + string_agg ----
+    "q_substring_excise" -> ((s, d) =>
+      Dedup.substringDedupText(T(s, d, "documents"), "doc_id", "text",
+          win = 30)
+        .select(col("doc_id"), col("n_chars"), col("n_spans"),
+          col("dup_chars"),
+          length(col("text_dedup")).cast("long").as("kept_chars"),
+          md5(col("text_dedup").cast("binary")).as("dedup_md5"))
+        .orderBy("doc_id")),
+
     // ---- clusters over spanning edges of the shares-a-retained-
     //      shingle graph (ngram star mode, the sf1 blowup lever): the
     //      oracle recomputes the transitive closure over the FULL
@@ -239,6 +254,44 @@ object PipelineQueries5 {
            JOIN sk USING (doc_id)
          WHERE start = 0 OR len(s2.w[start + 1 : start + 32]) >= 8
          ORDER BY doc_id, chunk_idx""",
+
+    // spans re-derived from RAW window text (SubstringSpanCte), then
+    // the remainder rebuilt from lag()-gap segments + the tail,
+    // string_agg'd in position order; docs with no spans pass through
+    "q_substring_excise" ->
+      s"""WITH ${PipelineQueries2.SubstringSpanCte},
+         sp AS (SELECT doc_id, min(pos) AS s, max(e) AS e2
+                FROM isl GROUP BY doc_id, i),
+         gaps AS (SELECT doc_id,
+                    coalesce(lag(e2) OVER (PARTITION BY doc_id
+                      ORDER BY s), 0) + 1 AS gs,
+                    s - 1 AS ge, s AS ok
+                  FROM sp),
+         tails AS (SELECT doc_id, max(e2) + 1 AS gs,
+                     CAST(NULL AS BIGINT) AS ge,
+                     9223372036854775807 AS ok
+                   FROM sp GROUP BY doc_id),
+         segs AS (SELECT * FROM gaps UNION ALL SELECT * FROM tails),
+         txt AS (SELECT g.doc_id,
+                   string_agg(
+                     CASE WHEN g.ge IS NULL
+                       THEN substr(d0.text, CAST(g.gs AS INTEGER))
+                       ELSE substr(d0.text, CAST(g.gs AS INTEGER),
+                                   CAST(g.ge - g.gs + 1 AS INTEGER)) END,
+                     '' ORDER BY g.ok) AS td
+                 FROM segs g JOIN documents d0 USING (doc_id)
+                 GROUP BY g.doc_id),
+         stats AS (SELECT doc_id, count(*) AS n_spans,
+                     sum(e2 - s + 1) AS dup_chars
+                   FROM sp GROUP BY doc_id)
+         SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+           coalesce(st.n_spans, 0) AS n_spans,
+           CAST(coalesce(st.dup_chars, 0) AS BIGINT) AS dup_chars,
+           CAST(length(coalesce(t.td, d.text)) AS BIGINT) AS kept_chars,
+           md5(coalesce(t.td, d.text)) AS dedup_md5
+         FROM documents d LEFT JOIN txt t USING (doc_id)
+           LEFT JOIN stats st USING (doc_id)
+         ORDER BY doc_id""",
 
     // identical closure to q_dedup_clusters: star-mode edges must not
     // change a single component

@@ -239,6 +239,9 @@ object Syntax {
         graft.pipeline.Dedup.minhashLshEdges(df, id, text))
     def minhashLshEdges(id: String, text: String): DataFrame =
       graft.pipeline.Dedup.minhashLshEdges(df, id, text)
+    def substringDedupText(id: String, text: String, win: Int = 30,
+                           stride: Int = 1): DataFrame =
+      graft.pipeline.Dedup.substringDedupText(df, id, text, win, stride)
     def ngramShingleEdges(id: String, text: String, k: Int = 3,
                           maxShingleDf: Int = 1000): DataFrame =
       graft.pipeline.Dedup.ngramShingleEdges(df, id, text, k, maxShingleDf)

@@ -829,6 +829,55 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_len"))
   }
 
+  /** Apply [[substringSpans]] to the text: excise every duplicated
+    * span and return the spliced remainder — the "remove duplicated
+    * substrings before training" rewrite of Lee et al. 2022. Policy is
+    * AGGRESSIVE excision: every marked occurrence is removed,
+    * including the first (the right call for boilerplate, which is the
+    * dominant substring-dup class in web corpora; a keep-one policy
+    * would need a global first-occurrence election per window content
+    * — compose [[substringSpans]] with a custom keeper if that is the
+    * requirement). Splicing can create NEW windows across seams that
+    * coincidentally match elsewhere, so "no duplicated window remains"
+    * is deliberately NOT claimed — same caveat as the original tool.
+    *
+    * Scale shape: [[substringSpans]]' two shuffles, plus one per-doc
+    * span aggregate (state = one doc's merged spans — bounded by
+    * |text|/win) joined back to the corpus; the splice itself is a
+    * sort_array + aggregate() HOF over that bounded span list, no
+    * extra shuffle, no UDF. Docs with no duplicated span pass through
+    * unchanged. Emits (id, n_chars, n_spans, dup_chars, text_dedup). */
+  def substringDedupText(df: DataFrame, id: String, text: String,
+                         win: Int = 30, stride: Int = 1): DataFrame = {
+    val spans = substringSpans(df, id, text, win, stride)
+      .groupBy(col(id)).agg(
+        sort_array(collect_list(struct(
+          col("span_start"), col("span_end")))).as("__sp"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_len")).as("dup_chars"))
+    val t = col("__t")
+    def splice: Column = {
+      val init = struct(lit("").as("parts"), lit(0L).as("prev"))
+      concat(aggregate(col("__sp"), init,
+        (acc, s) => struct(
+          concat(acc.getField("parts"),
+            t.substr((acc.getField("prev") + 1).cast("int"),
+              (s.getField("span_start") - acc.getField("prev") - 1)
+                .cast("int"))).as("parts"),
+          s.getField("span_end").as("prev")))
+        .getField("parts"),
+        t.substr((element_at(col("__sp"), -1).getField("span_end") + 1)
+          .cast("int"), length(t)))
+    }
+    df.select(col(id), col(text).as("__t"))
+      .join(spans, Seq(id), "left")
+      .select(col(id),
+        length(t).cast("long").as("n_chars"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        when(col("__sp").isNull, t).otherwise(splice).as("text_dedup"))
+  }
+
   /** Per-doc roll-up of [[substringSpans]]: how much of each doc is
     * duplicated elsewhere in the corpus (the signal used to rank docs
     * for substring-level cleaning). Docs with no duplicated span report

@@ -798,6 +798,74 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1L, 20L, 20L)))
   }
 
+  test("substringDedupText: hand case — shared run excised from both " +
+    "docs, flanks spliced, clean docs pass through") {
+    val d = Seq(
+      (1L, "XXXXABCDEFGHIJKLMNOPYYYY"),   // shared 16-char run at pos 5
+      (2L, "ZZZZABCDEFGHIJKLMNOPWWWW"),
+      (3L, "no duplicates in here at all!")).toDF("doc_id", "text")
+    val out = Dedup.substringDedupText(d, "doc_id", "text", win = 10)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, "XXXXYYYY"), (2L, 1L, "ZZZZWWWW"),
+      (3L, 0L, "no duplicates in here at all!")))
+    // whole-doc span splices to the empty string, not null
+    val whole = Seq((1L, "abcdefghij"), (2L, "abcdefghij"))
+      .toDF("doc_id", "text")
+    val w = Dedup.substringDedupText(whole, "doc_id", "text", win = 10)
+      .collect().map(_.getString(4))
+    assert(w.forall(_ == ""))
+  }
+
+  test("substringDedupText: randomized differential vs an in-memory " +
+    "excision reference (seeded)") {
+    val win = 10
+    def refOne(texts: Seq[(Long, String)]): Map[Long, String] = {
+      val wins = texts.flatMap { case (id, t) =>
+        (0 to t.length - win).map(p => (t.substring(p, p + win), id, p + 1)) }
+      val dup = wins.groupBy(_._1).filter(_._2.size > 1).keySet
+      texts.map { case (id, t) =>
+        val marked = wins.collect {
+          case (c, i, p) if i == id && dup(c) => p }.sorted
+        val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+        for (p <- marked) {
+          val e = p + win - 1
+          if (spans.nonEmpty && p <= spans.last._2 + 1) {
+            val l = spans.last
+            spans(spans.size - 1) = (l._1, math.max(l._2, e))
+          } else spans += ((p, e))
+        }
+        val sb = new StringBuilder; var prev = 0
+        for ((s, e) <- spans) { sb.append(t.substring(prev, s - 1)); prev = e }
+        sb.append(t.substring(prev))
+        id -> sb.toString
+      }.toMap
+    }
+    val rnd = new scala.util.Random(7312L)
+    for (trial <- 1 to 3) {
+      // small alphabet + planted shared runs force cross- and
+      // within-doc duplication; some docs below win
+      val shared = (1 to 3).map(_ =>
+        Seq.fill(12 + rnd.nextInt(10))(('a' + rnd.nextInt(3)).toChar).mkString)
+      val texts = (1L to 15L).map { i =>
+        val parts = (0 until 1 + rnd.nextInt(3)).map(_ =>
+          if (rnd.nextBoolean()) shared(rnd.nextInt(3))
+          else Seq.fill(3 + rnd.nextInt(25))(
+            ('a' + rnd.nextInt(4)).toChar).mkString)
+        (i, parts.mkString)
+      }
+      val want = refOne(texts)
+      val got = Dedup.substringDedupText(texts.toDF("doc_id", "text"),
+          "doc_id", "text", win = win)
+        .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+      assert(got == want, s"trial $trial: " +
+        (got.keySet ++ want.keySet).filter(k =>
+          got.get(k) != want.get(k)).take(3).map(k =>
+          s"$k got=${got.get(k)} want=${want.get(k)}").mkString("; "))
+    }
+  }
+
   test("substring dup stats: frac of duplicated chars, zero for clean docs") {
     val d = Seq(
       (1L, "XXXXABCDEFGHIJKLMNOPYYYY"),
