@@ -95,8 +95,15 @@ object PipelineQueries5 {
       // the three stage caches can be RELEASED before returning —
       // Verify runs ~200 queries in one session with no clearCache
       // between them, and leaked MEMORY_AND_DISK blocks would tax every
-      // later query's storage memory
-      val rows = out.collect().toIndexedSeq
+      // later query's storage memory. The collect is LIMIT-capped so a
+      // corpus where the chain survives at scale fails loudly instead
+      // of materializing an unbounded result on the driver (this row is
+      // a verification harness; a production pipeline writes each stage
+      // to storage instead of collecting anything)
+      val rows = out.limit(100001).collect().toIndexedSeq
+      require(rows.length <= 100000,
+        "q_pipeline_e2e: output exceeds the 100k-row verification cap " +
+          "— run the stages with per-stage storage writes instead")
       val local = s.createDataFrame(
         s.sparkContext.parallelize(rows, 1), out.schema)
       Seq(gated, dec, bud).foreach(_.unpersist(blocking = false))
