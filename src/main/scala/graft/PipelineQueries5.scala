@@ -100,14 +100,19 @@ object PipelineQueries5 {
       // of materializing an unbounded result on the driver (this row is
       // a verification harness; a production pipeline writes each stage
       // to storage instead of collecting anything)
-      val rows = out.limit(100001).collect().toIndexedSeq
-      require(rows.length <= 100000,
-        "q_pipeline_e2e: output exceeds the 100k-row verification cap " +
-          "— run the stages with per-stage storage writes instead")
-      val local = s.createDataFrame(
-        s.sparkContext.parallelize(rows, 1), out.schema)
-      Seq(gated, dec, bud).foreach(_.unpersist(blocking = false))
-      local
+      val rows =
+        try {
+          val r = out.limit(100001).collect().toIndexedSeq
+          require(r.length <= 100000,
+            "q_pipeline_e2e: output exceeds the 100k-row verification " +
+              "cap — run the stages with per-stage storage writes instead")
+          r
+        } finally
+          // release even when the cap (or the collect) throws — a
+          // failed row must not leak cached blocks into the rest of
+          // the shared Verify/Bench session
+          Seq(gated, dec, bud).foreach(_.unpersist(blocking = false))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
     }),
 
     // ---- substring-dedup APPLIED: excise every duplicated >=30-char

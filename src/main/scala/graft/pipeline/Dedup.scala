@@ -843,10 +843,19 @@ object Dedup {
     *
     * Scale shape: [[substringSpans]]' two shuffles, plus one per-doc
     * span aggregate (state = one doc's merged spans — bounded by
-    * |text|/win) joined back to the corpus; the splice itself is a
-    * sort_array + aggregate() HOF over that bounded span list, no
-    * extra shuffle, no UDF. Docs with no duplicated span pass through
-    * unchanged. Emits (id, n_chars, n_spans, dup_chars, text_dedup). */
+    * |text|/win) joined back to the corpus; the splice is a per-row
+    * JVM function over that bounded span list — no extra shuffle.
+    * It splices in UTF-16 units via String.substring, because the
+    * span kernel ([[graft.functions.WindowHashPairs]], charAt-based)
+    * reports UTF-16 offsets while Spark's `substr`/`length` count
+    * CODE POINTS — a HOF splice would shift every span after a
+    * supplementary-plane character and excise the wrong text. For BMP
+    * text (where the two unit systems coincide) the result matches
+    * the code-point-consistent DuckDB oracle exactly; for
+    * supplementary-plane text each engine is self-consistent but
+    * offsets differ, the same documented caveat as [[substringSpans]].
+    * Docs with no duplicated span pass through unchanged. Emits
+    * (id, n_chars, n_spans, dup_chars, text_dedup). */
   def substringDedupText(df: DataFrame, id: String, text: String,
                          win: Int = 30, stride: Int = 1): DataFrame = {
     val spans = substringSpans(df, id, text, win, stride)
@@ -855,27 +864,26 @@ object Dedup {
           col("span_start"), col("span_end")))).as("__sp"),
         count(lit(1)).as("n_spans"),
         sum(col("span_len")).as("dup_chars"))
+    val splice = udf((t: String, sp: Seq[org.apache.spark.sql.Row]) => {
+      val sb = new StringBuilder
+      var prev = 0
+      sp.foreach { r =>
+        val s = r.getLong(0).toInt; val e = r.getLong(1).toInt
+        sb.append(t.substring(prev, s - 1)) // UTF-16 units, 1-based spans
+        prev = e
+      }
+      sb.append(t.substring(prev))
+      sb.toString
+    })
     val t = col("__t")
-    def splice: Column = {
-      val init = struct(lit("").as("parts"), lit(0L).as("prev"))
-      concat(aggregate(col("__sp"), init,
-        (acc, s) => struct(
-          concat(acc.getField("parts"),
-            t.substr((acc.getField("prev") + 1).cast("int"),
-              (s.getField("span_start") - acc.getField("prev") - 1)
-                .cast("int"))).as("parts"),
-          s.getField("span_end").as("prev")))
-        .getField("parts"),
-        t.substr((element_at(col("__sp"), -1).getField("span_end") + 1)
-          .cast("int"), length(t)))
-    }
     df.select(col(id), col(text).as("__t"))
       .join(spans, Seq(id), "left")
       .select(col(id),
         length(t).cast("long").as("n_chars"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
-        when(col("__sp").isNull, t).otherwise(splice).as("text_dedup"))
+        when(col("__sp").isNull, t)
+          .otherwise(splice(t, col("__sp"))).as("text_dedup"))
   }
 
   /** Per-doc roll-up of [[substringSpans]]: how much of each doc is

@@ -816,6 +816,16 @@ class PipelineSpec extends SparkSpec {
     val w = Dedup.substringDedupText(whole, "doc_id", "text", win = 10)
       .collect().map(_.getString(4))
     assert(w.forall(_ == ""))
+    // supplementary-plane prefix: the span kernel reports UTF-16
+    // offsets, so the splice must count UTF-16 units too — a
+    // code-point splice (Spark substr) would shift the excision one
+    // unit left and keep a duplicated char while dropping 'x'
+    val emoji = "😀" // one code point, TWO utf-16 units
+    val e = Seq((5L, emoji + "ABCDEFGHIJxyz"), (6L, "ABCDEFGHIJqqq"))
+      .toDF("doc_id", "text")
+    val ex = Dedup.substringDedupText(e, "doc_id", "text", win = 10)
+      .orderBy("doc_id").collect().map(_.getString(4))
+    assert(ex.toSeq == Seq(emoji + "xyz", "qqq"))
   }
 
   test("substringDedupText: randomized differential vs an in-memory " +
