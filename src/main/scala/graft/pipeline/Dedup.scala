@@ -651,7 +651,11 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for pairs sharing >= 1 shingle.
     * `maxShingleDf` drops ubiquitous shingles (skew guard; also an
-    * LSH-free candidate cap).
+    * LSH-free candidate cap). Consumers that only need CONNECTIVITY
+    * (cluster extraction, keep-best) should use [[ngramShingleEdges]]
+    * instead — identical components at linear output volume; this
+    * all-pairs form is for genuine similarity-join semantics where the
+    * per-pair Jaccard value matters.
     *
     * Plan shape — TWO shuffles total:
     *   1. groupByKey(shingle): each posting list streams through a typed

@@ -829,11 +829,12 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("substringDedupText: randomized differential vs an in-memory " +
-    "excision reference (seeded)") {
+    "excision reference (seeded; stride 1-3)") {
     val win = 10
-    def refOne(texts: Seq[(Long, String)]): Map[Long, String] = {
+    def refOne(texts: Seq[(Long, String)], stride: Int): Map[Long, String] = {
       val wins = texts.flatMap { case (id, t) =>
-        (0 to t.length - win).map(p => (t.substring(p, p + win), id, p + 1)) }
+        (0 to t.length - win by stride)
+          .map(p => (t.substring(p, p + win), id, p + 1)) }
       val dup = wins.groupBy(_._1).filter(_._2.size > 1).keySet
       texts.map { case (id, t) =>
         val marked = wins.collect {
@@ -853,7 +854,7 @@ class PipelineSpec extends SparkSpec {
       }.toMap
     }
     val rnd = new scala.util.Random(7312L)
-    for (trial <- 1 to 3) {
+    for (trial <- 1 to 3; stride <- 1 to 3) {
       // small alphabet + planted shared runs force cross- and
       // within-doc duplication; some docs below win
       val shared = (1 to 3).map(_ =>
@@ -865,11 +866,11 @@ class PipelineSpec extends SparkSpec {
             ('a' + rnd.nextInt(4)).toChar).mkString)
         (i, parts.mkString)
       }
-      val want = refOne(texts)
+      val want = refOne(texts, stride)
       val got = Dedup.substringDedupText(texts.toDF("doc_id", "text"),
-          "doc_id", "text", win = win)
+          "doc_id", "text", win = win, stride = stride)
         .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
-      assert(got == want, s"trial $trial: " +
+      assert(got == want, s"trial $trial stride $stride: " +
         (got.keySet ++ want.keySet).filter(k =>
           got.get(k) != want.get(k)).take(3).map(k =>
           s"$k got=${got.get(k)} want=${want.get(k)}").mkString("; "))
