@@ -124,9 +124,12 @@ object PipelineQueries5 {
     "q_substring_excise" -> ((s, d) =>
       Dedup.substringDedupText(T(s, d, "documents"), "doc_id", "text",
           win = 30)
+        // n_chars/kept_chars are the op's own UTF-16 counts (r13);
+        // the oracle's length() counts code points — identical here
+        // because the corpus is ASCII/BMP (the unit-system caveat is
+        // documented on substringDedupText and pinned by spec)
         .select(col("doc_id"), col("n_chars"), col("n_spans"),
-          col("dup_chars"),
-          length(col("text_dedup")).cast("long").as("kept_chars"),
+          col("dup_chars"), col("kept_chars"),
           md5(col("text_dedup").cast("binary")).as("dedup_md5"))
         .orderBy("doc_id")),
 

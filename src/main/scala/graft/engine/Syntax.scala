@@ -232,16 +232,18 @@ object Syntax {
       graft.pipeline.Dedup.exact(df, id, text)
     // spanning-edge candidates (r12): clusters only consume component
     // structure, and edges give identical components with linear
-    // output per bucket; maxBucket kept for signature compatibility
-    def dedupClusters(id: String, text: String,
-                      maxBucket: Int = 10000): DataFrame =
+    // output per bucket — no quadratic left to cap, so no maxBucket
+    // parameter (the dead r12 one was removed in r13)
+    def dedupClusters(id: String, text: String): DataFrame =
       graft.pipeline.Dedup.clusters(
         graft.pipeline.Dedup.minhashLshEdges(df, id, text))
     def minhashLshEdges(id: String, text: String): DataFrame =
       graft.pipeline.Dedup.minhashLshEdges(df, id, text)
     def substringDedupText(id: String, text: String, win: Int = 30,
-                           stride: Int = 1): DataFrame =
-      graft.pipeline.Dedup.substringDedupText(df, id, text, win, stride)
+                           stride: Int = 1,
+                           maxWindowDf: Option[Long] = None): DataFrame =
+      graft.pipeline.Dedup.substringDedupText(df, id, text, win, stride,
+        maxWindowDf)
     def ngramShingleEdges(id: String, text: String, k: Int = 3,
                           maxShingleDf: Int = 1000): DataFrame =
       graft.pipeline.Dedup.ngramShingleEdges(df, id, text, k, maxShingleDf)
@@ -276,11 +278,15 @@ object Syntax {
     def gopherFilter(id: String, text: String): DataFrame =
       graft.pipeline.Curation.gopherFilter(df, id, text)
     def substringSpans(id: String, text: String, win: Int = 30,
-                       stride: Int = 1): DataFrame =
-      graft.pipeline.Dedup.substringSpans(df, id, text, win, stride)
+                       stride: Int = 1,
+                       maxWindowDf: Option[Long] = None): DataFrame =
+      graft.pipeline.Dedup.substringSpans(df, id, text, win, stride,
+        maxWindowDf)
     def substringDupStats(id: String, text: String, win: Int = 30,
-                          stride: Int = 1): DataFrame =
-      graft.pipeline.Dedup.substringDupStats(df, id, text, win, stride)
+                          stride: Int = 1,
+                          maxWindowDf: Option[Long] = None): DataFrame =
+      graft.pipeline.Dedup.substringDupStats(df, id, text, win, stride,
+        maxWindowDf)
     def capPerStratum(id: String, strata: String, cap: Int,
                       salts: Int = 32): DataFrame =
       graft.pipeline.Curation.capPerStratum(df, id, strata, cap, salts)

@@ -569,17 +569,17 @@ object Dedup {
     * spanning paths give IDENTICAL clusters (and thus identical keep
     * decisions) with output linear in posting volume, making a
     * 10^6-member boilerplate family cost 10^6-1 edges instead of the
-    * maxBucket-capped quadratic. `maxBucket` is retained for signature
-    * compatibility but no longer needed — the edge form has no
-    * quadratic to cap.
+    * quadratic that [[minhashLshPairs]]' `maxBucket` used to cap. The
+    * edge form has no quadratic, so this entry point takes no cap
+    * (the r12 signature's dead `maxBucket` parameter was removed in
+    * r13 — a caller tuning it got no effect and no warning).
     *
     * Returns one row per input doc: (id, cluster_rep, keep). The final
     * join back to the corpus is on the doc id against the cluster table
     * (|clustered docs| rows — only docs with at least one near-dup),
     * which AQE broadcasts when small. */
   def fuzzy(df: DataFrame, id: String, text: String, k: Int = 3,
-            bands: Int = 4, rowsPerBand: Int = 2,
-            maxBucket: Int = 100000): DataFrame = {
+            bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val cl = clusters(
       minhashLshEdges(df, id, text, k, bands, rowsPerBand))
       .withColumnRenamed("doc", "__doc")
@@ -605,8 +605,7 @@ object Dedup {
     * Returns (id, cluster_rep, keep_id, keep). */
   def fuzzyKeepBest(df: DataFrame, id: String, text: String,
                     quality: Column, k: Int = 3,
-                    bands: Int = 4, rowsPerBand: Int = 2,
-                    maxBucket: Int = 100000): DataFrame = {
+                    bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val cl = clusters(
       minhashLshEdges(df, id, text, k, bands, rowsPerBand))
       .withColumnRenamed("doc", "__doc")
@@ -788,10 +787,32 @@ object Dedup {
     * Positions and window units are UTF-16 code units (== characters
     * for all BMP text; for supplementary-plane text, span offsets index
     * UTF-16 units, not code points). Emits
-    * (id, span_start, span_end, span_len), 1-based inclusive. */
+    * (id, span_start, span_end, span_len), 1-based inclusive.
+    *
+    * `maxWindowDf` (optional, default off) bounds the hot-window
+    * straggler: the count-over-(h1,h2) window BUFFERS each group in
+    * WindowExec (spill-capable but single-reducer), so one boilerplate
+    * window repeated ~10^9 times across the corpus becomes one
+    * straggler task. With `maxWindowDf = Some(cap)` a cheap pre-pass
+    * (`groupBy(h1,h2).count` — map-side combinable, so the hot key
+    * reaches its reducer as one row per mapper, never 10^9 rows)
+    * finds the keys with document frequency > cap; those keys are
+    * BROADCAST back and their rows bypass the count entirely — df >
+    * cap >= 2 already proves them duplicated, the exact count is
+    * irrelevant — by salting each such row into its own singleton
+    * window group. Every surviving WindowExec group is then <= cap
+    * rows by construction. Output is IDENTICAL to the uncapped plan
+    * (pinned by spec); the price is a second evaluation of the
+    * rolling-hash explode for the pre-pass (the default uncapped plan
+    * keeps the one-Generate / no-join shape PlanGuardSpec pins). The
+    * hot-key set must be broadcastable — mega-dup boilerplate
+    * families are rare by the cap's own definition; pick cap high
+    * enough (>= ~10^5) that ordinary duplication stays under it. */
   def substringSpans(df: DataFrame, id: String, text: String,
-                     win: Int = 30, stride: Int = 1): DataFrame = {
+                     win: Int = 30, stride: Int = 1,
+                     maxWindowDf: Option[Long] = None): DataFrame = {
     require(win >= 2 && stride >= 1, s"need win>=2, stride>=1; got $win, $stride")
+    maxWindowDf.foreach(c => require(c >= 2, s"maxWindowDf must be >= 2; got $c"))
     import org.apache.spark.sql.expressions.Window
     // spread BEFORE the explode: a compact doc table reads as a handful
     // of input splits, and without this every window hash is computed on
@@ -814,11 +835,30 @@ object Dedup {
         (col("__i").cast("long") * stride + 1).as("__p"),
         col("__z.h1").as("__h"), col("__z.h2").as("__h2"))
     // one count-over-(h1,h2) window: the explode subtree is evaluated
-    // exactly once (PlanGuardSpec pins one Generate in the plan)
-    val byHash = Window.partitionBy(col("__h"), col("__h2"))
-    val hits = pos
-      .withColumn("__c", count(lit(1)).over(byHash))
-      .filter(col("__c") > 1)
+    // exactly once (PlanGuardSpec pins one Generate in the plan).
+    // Capped mode (maxWindowDf): rows of keys hotter than the cap are
+    // salted into singleton window groups (they are dup by definition,
+    // the buffered count is irrelevant), bounding every WindowExec
+    // group at <= cap rows — see the scaladoc for the full trade.
+    val hits0 = maxWindowDf match {
+      case None =>
+        val byHash = Window.partitionBy(col("__h"), col("__h2"))
+        pos.withColumn("__c", count(lit(1)).over(byHash))
+          .filter(col("__c") > 1)
+      case Some(cap) =>
+        val hot = pos.groupBy(col("__h"), col("__h2"))
+          .agg(count(lit(1)).as("__df")).filter(col("__df") > cap)
+          .select(col("__h"), col("__h2"), lit(true).as("__hot"))
+        val tagged = pos
+          .join(broadcast(hot), Seq("__h", "__h2"), "left")
+          .withColumn("__hot", coalesce(col("__hot"), lit(false)))
+        val salt = when(col("__hot"), xxhash64(col(id), col("__p")))
+          .otherwise(lit(0L))
+        val byHash = Window.partitionBy(col("__h"), col("__h2"), salt)
+        tagged.withColumn("__c", count(lit(1)).over(byHash))
+          .filter(col("__hot") || col("__c") > 1)
+    }
+    val hits = hits0
       .select(col(id), col("__p"), (col("__p") + (win - 1)).as("__e"))
     val byDoc = Window.partitionBy(col(id)).orderBy(col("__p"))
     val prevEnd = max(col("__e"))
@@ -853,16 +893,23 @@ object Dedup {
     * span kernel ([[graft.functions.WindowHashPairs]], charAt-based)
     * reports UTF-16 offsets while Spark's `substr`/`length` count
     * CODE POINTS — a HOF splice would shift every span after a
-    * supplementary-plane character and excise the wrong text. For BMP
-    * text (where the two unit systems coincide) the result matches
-    * the code-point-consistent DuckDB oracle exactly; for
+    * supplementary-plane character and excise the wrong text. For the
+    * same reason `n_chars`/`kept_chars` are UTF-16 unit counts
+    * (String.length, r13), NOT Spark `length()`: with every column in
+    * one unit system the row-internal identity
+    * `kept_chars + dup_chars == n_chars` holds for ALL text,
+    * supplementary-plane included (pinned by spec). For BMP text
+    * (where the two unit systems coincide) everything matches the
+    * code-point-consistent DuckDB oracle exactly; for
     * supplementary-plane text each engine is self-consistent but
-    * offsets differ, the same documented caveat as [[substringSpans]].
-    * Docs with no duplicated span pass through unchanged. Emits
-    * (id, n_chars, n_spans, dup_chars, text_dedup). */
+    * offsets and lengths differ, the same documented caveat as
+    * [[substringSpans]]. Docs with no duplicated span pass through
+    * unchanged. Emits
+    * (id, n_chars, n_spans, dup_chars, kept_chars, text_dedup). */
   def substringDedupText(df: DataFrame, id: String, text: String,
-                         win: Int = 30, stride: Int = 1): DataFrame = {
-    val spans = substringSpans(df, id, text, win, stride)
+                         win: Int = 30, stride: Int = 1,
+                         maxWindowDf: Option[Long] = None): DataFrame = {
+    val spans = substringSpans(df, id, text, win, stride, maxWindowDf)
       .groupBy(col(id)).agg(
         sort_array(collect_list(struct(
           col("span_start"), col("span_end")))).as("__sp"),
@@ -879,15 +926,21 @@ object Dedup {
       sb.append(t.substring(prev))
       sb.toString
     })
+    // UTF-16 units (String.length), matching the span kernel's unit
+    // system — NOT Spark length() (code points); see the scaladoc
+    val utf16Len = udf((s: String) =>
+      if (s == null) null else java.lang.Long.valueOf(s.length.toLong))
     val t = col("__t")
     df.select(col(id), col(text).as("__t"))
       .join(spans, Seq(id), "left")
+      .withColumn("text_dedup",
+        when(col("__sp").isNull, t).otherwise(splice(t, col("__sp"))))
       .select(col(id),
-        length(t).cast("long").as("n_chars"),
+        utf16Len(t).as("n_chars"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
-        when(col("__sp").isNull, t)
-          .otherwise(splice(t, col("__sp"))).as("text_dedup"))
+        utf16Len(col("text_dedup")).as("kept_chars"),
+        col("text_dedup"))
   }
 
   /** Per-doc roll-up of [[substringSpans]]: how much of each doc is
@@ -895,8 +948,9 @@ object Dedup {
     * for substring-level cleaning). Docs with no duplicated span report
     * 0. One extra broadcast-friendly left join over the span output. */
   def substringDupStats(df: DataFrame, id: String, text: String,
-                        win: Int = 30, stride: Int = 1): DataFrame = {
-    val spans = substringSpans(df, id, text, win, stride)
+                        win: Int = 30, stride: Int = 1,
+                        maxWindowDf: Option[Long] = None): DataFrame = {
+    val spans = substringSpans(df, id, text, win, stride, maxWindowDf)
       .groupBy(col(id)).agg(
         count(lit(1)).as("n_spans"),
         sum(col("span_len")).as("dup_chars"))

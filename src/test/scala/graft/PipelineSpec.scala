@@ -806,7 +806,7 @@ class PipelineSpec extends SparkSpec {
       (3L, "no duplicates in here at all!")).toDF("doc_id", "text")
     val out = Dedup.substringDedupText(d, "doc_id", "text", win = 10)
       .orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getLong(2), r.getString(4)))
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(5)))
     assert(out.toSeq == Seq(
       (1L, 1L, "XXXXYYYY"), (2L, 1L, "ZZZZWWWW"),
       (3L, 0L, "no duplicates in here at all!")))
@@ -814,7 +814,7 @@ class PipelineSpec extends SparkSpec {
     val whole = Seq((1L, "abcdefghij"), (2L, "abcdefghij"))
       .toDF("doc_id", "text")
     val w = Dedup.substringDedupText(whole, "doc_id", "text", win = 10)
-      .collect().map(_.getString(4))
+      .collect().map(_.getString(5))
     assert(w.forall(_ == ""))
     // supplementary-plane prefix: the span kernel reports UTF-16
     // offsets, so the splice must count UTF-16 units too — a
@@ -824,8 +824,41 @@ class PipelineSpec extends SparkSpec {
     val e = Seq((5L, emoji + "ABCDEFGHIJxyz"), (6L, "ABCDEFGHIJqqq"))
       .toDF("doc_id", "text")
     val ex = Dedup.substringDedupText(e, "doc_id", "text", win = 10)
-      .orderBy("doc_id").collect().map(_.getString(4))
+      .orderBy("doc_id").collect().map(_.getString(5))
     assert(ex.toSeq == Seq(emoji + "xyz", "qqq"))
+  }
+
+  test("substringDedupText: supplementary-plane rows keep the UTF-16 " +
+    "identity kept_chars + dup_chars == n_chars; BMP rows also match " +
+    "code-point lengths (the oracle-equality boundary)") {
+    val emoji = "😀" // U+1F600: ONE code point, TWO utf-16 units
+    val d = Seq(
+      (1L, emoji + "ABCDEFGHIJxyz"),          // astral prefix + dup run
+      (2L, "ABCDEFGHIJqqq"),                  // BMP partner of the run
+      (3L, emoji + emoji + "clean doc here")) // astral, no dup
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedupText(d, "doc_id", "text", win = 10)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getString(5)))
+    out.foreach { case (id, nChars, dupChars, keptChars, td) =>
+      // row-internal invariant in ONE unit system (UTF-16), for every
+      // row — this is exactly what mixing Spark length() (code points)
+      // into the row used to break after an astral char
+      assert(keptChars + dupChars == nChars, s"doc $id identity broke")
+      assert(keptChars == td.length.toLong, s"doc $id kept_chars != " +
+        "UTF-16 length of the spliced text")
+    }
+    // the documented oracle-deviation shape: a code-point engine
+    // (DuckDB length()) agrees with these counts exactly when the two
+    // unit systems coincide (BMP), and reads 1 fewer unit per astral
+    // char otherwise
+    def cp(s: String) = s.codePointCount(0, s.length).toLong
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(2L)._2 == cp("ABCDEFGHIJqqq"))        // BMP: units == cps
+    assert(byId(1L)._2 == cp(emoji + "ABCDEFGHIJxyz") + 1) // astral: +1/char
+    assert(byId(3L)._2 == cp(emoji + emoji + "clean doc here") + 2)
+    assert(byId(3L)._5 == emoji + emoji + "clean doc here") // passthrough
   }
 
   test("substringDedupText: randomized differential vs an in-memory " +
@@ -869,11 +902,51 @@ class PipelineSpec extends SparkSpec {
       val want = refOne(texts, stride)
       val got = Dedup.substringDedupText(texts.toDF("doc_id", "text"),
           "doc_id", "text", win = win, stride = stride)
-        .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+        .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
       assert(got == want, s"trial $trial stride $stride: " +
         (got.keySet ++ want.keySet).filter(k =>
           got.get(k) != want.get(k)).take(3).map(k =>
           s"$k got=${got.get(k)} want=${want.get(k)}").mkString("; "))
+    }
+  }
+
+  test("substringSpans: maxWindowDf capped mode is output-identical on " +
+    "a synthetic mega-dup window (hot keys bypass the count)") {
+    // 12 docs share one 16-char run (window df 12 > cap 3 -> every one
+    // of those rows takes the hot/broadcast bypass); two docs share a
+    // different run (df 2 <= cap -> must still be caught by the
+    // count-over-window cold path); one doc is clean. The capped plan
+    // must emit EXACTLY the uncapped spans.
+    // flanks are a per-doc UNIQUE letter repeated 4x, so no window
+    // that touches a flank can match across docs
+    val mega = (1L to 12L).map { i =>
+      val c = ('a' + i - 1).toChar.toString * 4
+      (i, c + "ABCDEFGHIJKLMNOP" + c)
+    }
+    val pair = Seq((21L, "1111QRSTUVWXYZ56782222"),
+      (22L, "3333QRSTUVWXYZ56784444"))
+    val clean = Seq((30L, "no duplicates in here at all!"))
+    val d = (mega ++ pair ++ clean).toDF("doc_id", "text")
+    def run(cap: Option[Long]) =
+      Dedup.substringSpans(d, "doc_id", "text", win = 10, maxWindowDf = cap)
+        .orderBy("doc_id", "span_start").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val uncapped = run(None)
+    // sanity on the fixture itself: all 12 mega docs span [5,20], the
+    // cold pair spans [5,18], the clean doc is absent
+    assert(uncapped == (1L to 12L).map(i => (i, 5L, 20L, 16L)) ++
+      Seq((21L, 5L, 18L, 14L), (22L, 5L, 18L, 14L)))
+    assert(run(Some(3L)) == uncapped)
+    // downstream consumers see the same equality
+    val dt = Dedup.substringDedupText(d, "doc_id", "text", win = 10,
+        maxWindowDf = Some(3L)).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(5)))
+    val dtUn = Dedup.substringDedupText(d, "doc_id", "text", win = 10)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(5)))
+    assert(dt.toSeq == dtUn.toSeq)
+    intercept[IllegalArgumentException] {
+      Dedup.substringSpans(d, "doc_id", "text", maxWindowDf = Some(1L))
     }
   }
 
