@@ -98,25 +98,47 @@ object Queries11 {
       // bands, doubling the row's exact-pass cost to verify one sketch
       val frs = ps.flatMap(p => Seq(math.max(0.0, p - del), p,
         math.min(1.0, p + del)))
-      // describe's row order is count/mean/std/min, then the sorted
-      // percentiles, then max — positional access below relies on it
+      // rows are addressed by their `stat` LABEL, never by position —
+      // a describe-layout change then fails loudly here instead of
+      // silently comparing against the wrong stat (round-13 rework of
+      // the old exact(13)/exact(4+3*i+.) positional indexing)
       val exact = Reductions.describe(li, cols, frs).collect()
+      require(exact.length == frs.length + 5,
+        s"describe emitted ${exact.length} rows for ${frs.length} " +
+          "fractions (expected count/mean/std/min + fractions + max) " +
+          "— row layout changed, update q_describe_approx")
+      def lbl(row: org.apache.spark.sql.Row): String =
+        row.getString(row.fieldIndex("stat"))
+      val byLabel = exact.map(r => lbl(r) -> r).toMap
+      require(byLabel.size == exact.length,
+        "duplicate describe stat labels — the band delta no longer " +
+          "keeps the nine fractions label-distinct")
+      // same formatting contract as Reductions.pctLabel; a drift in
+      // either side surfaces as a loud missing-label failure below
+      def pctRow(p: Double): org.apache.spark.sql.Row = {
+        val v = math.round(p * 10000) / 100.0
+        val label = if (v == v.toInt) s"${v.toInt}%" else s"$v%"
+        byLabel.getOrElse(label, sys.error(
+          s"describe emitted no '$label' row — percentile labeling " +
+            "changed, update q_describe_approx"))
+      }
       val approx = Reductions.describeApprox(li, cols).collect()
         .map(r => r.getString(0) -> r).toMap
       def cell(row: org.apache.spark.sql.Row, c: String): Double = {
         val i = row.fieldIndex(c)
         if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
       }
-      val byStat = Map("count" -> exact(0), "mean" -> exact(1),
-        "std" -> exact(2), "min" -> exact(3), "max" -> exact(13)) ++
-        Seq("25%", "50%", "75%").zipWithIndex.map { case (lab, i) =>
-          lab -> exact(4 + 3 * i + 1) }
+      val byStat =
+        Seq("count", "mean", "std", "min", "max")
+          .map(st => st -> byLabel.getOrElse(st, sys.error(
+            s"describe emitted no '$st' row"))).toMap ++
+        ps.map(p => s"${(p * 100).toInt}%" -> pctRow(p))
       def okFor(stat: String, c: String): Boolean = {
         val a = cell(approx(stat), c)
         ps.indices.find(i => s"${(ps(i) * 100).toInt}%" == stat) match {
           case Some(i) =>
-            a >= cell(exact(4 + 3 * i), c) - 1e-9 &&
-              a <= cell(exact(4 + 3 * i + 2), c) + 1e-9
+            a >= cell(pctRow(frs(3 * i)), c) - 1e-9 &&
+              a <= cell(pctRow(frs(3 * i + 2)), c) + 1e-9
           case None =>
             val e = cell(byStat(stat), c)
             math.abs(a - e) <= (math.abs(e) + 1) * 0.01

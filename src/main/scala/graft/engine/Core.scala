@@ -144,7 +144,16 @@ object Core {
     * jobs concurrently (the scheduler interleaves them, so wall time
     * is ~the slowest job instead of the sum). Submission threads only
     * enqueue jobs, so a small cap is plenty for any item count; an
-    * empty `items` is a no-op (no zero-sized pool). */
+    * empty `items` is a no-op (no zero-sized pool).
+    *
+    * Failure: `Future.sequence` fails fast, and on that path the pool
+    * is shut down with `shutdownNow()` — NOT-YET-STARTED items are
+    * cancelled and in-flight submission threads are interrupted before
+    * the exception propagates, so a caller unwinding (e.g. about to
+    * tear down the directory its sibling jobs write into) doesn't race
+    * queued work it no longer wants. Jobs already running inside Spark
+    * finish their current stage (interrupt doesn't kill a submitted
+    * job mid-flight), but nothing new is launched. */
   def runConcurrently[A, B](items: Seq[A], cap: Int = 8)(f: A => B): Seq[B] =
     if (items.isEmpty) Seq.empty
     else {
@@ -152,11 +161,13 @@ object Core {
         .newFixedThreadPool(math.max(1, math.min(items.size, cap)))
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      var failed = false
       try scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(
           items.map(a => scala.concurrent.Future(f(a)))),
         scala.concurrent.duration.Duration.Inf)
-      finally pool.shutdown()
+      catch { case t: Throwable => failed = true; throw t }
+      finally if (failed) pool.shutdownNow() else pool.shutdown()
     }
 
   /** A lineage-truncated frame plus the handle to free its storage.
