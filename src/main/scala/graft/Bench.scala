@@ -131,11 +131,20 @@ object Bench {
     "q_tfidf", "q_dsir", "q_pack", "q_snapshot_diff",
     "q_heavy_hitters", "q_ewm")
 
+  /** The 5 hottest sf1 rows, re-run at sf10 (VERDICT r12 item 2) for a
+    * SECOND decade of scale evidence — two points make a trend line.
+    * Run with `--sf sf10 --only hot5sf10` (~16 GB input, generated on
+    * first use). */
+  val hot5sf10: Seq[String] = Seq(
+    "q_corr_matrix_full", "q_groupby_corr_spearman", "q_pagerank",
+    "q_pq_topk", "q_ngram_star_clusters")
+
   /** `--sf` resolution: an existing directory path is used as-is; a
     * bare name is looked up under /root/testdata first; `sf1` (absent
     * from the driver testdata) is GENERATED on first use into
     * target/sf1 by [[graft.tools.MakeSf1]] — a deterministic 10×
-    * explode of sf0.1 with remapped row ids. */
+    * explode of sf0.1 with remapped row ids; `sf10` is a further 10×
+    * of sf1 (ids compose as id*100 + copy, still join-consistent). */
   private def resolveSf(spark: SparkSession, v: String): String = {
     val f = new java.io.File(v)
     if (f.isDirectory) v
@@ -145,6 +154,11 @@ object Bench {
       else if (v == "sf1")
         graft.tools.MakeSf1.ensure(spark, "/root/testdata/sf0.1",
           "target/sf1")
+      else if (v == "sf10")
+        graft.tools.MakeSf1.ensure(spark,
+          graft.tools.MakeSf1.ensure(spark, "/root/testdata/sf0.1",
+            "target/sf1"),
+          "target/sf10")
       else sys.error(s"--sf $v: no such directory or testdata scale")
     }
   }
@@ -192,6 +206,7 @@ object Bench {
     val only = onlyOpt.orElse(sys.env.get("SPARK_GRAFT_ONLY"))
       .map(v => if (v == "hot10") hot10.toSet
         else if (v == "hot30") hot30.toSet
+        else if (v == "hot5sf10") hot5sf10.toSet
         else v.split(",").map(_.trim).toSet)
     val rt = Runtime.getRuntime
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

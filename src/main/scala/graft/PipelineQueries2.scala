@@ -274,7 +274,10 @@ object PipelineQueries2 {
     * two parallel unnests zip positionally, giving (dim-index, value)
     * pairs; sum/count instead of avg() so both engines divide the same
     * exact sums (see Similarity.kmeans's order-independence note). */
-  private def kmeansIter(i: Int): String =
+  /** One Lloyd iteration CTE block (d/a/u/m/g/c tables, rooted on an
+    * `e (vec_id, x)` CTE and the previous `c{i-1}` centroids) — shared
+    * with the PipelineQueries6 semantic-composition oracle. */
+  private[graft] def kmeansIter(i: Int): String =
     s"""d$i AS (SELECT e.vec_id, c.cid,
              list_sum(list_transform(generate_series(1, 64),
                j -> (x[j]-cv[j])*(x[j]-cv[j]))) AS d

@@ -12,148 +12,67 @@ object PipelineQueries5 {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Core.normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** Every stage frame of the 9-stage text-leg composition, shared by
+    * q_pipeline_e2e (which consumes `bud` downstream) and
+    * q_pipeline_funnel (which counts every boundary). `caches` are the
+    * frames this builder persisted — callers MUST unpersist them in a
+    * finally once their small final result is materialized, or the
+    * blocks leak into the rest of the shared ~200-query session. */
+  private[graft] final case class E2eChain(
+      docs: DataFrame, cleaned: DataFrame, gate: DataFrame,
+      gated: DataFrame, surv: DataFrame, corpus: DataFrame,
+      bench: DataFrame, dec: DataFrame, mixed: DataFrame, bud: DataFrame,
+      caches: Seq[DataFrame])
 
-    // ---- clusters over the spanning-edge (path-per-bucket) minhash
-    //      emission: the edge SET is iterator-order-dependent, but the
-    //      COMPONENTS must equal the all-pairs graph's — so this row
-    //      runs the full cluster extraction over star-mode edges
-    //      against the SAME oracle as q_dedup_clusters ----
-    "q_dedup_clusters_star" -> ((s, d) =>
-      Dedup.clusters(
-        Dedup.minhashLshEdges(T(s, d, "documents"), "doc_id", "text",
-          k = 3, bands = 4, rowsPerBand = 2))
-        .orderBy("doc")),
+  private[graft] def e2eChain(s: SparkSession, d: String): E2eChain = {
+    val docs = T(s, d, "documents")
+    val cleaned = docs.select(col("doc_id"), col("lang"), col("source"),
+      Curation.cleanText(col("text")).as("t"))
+    val gate = Curation.gopherFilter(cleaned, "doc_id", "t",
+      minWords = 30, maxWords = 90, wordLenBand = (3.0, 4.6),
+      minStopFrac = 0.05, maxDupWordFrac = 0.6, maxTopBigramFrac = 0.2)
+    // STAGE-BOUNDARY MATERIALIZATION — the composition lesson this
+    // chain exists to encode: each survivor frame below feeds TWO OR
+    // MORE consumers (gated -> fuzzy + semi-join + downstream;
+    // dec -> mixture + the budget chain; bud -> pack + shuffle +
+    // windows + the final join), so without persisting, every
+    // consumer re-evaluates the whole upstream chain and the plan's
+    // work multiplies combinatorially (measured 31s -> 12s at sf0.1;
+    // the remainder is the genuine sequential cost of nine stages).
+    // A production 100 TB pipeline writes each stage's survivors to
+    // storage between stages; persist() of the narrow survivor frame
+    // is the single-plan equivalent.
+    val gated = cleaned.join(
+      gate.filter(col("pass")).select(col("doc_id"), col("n_tokens")),
+      Seq("doc_id")).persist()
+    val surv = gated.join(
+      Dedup.fuzzy(gated, "doc_id", "t", k = 5, bands = 4,
+        rowsPerBand = 2).filter(col("keep")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val corpus = surv.filter(col("source") =!= "src0")
+    val bench = cleaned.filter(col("source") === "src0")
+    val dec = corpus.join(
+      Curation.decontaminate(corpus, bench, "doc_id", "t", k = 5)
+        .filter(!col("contaminated")).select("doc_id"),
+      Seq("doc_id"), "left_semi").persist()
+    val tier = when(col("doc_id") % 10 < 5, "big")
+      .when(col("doc_id") % 10 < 8, "mid").otherwise("small")
+    val mixed = Curation.mixtureSample(dec.withColumn("tier", tier),
+      "doc_id", "tier", alpha = 0.5)
+    val bud = Curation.tokenBudget(mixed, "doc_id", "lang",
+      "n_tokens", budget = 500L).persist()
+    E2eChain(docs, cleaned, gate, gated, surv, corpus, bench, dec,
+      mixed, bud, caches = Seq(gated, dec, bud))
+  }
 
-    // ---- END-TO-END pipeline composition (VERDICT r11 item 5): every
-    //      stage below is oracle-green individually, but composition is
-    //      where column-name collisions, plan-size blowups and AQE
-    //      interactions live — so the whole chain runs as ONE plan:
-    //      clean -> gopher gate -> minhash dedup -> decontaminate vs
-    //      the src0 eval suite -> temperature-0.5 mixture -> per-lang
-    //      token budget -> 512-token greedy packing + md5 shuffle
-    //      order -> 32/24 sliding windows. Deterministic at every
-    //      stage (every sampler is hash-keyed), so the DuckDB oracle
-    //      recomputes the full chain independently ----
-    "q_pipeline_e2e" -> ((s, d) => {
-      val docs = T(s, d, "documents")
-      val cleaned = docs.select(col("doc_id"), col("lang"), col("source"),
-        Curation.cleanText(col("text")).as("t"))
-      val gate = Curation.gopherFilter(cleaned, "doc_id", "t",
-        minWords = 30, maxWords = 90, wordLenBand = (3.0, 4.6),
-        minStopFrac = 0.05, maxDupWordFrac = 0.6, maxTopBigramFrac = 0.2)
-      // STAGE-BOUNDARY MATERIALIZATION — the composition lesson this
-      // row exists to encode: each survivor frame below feeds TWO OR
-      // MORE consumers (gated -> fuzzy + semi-join + downstream;
-      // dec -> mixture + the budget chain; bud -> pack + shuffle +
-      // windows + the final join), so without persisting, every
-      // consumer re-evaluates the whole upstream chain and the plan's
-      // work multiplies combinatorially (measured 31s -> 12s at sf0.1;
-      // the remainder is the genuine sequential cost of nine stages).
-      // A production 100 TB pipeline writes each stage's survivors to
-      // storage between stages; persist() of the narrow survivor frame
-      // is the single-plan equivalent.
-      val gated = cleaned.join(
-        gate.filter(col("pass")).select(col("doc_id"), col("n_tokens")),
-        Seq("doc_id")).persist()
-      val surv = gated.join(
-        Dedup.fuzzy(gated, "doc_id", "t", k = 5, bands = 4,
-          rowsPerBand = 2).filter(col("keep")).select("doc_id"),
-        Seq("doc_id"), "left_semi")
-      val corpus = surv.filter(col("source") =!= "src0")
-      val bench = cleaned.filter(col("source") === "src0")
-      val dec = corpus.join(
-        Curation.decontaminate(corpus, bench, "doc_id", "t", k = 5)
-          .filter(!col("contaminated")).select("doc_id"),
-        Seq("doc_id"), "left_semi").persist()
-      val tier = when(col("doc_id") % 10 < 5, "big")
-        .when(col("doc_id") % 10 < 8, "mid").otherwise("small")
-      val mixed = Curation.mixtureSample(dec.withColumn("tier", tier),
-        "doc_id", "tier", alpha = 0.5)
-      val bud = Curation.tokenBudget(mixed, "doc_id", "lang",
-        "n_tokens", budget = 500L).persist()
-      val pk = Curation.packGreedy(
-          bud.select(col("doc_id"), col("n_tokens")),
-          "doc_id", "n_tokens", ctxLen = 512)
-        .select(col("doc_id"), col("chunk_id"), col("chunk_offset"))
-      val sk = Curation.shuffleOrder(bud.select("doc_id"), "doc_id",
-        seed = 42L, hash = "md5")
-      val win = Curation.chunkSliding(
-        bud.select(col("doc_id"), TextAnalysis.tokens(col("t")).as("toks")),
-        "doc_id", "toks", chunkLen = 32, stride = 24, minTail = 8)
-      val out = bud.select(col("doc_id"), col("lang"), col("tier"),
-          col("rate"), col("n_tokens"), col("cum_tokens"))
-        .join(pk, Seq("doc_id")).join(sk, Seq("doc_id"))
-        .join(win, Seq("doc_id"))
-        .select(col("doc_id"), col("lang"), col("tier"), col("rate"),
-          col("n_tokens"), col("cum_tokens"), col("chunk_id"),
-          col("chunk_offset"), col("skey"), col("chunk_idx"),
-          col("start"), concat_ws(" ", col("chunk")).as("chunk_text"),
-          col("n_chunk"))
-        .orderBy("doc_id", "chunk_idx")
-      // materialize the (window-level, ~hundreds-row) result eagerly so
-      // the three stage caches can be RELEASED before returning —
-      // Verify runs ~200 queries in one session with no clearCache
-      // between them, and leaked MEMORY_AND_DISK blocks would tax every
-      // later query's storage memory. The collect is LIMIT-capped so a
-      // corpus where the chain survives at scale fails loudly instead
-      // of materializing an unbounded result on the driver (this row is
-      // a verification harness; a production pipeline writes each stage
-      // to storage instead of collecting anything)
-      val rows =
-        try {
-          val r = out.limit(100001).collect().toIndexedSeq
-          require(r.length <= 100000,
-            "q_pipeline_e2e: output exceeds the 100k-row verification " +
-              "cap — run the stages with per-stage storage writes instead")
-          r
-        } finally
-          // release even when the cap (or the collect) throws — a
-          // failed row must not leak cached blocks into the rest of
-          // the shared Verify/Bench session
-          Seq(gated, dec, bud).foreach(_.unpersist(blocking = false))
-      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
-    }),
-
-    // ---- substring-dedup APPLIED: excise every duplicated >=30-char
-    //      window span and return the spliced text (aggressive policy,
-    //      all occurrences removed). The oracle re-derives the spans
-    //      from RAW window text (any Spark-side hash collision would
-    //      surface as a text diff) and rebuilds the remainder with
-    //      lag()-gap segments + string_agg ----
-    "q_substring_excise" -> ((s, d) =>
-      Dedup.substringDedupText(T(s, d, "documents"), "doc_id", "text",
-          win = 30)
-        // n_chars/kept_chars are the op's own UTF-16 counts (r13);
-        // the oracle's length() counts code points — identical here
-        // because the corpus is ASCII/BMP (the unit-system caveat is
-        // documented on substringDedupText and pinned by spec)
-        .select(col("doc_id"), col("n_chars"), col("n_spans"),
-          col("dup_chars"), col("kept_chars"),
-          md5(col("text_dedup").cast("binary")).as("dedup_md5"))
-        .orderBy("doc_id")),
-
-    // ---- clusters over spanning edges of the shares-a-retained-
-    //      shingle graph (ngram star mode, the sf1 blowup lever): the
-    //      oracle recomputes the transitive closure over the FULL
-    //      all-pairs share-a-shingle graph — equality proves spanning
-    //      emission preserved every component ----
-    "q_ngram_star_clusters" -> ((s, d) =>
-      Dedup.clusters(
-        Dedup.ngramShingleEdges(T(s, d, "documents"), "doc_id", "text",
-          k = 3, maxShingleDf = 1000))
-        .orderBy("doc")))
-
-  val oracle: Map[String, String] = Map(
-
-    // the full chain, stage formulas identical to the individually-
-    // gated oracles (q_clean / q_quality_gate / q_dedup_fuzzy /
-    // q_decontam / q_mixture / q_token_budget / q_pack /
-    // q_shuffle_order / q_chunk_sliding), re-rooted on each previous
-    // stage's CTE instead of the raw table
-    "q_pipeline_e2e" ->
-      """WITH RECURSIVE
-         cl AS (SELECT doc_id, lang, source,
+  /** The cl..bud CTE spine of the e2e oracle — every stage formula
+    * identical to the individually-gated oracles (q_clean /
+    * q_quality_gate / q_dedup_fuzzy / q_decontam / q_mixture /
+    * q_token_budget), re-rooted on the previous stage's CTE. Shared by
+    * the q_pipeline_e2e and q_pipeline_funnel oracles (prefix with
+    * WITH RECURSIVE — greach is recursive). */
+  private[graft] val E2eCte: String =
+    """cl AS (SELECT doc_id, lang, source,
                   trim(regexp_replace(regexp_replace(text,
                     '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')) AS t
                 FROM documents),
@@ -244,7 +163,119 @@ object PipelineQueries5 {
                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      AS cum_tokens
-                   FROM mixed m) WHERE cum_tokens <= 500),
+                   FROM mixed m) WHERE cum_tokens <= 500)"""
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- clusters over the spanning-edge (path-per-bucket) minhash
+    //      emission: the edge SET is iterator-order-dependent, but the
+    //      COMPONENTS must equal the all-pairs graph's — so this row
+    //      runs the full cluster extraction over star-mode edges
+    //      against the SAME oracle as q_dedup_clusters ----
+    "q_dedup_clusters_star" -> ((s, d) =>
+      Dedup.clusters(
+        Dedup.minhashLshEdges(T(s, d, "documents"), "doc_id", "text",
+          k = 3, bands = 4, rowsPerBand = 2))
+        .orderBy("doc")),
+
+    // ---- END-TO-END pipeline composition (VERDICT r11 item 5): every
+    //      stage below is oracle-green individually, but composition is
+    //      where column-name collisions, plan-size blowups and AQE
+    //      interactions live — so the whole chain runs as ONE plan:
+    //      clean -> gopher gate -> minhash dedup -> decontaminate vs
+    //      the src0 eval suite -> temperature-0.5 mixture -> per-lang
+    //      token budget -> 512-token greedy packing + md5 shuffle
+    //      order -> 32/24 sliding windows. Deterministic at every
+    //      stage (every sampler is hash-keyed), so the DuckDB oracle
+    //      recomputes the full chain independently ----
+    "q_pipeline_e2e" -> ((s, d) => {
+      // stage frames + persisted boundaries come from the shared
+      // e2eChain builder (also the q_pipeline_funnel spine); the
+      // composition rationale lives on the builder
+      val ch = e2eChain(s, d)
+      val bud = ch.bud
+      val pk = Curation.packGreedy(
+          bud.select(col("doc_id"), col("n_tokens")),
+          "doc_id", "n_tokens", ctxLen = 512)
+        .select(col("doc_id"), col("chunk_id"), col("chunk_offset"))
+      val sk = Curation.shuffleOrder(bud.select("doc_id"), "doc_id",
+        seed = 42L, hash = "md5")
+      val win = Curation.chunkSliding(
+        bud.select(col("doc_id"), TextAnalysis.tokens(col("t")).as("toks")),
+        "doc_id", "toks", chunkLen = 32, stride = 24, minTail = 8)
+      val out = bud.select(col("doc_id"), col("lang"), col("tier"),
+          col("rate"), col("n_tokens"), col("cum_tokens"))
+        .join(pk, Seq("doc_id")).join(sk, Seq("doc_id"))
+        .join(win, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("tier"), col("rate"),
+          col("n_tokens"), col("cum_tokens"), col("chunk_id"),
+          col("chunk_offset"), col("skey"), col("chunk_idx"),
+          col("start"), concat_ws(" ", col("chunk")).as("chunk_text"),
+          col("n_chunk"))
+        .orderBy("doc_id", "chunk_idx")
+      // materialize the (window-level, ~hundreds-row) result eagerly so
+      // the three stage caches can be RELEASED before returning —
+      // Verify runs ~200 queries in one session with no clearCache
+      // between them, and leaked MEMORY_AND_DISK blocks would tax every
+      // later query's storage memory. The collect is LIMIT-capped so a
+      // corpus where the chain survives at scale fails loudly instead
+      // of materializing an unbounded result on the driver (this row is
+      // a verification harness; a production pipeline writes each stage
+      // to storage instead of collecting anything)
+      val rows =
+        try {
+          val r = out.limit(100001).collect().toIndexedSeq
+          require(r.length <= 100000,
+            "q_pipeline_e2e: output exceeds the 100k-row verification " +
+              "cap — run the stages with per-stage storage writes instead")
+          r
+        } finally
+          // release even when the cap (or the collect) throws — a
+          // failed row must not leak cached blocks into the rest of
+          // the shared Verify/Bench session
+          ch.caches.foreach(_.unpersist(blocking = false))
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+    }),
+
+    // ---- substring-dedup APPLIED: excise every duplicated >=30-char
+    //      window span and return the spliced text (aggressive policy,
+    //      all occurrences removed). The oracle re-derives the spans
+    //      from RAW window text (any Spark-side hash collision would
+    //      surface as a text diff) and rebuilds the remainder with
+    //      lag()-gap segments + string_agg ----
+    "q_substring_excise" -> ((s, d) =>
+      Dedup.substringDedupText(T(s, d, "documents"), "doc_id", "text",
+          win = 30)
+        // n_chars/kept_chars are the op's own UTF-16 counts (r13);
+        // the oracle's length() counts code points — identical here
+        // because the corpus is ASCII/BMP (the unit-system caveat is
+        // documented on substringDedupText and pinned by spec)
+        .select(col("doc_id"), col("n_chars"), col("n_spans"),
+          col("dup_chars"), col("kept_chars"),
+          md5(col("text_dedup").cast("binary")).as("dedup_md5"))
+        .orderBy("doc_id")),
+
+    // ---- clusters over spanning edges of the shares-a-retained-
+    //      shingle graph (ngram star mode, the sf1 blowup lever): the
+    //      oracle recomputes the transitive closure over the FULL
+    //      all-pairs share-a-shingle graph — equality proves spanning
+    //      emission preserved every component ----
+    "q_ngram_star_clusters" -> ((s, d) =>
+      Dedup.clusters(
+        Dedup.ngramShingleEdges(T(s, d, "documents"), "doc_id", "text",
+          k = 3, maxShingleDf = 1000))
+        .orderBy("doc")))
+
+  val oracle: Map[String, String] = Map(
+
+    // the full chain, stage formulas identical to the individually-
+    // gated oracles (q_clean / q_quality_gate / q_dedup_fuzzy /
+    // q_decontam / q_mixture / q_token_budget / q_pack /
+    // q_shuffle_order / q_chunk_sliding), re-rooted on each previous
+    // stage's CTE instead of the raw table; the cl..bud spine is the
+    // shared E2eCte (also the q_pipeline_funnel oracle's spine)
+    "q_pipeline_e2e" ->
+      ("WITH RECURSIVE " + E2eCte + """,
          pk AS (SELECT doc_id,
                   CAST(floor((cum2 - n_tokens) / 512.0) AS BIGINT)
                     AS chunk_id,
@@ -268,7 +299,7 @@ object PipelineQueries5 {
          FROM sw s2 JOIN bud b USING (doc_id) JOIN pk USING (doc_id)
            JOIN sk USING (doc_id)
          WHERE start = 0 OR len(s2.w[start + 1 : start + 32]) >= 8
-         ORDER BY doc_id, chunk_idx""",
+         ORDER BY doc_id, chunk_idx"""),
 
     // spans re-derived from RAW window text (SubstringSpanCte), then
     // the remainder rebuilt from lag()-gap segments + the tail,

@@ -15,7 +15,8 @@ object SparkEntry {
       Queries5.all ++ Queries6.all ++ Queries7.all ++ Queries8.all ++
       Queries9.all ++ Queries10.all ++ Queries11.all ++
       PipelineQueries.all ++ PipelineQueries2.all ++ PipelineQueries3.all ++
-      PipelineQueries4.all ++ PipelineQueries5.all ++ StreamQueries.all
+      PipelineQueries4.all ++ PipelineQueries5.all ++
+      PipelineQueries6.all ++ StreamQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
       Queries11.oracle ++
       PipelineQueries.oracle ++ PipelineQueries2.oracle ++
       PipelineQueries3.oracle ++ PipelineQueries4.oracle ++
-      PipelineQueries5.oracle ++ StreamQueries.oracle
+      PipelineQueries5.oracle ++ PipelineQueries6.oracle ++
+      StreamQueries.oracle
 }

@@ -796,4 +796,45 @@ object Curation {
     }
     ranks.df.select(col("node"), col("rank"))
   }
+
+  /** Funnel/lineage report over a composed pipeline's stage boundaries:
+    * one row per stage — (stage_idx, stage, rows_in, rows_out,
+    * dropped) — where `rows_in` is the previous stage's survivor count
+    * (the first stage reports itself as its own input, dropped = 0).
+    * This is the per-stage audit a production curation run needs: what
+    * did the quality gate / dedup / decontamination / budget each drop?
+    *
+    * Each count is one `count()` job over the stage's survivor frame,
+    * run IN ORDER — so when the caller persists the stage boundaries
+    * (as any sane composition already does; see q_pipeline_e2e's
+    * stage-boundary materialization note), counting stage i warms
+    * exactly the cache stage i+1 reads, and every boundary is evaluated
+    * once. At 100 TB the boundaries are storage writes and these counts
+    * come free from the writes' row-count metrics; this helper is the
+    * single-plan equivalent. A stage that EXPANDS rows (explode,
+    * windowing) reports negative `dropped` — the report is a ledger,
+    * not a monotonicity assertion. */
+  def funnelReport(stages: Seq[(String, DataFrame)]): DataFrame = {
+    require(stages.nonEmpty, "funnelReport needs at least one stage")
+    val spark = stages.head._2.sparkSession
+    val counts = stages.map { case (name, f) => (name, f.count()) }
+    val rows = counts.zipWithIndex.map { case ((name, c), i) =>
+      val in = if (i == 0) c else counts(i - 1)._2
+      org.apache.spark.sql.Row(i, name, in, c, in - c)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), FunnelSchema)
+  }
+
+  /** Output schema of [[funnelReport]] (and of the reason rows
+    * q_pipeline_funnel appends to it). */
+  val FunnelSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("stage_idx", IntegerType, nullable = false),
+      StructField("stage", StringType, nullable = false),
+      StructField("rows_in", LongType, nullable = false),
+      StructField("rows_out", LongType, nullable = false),
+      StructField("dropped", LongType, nullable = false)))
+  }
 }

@@ -54,7 +54,9 @@ object PlanAudit {
     "q_quantize_int8" -> "int8 quantization: pure codegen transform over the scan, zero shuffle before the presentation sort",
     "q_substring_dedup" -> "substring-span dedup: the rolling-hash explode appears ONCE (count-over-(h1,h2) window, no dup-agg/semi-join pair), then the per-doc span merge",
     "q_dedup_clusters_star" -> "spanning-edge (path-per-bucket) LSH emission: same single-shuffle flatMapGroups shape as all-pairs, output linear in posting volume, identical components",
-    "q_pipeline_e2e" -> "9-stage pipeline composition — the builder persists the three survivor frames (consumer fan-out would otherwise re-evaluate upstream combinatorially), materializes the ~100-row result eagerly, and RELEASES the caches; the returned plan is therefore the local result scan — the composed plan itself is documented in SCALE.md 'Pipeline composition'")
+    "q_pipeline_e2e" -> "9-stage pipeline composition — the builder persists the three survivor frames (consumer fan-out would otherwise re-evaluate upstream combinatorially), materializes the ~100-row result eagerly, and RELEASES the caches; the returned plan is therefore the local result scan — the composed plan itself is documented in SCALE.md 'Pipeline composition'",
+    "q_pipeline_funnel" -> "per-stage funnel over the e2e chain: each stage boundary is one count() over its persisted survivor frame (counts run in order, warming exactly the cache the next stage reads); the returned plan is the local report scan — at 100 TB the counts come free from stage-boundary storage-write metrics",
+    "q_pipeline_semantic" -> "semantic-leg composition (SemDeDup -> semantic decontam -> int8 quantize -> dequantized top-3): zero-shuffle literal-centroid assignment + one cluster-keyed pair shuffle + literal bench matrix + broadcast query cross join, boundaries persisted and released; the returned plan is the local result scan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"

@@ -181,6 +181,26 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(out(2).getDouble(5) - 1.0) < 1e-12)
   }
 
+  test("funnelReport: per-stage rows_in chains to the previous stage's " +
+    "rows_out; first stage is its own input; expanding stages go negative") {
+    val base = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val filtered = base.filter(col("id") <= 3)
+    val exploded = filtered.withColumn("c",
+      explode(array(lit(1), lit(2)))).drop("c")
+    val out = Curation.funnelReport(Seq(
+        "input" -> base, "gate" -> filtered, "windows" -> exploded))
+      .orderBy("stage_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0, "input", 5L, 5L, 0L),
+      (1, "gate", 5L, 3L, 2L),
+      (2, "windows", 3L, 6L, -3L))) // expansion: dropped is a ledger
+    intercept[IllegalArgumentException] {
+      Curation.funnelReport(Seq.empty)
+    }
+  }
+
   test("packGreedy lays docs head-to-tail and assigns start chunk") {
     val df = Seq((1L, 300), (2L, 300), (3L, 100), (4L, 50))
       .toDF("doc_id", "n_tok")
