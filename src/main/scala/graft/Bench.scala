@@ -182,9 +182,21 @@ object Bench {
       }
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // shuffle width defaults to the core count (right at sf0.1, the
+    // driver's scale) but is independently overridable: at sf10 the
+    // sort/exchange-heavy rows want ~4-8x more partitions than cores
+    // so spills stay bounded (see BASELINE.md sf10 notes)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // AQE repartitioning experiment knob (sf10 investigation): start
+    // shuffles at N partitions and let AQE coalesce small ones back —
+    // the production posture for inputs that outgrow a fixed width
+    val initPartNum = sys.env.get("SPARK_GRAFT_INIT_PARTITIONS")
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
+    val builder = initPartNum.fold(builder0)(n => builder0
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
+    val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

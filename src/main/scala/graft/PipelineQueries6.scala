@@ -24,8 +24,13 @@ object PipelineQueries6 {
       val ch = PipelineQueries5.e2eChain(s, d)
       // boundaries counted here that the chain itself doesn't persist:
       // funnelReport counts IN ORDER, so each persist is materialized
-      // exactly when the next stage starts reading it
-      val extra = Seq(ch.surv, ch.corpus, ch.mixed).map(_.persist())
+      // exactly when the next stage starts reading it. ch.gate is
+      // persisted too — the gopher_gate count fills its cache, so the
+      // reason-tally aggregate below reads the cache instead of
+      // re-evaluating the gate subtree (the most expensive stage) from
+      // the raw scan
+      val extra = Seq(ch.gate, ch.surv, ch.corpus, ch.mixed)
+        .map(_.persist())
       try {
         val funnel = Curation.funnelReport(Seq(
           "input" -> ch.docs,
@@ -36,27 +41,25 @@ object PipelineQueries6 {
           "decontaminate" -> ch.dec,
           "mixture" -> ch.mixed,
           "token_budget" -> ch.bud)).collect().toIndexedSeq
-        // per-reason gate tallies from the gate frame's own metric
-        // columns — thresholds mirror the e2eChain gopherFilter args.
+        // per-reason gate tallies straight from gopherFilter's own
+        // fail_* flag columns — the thresholds are stated ONCE, inside
+        // the gate (coalesce: an empty corpus sums to null, and the
+        // report must emit zero-count rows, not NPE).
         // rows_out = docs that SURVIVE the reason alone, so
         // rows_in - rows_out = dropped stays the row invariant.
+        val reasons = Seq("fail_min_words", "fail_max_words",
+          "fail_word_len", "fail_stop_frac",
+          "fail_dup_words", "fail_top_bigram")
         val g = ch.gate.agg(
-          sum(when(col("n_tokens") < 30, 1L).otherwise(0L)),
-          sum(when(col("n_tokens") > 90, 1L).otherwise(0L)),
-          sum(when(col("mean_word_len") < 3.0 ||
-            col("mean_word_len") > 4.6, 1L).otherwise(0L)),
-          sum(when(col("stop_frac") < 0.05, 1L).otherwise(0L)),
-          sum(when(col("dup_word_frac") > 0.6, 1L).otherwise(0L)),
-          sum(when(col("top_bigram_frac") > 0.2, 1L).otherwise(0L)))
+          coalesce(sum(col(reasons.head).cast("long")), lit(0L)),
+          reasons.tail.map(n =>
+            coalesce(sum(col(n).cast("long")), lit(0L))): _*)
           .collect()(0)
         val gateIn = funnel.find(_.getString(1) == "gopher_gate").get
           .getLong(2)
-        val reasons = Seq("gate_fail_min_words", "gate_fail_max_words",
-          "gate_fail_word_len", "gate_fail_stop_frac",
-          "gate_fail_dup_words", "gate_fail_top_bigram")
         val reasonRows = reasons.zipWithIndex.map { case (name, j) =>
           val trips = g.getLong(j)
-          org.apache.spark.sql.Row(10 + j, name, gateIn,
+          org.apache.spark.sql.Row(10 + j, s"gate_$name", gateIn,
             gateIn - trips, trips)
         }
         s.createDataFrame(

@@ -562,7 +562,10 @@ object Curation {
     * its own flag plus an overall `pass`. Everything except the bigram
     * metric is pure codegen over the scan; the one shuffle is
     * repetitionMetrics' (doc, gram) aggregate. Emits per doc: the five
-    * metrics, `n_flags` (rules tripped) and `pass`. */
+    * metrics, `n_flags` (rules tripped), `pass`, and (r13) the six
+    * per-rule boolean flags `fail_min_words .. fail_top_bigram` — so
+    * funnel/audit consumers tally drop reasons without re-stating the
+    * thresholds. */
   def gopherFilter(df: DataFrame, id: String, text: String,
                    minWords: Int = 50, maxWords: Int = 100000,
                    wordLenBand: (Double, Double) = (3.0, 10.0),
@@ -572,19 +575,31 @@ object Curation {
     val m = df.select(col(id),
       TextAnalysis.meanWordLen(col(text)).as("mean_word_len"),
       TextAnalysis.stopwordRatio(col(text), TextAnalysis.EnStops).as("stop_frac"))
-    val flags = Seq[Column](
-      col("n_tokens") < minWords,
-      col("n_tokens") > maxWords,
-      col("mean_word_len") < wordLenBand._1 ||
-        col("mean_word_len") > wordLenBand._2,
-      col("stop_frac") < minStopFrac,
-      col("dup_word_frac") > maxDupWordFrac,
-      col("top_bigram_frac") > maxTopBigramFrac)
+    // per-rule flags ride the output (r13) so a funnel/audit consumer
+    // can tally drop reasons without re-stating the thresholds — the
+    // thresholds live HERE and nowhere else on the Spark side
+    val flags = Seq[(String, Column)](
+      "fail_min_words" -> (col("n_tokens") < minWords),
+      "fail_max_words" -> (col("n_tokens") > maxWords),
+      "fail_word_len" -> (col("mean_word_len") < wordLenBand._1 ||
+        col("mean_word_len") > wordLenBand._2),
+      "fail_stop_frac" -> (col("stop_frac") < minStopFrac),
+      "fail_dup_words" -> (col("dup_word_frac") > maxDupWordFrac),
+      "fail_top_bigram" -> (col("top_bigram_frac") > maxTopBigramFrac))
     m.join(repetitionMetrics(df, id, text), Seq(id))
+      .select(Seq(col(id), col("n_tokens"), col("mean_word_len"),
+        col("stop_frac"), col("dup_word_frac"), col("top_bigram_frac"),
+        flags.map(_._2.cast("int")).reduce(_ + _).as("n_flags")) ++
+        flags.map { case (n, c) => c.as(n) }: _*)
+      // flag columns come AFTER pass so existing positional consumers
+      // (q_quality_gate, CurationSpec) keep their indices
+      .withColumn("pass", col("n_flags") === 0)
       .select(col(id), col("n_tokens"), col("mean_word_len"),
         col("stop_frac"), col("dup_word_frac"), col("top_bigram_frac"),
-        flags.map(_.cast("int")).reduce(_ + _).as("n_flags"))
-      .withColumn("pass", col("n_flags") === 0)
+        col("n_flags"), col("pass"),
+        col("fail_min_words"), col("fail_max_words"),
+        col("fail_word_len"), col("fail_stop_frac"),
+        col("fail_dup_words"), col("fail_top_bigram"))
   }
 
   // ---------------------------------------------------------------
