@@ -24,13 +24,22 @@ object PipelineQueries5 {
       bench: DataFrame, dec: DataFrame, mixed: DataFrame, bud: DataFrame,
       caches: Seq[DataFrame])
 
-  private[graft] def e2eChain(s: SparkSession, d: String): E2eChain = {
+  /** `persistGate = true` caches the gate frame BEFORE `gated` is
+    * built — Spark compiles an InMemoryRelation's child plan eagerly
+    * at persist() time, so a persist issued after `gated` exists can
+    * never be referenced by gated's cached plan (the gate subtree
+    * would stay inlined and the cache would never fill from counting
+    * gated). The funnel row needs the gate cache (its reason tally
+    * re-reads the gate frame); q_pipeline_e2e does not. */
+  private[graft] def e2eChain(s: SparkSession, d: String,
+                              persistGate: Boolean = false): E2eChain = {
     val docs = T(s, d, "documents")
     val cleaned = docs.select(col("doc_id"), col("lang"), col("source"),
       Curation.cleanText(col("text")).as("t"))
-    val gate = Curation.gopherFilter(cleaned, "doc_id", "t",
+    val gate0 = Curation.gopherFilter(cleaned, "doc_id", "t",
       minWords = 30, maxWords = 90, wordLenBand = (3.0, 4.6),
       minStopFrac = 0.05, maxDupWordFrac = 0.6, maxTopBigramFrac = 0.2)
+    val gate = if (persistGate) gate0.persist() else gate0
     // STAGE-BOUNDARY MATERIALIZATION — the composition lesson this
     // chain exists to encode: each survivor frame below feeds TWO OR
     // MORE consumers (gated -> fuzzy + semi-join + downstream;
@@ -62,7 +71,9 @@ object PipelineQueries5 {
     val bud = Curation.tokenBudget(mixed, "doc_id", "lang",
       "n_tokens", budget = 500L).persist()
     E2eChain(docs, cleaned, gate, gated, surv, corpus, bench, dec,
-      mixed, bud, caches = Seq(gated, dec, bud))
+      mixed, bud,
+      caches = (if (persistGate) Seq(gate) else Seq.empty) ++
+        Seq(gated, dec, bud))
   }
 
   /** The cl..bud CTE spine of the e2e oracle — every stage formula

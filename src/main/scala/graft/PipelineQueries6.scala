@@ -21,16 +21,16 @@ object PipelineQueries6 {
     //      oracle uses, so each stage's survivor count is verified
     //      independently of the Spark chain ----
     "q_pipeline_funnel" -> ((s, d) => {
-      val ch = PipelineQueries5.e2eChain(s, d)
+      // persistGate: the chain caches the gate frame BEFORE building
+      // gated (persist ordering is load-bearing — see e2eChain's
+      // scaladoc), so the gopher_gate count fills the gate cache and
+      // the reason-tally aggregate below reads it instead of
+      // re-evaluating the gate subtree (the most expensive stage)
+      val ch = PipelineQueries5.e2eChain(s, d, persistGate = true)
       // boundaries counted here that the chain itself doesn't persist:
       // funnelReport counts IN ORDER, so each persist is materialized
-      // exactly when the next stage starts reading it. ch.gate is
-      // persisted too — the gopher_gate count fills its cache, so the
-      // reason-tally aggregate below reads the cache instead of
-      // re-evaluating the gate subtree (the most expensive stage) from
-      // the raw scan
-      val extra = Seq(ch.gate, ch.surv, ch.corpus, ch.mixed)
-        .map(_.persist())
+      // exactly when the next stage starts reading it
+      val extra = Seq(ch.surv, ch.corpus, ch.mixed).map(_.persist())
       try {
         val funnel = Curation.funnelReport(Seq(
           "input" -> ch.docs,
@@ -47,9 +47,7 @@ object PipelineQueries6 {
         // report must emit zero-count rows, not NPE).
         // rows_out = docs that SURVIVE the reason alone, so
         // rows_in - rows_out = dropped stays the row invariant.
-        val reasons = Seq("fail_min_words", "fail_max_words",
-          "fail_word_len", "fail_stop_frac",
-          "fail_dup_words", "fail_top_bigram")
+        val reasons = Curation.GateReasons
         val g = ch.gate.agg(
           coalesce(sum(col(reasons.head).cast("long")), lit(0L)),
           reasons.tail.map(n =>

@@ -577,15 +577,17 @@ object Curation {
       TextAnalysis.stopwordRatio(col(text), TextAnalysis.EnStops).as("stop_frac"))
     // per-rule flags ride the output (r13) so a funnel/audit consumer
     // can tally drop reasons without re-stating the thresholds — the
-    // thresholds live HERE and nowhere else on the Spark side
-    val flags = Seq[(String, Column)](
-      "fail_min_words" -> (col("n_tokens") < minWords),
-      "fail_max_words" -> (col("n_tokens") > maxWords),
-      "fail_word_len" -> (col("mean_word_len") < wordLenBand._1 ||
-        col("mean_word_len") > wordLenBand._2),
-      "fail_stop_frac" -> (col("stop_frac") < minStopFrac),
-      "fail_dup_words" -> (col("dup_word_frac") > maxDupWordFrac),
-      "fail_top_bigram" -> (col("top_bigram_frac") > maxTopBigramFrac))
+    // thresholds live HERE and nowhere else on the Spark side; the
+    // flag NAMES are the single-sourced [[GateReasons]] list
+    val conds = Seq[Column](
+      col("n_tokens") < minWords,
+      col("n_tokens") > maxWords,
+      col("mean_word_len") < wordLenBand._1 ||
+        col("mean_word_len") > wordLenBand._2,
+      col("stop_frac") < minStopFrac,
+      col("dup_word_frac") > maxDupWordFrac,
+      col("top_bigram_frac") > maxTopBigramFrac)
+    val flags = GateReasons.zip(conds)
     m.join(repetitionMetrics(df, id, text), Seq(id))
       .select(Seq(col(id), col("n_tokens"), col("mean_word_len"),
         col("stop_frac"), col("dup_word_frac"), col("top_bigram_frac"),
@@ -594,13 +596,18 @@ object Curation {
       // flag columns come AFTER pass so existing positional consumers
       // (q_quality_gate, CurationSpec) keep their indices
       .withColumn("pass", col("n_flags") === 0)
-      .select(col(id), col("n_tokens"), col("mean_word_len"),
+      .select(Seq(col(id), col("n_tokens"), col("mean_word_len"),
         col("stop_frac"), col("dup_word_frac"), col("top_bigram_frac"),
-        col("n_flags"), col("pass"),
-        col("fail_min_words"), col("fail_max_words"),
-        col("fail_word_len"), col("fail_stop_frac"),
-        col("fail_dup_words"), col("fail_top_bigram"))
+        col("n_flags"), col("pass")) ++ GateReasons.map(col): _*)
   }
+
+  /** The per-rule flag column names [[gopherFilter]] emits, in rule
+    * order — funnel/audit consumers iterate THIS list instead of
+    * hand-copying the names (order is load-bearing: the funnel oracle
+    * maps stage_idx 10..15 to these positions). */
+  val GateReasons: Seq[String] = Seq(
+    "fail_min_words", "fail_max_words", "fail_word_len",
+    "fail_stop_frac", "fail_dup_words", "fail_top_bigram")
 
   // ---------------------------------------------------------------
   // Greedy sequence packing

@@ -179,6 +179,20 @@ class CurationSpec extends SparkSpec {
     // doc 3: dup_word_frac = 1 - 1/4 = 0.75, top bigram 3/3 = 1.0
     assert(math.abs(out(2).getDouble(4) - 0.75) < 1e-12)
     assert(math.abs(out(2).getDouble(5) - 1.0) < 1e-12)
+    // per-rule flags (r13): EACH rule's flag carries its own verdict —
+    // a swap of two flag conditions keeps n_flags/pass green, so pin
+    // the per-doc flag vectors against Curation.GateReasons order
+    def flagsOf(r: org.apache.spark.sql.Row): Seq[Boolean] =
+      Curation.GateReasons.map(n => r.getBoolean(r.fieldIndex(n)))
+    assert(flagsOf(out(0)) ==
+      Seq(false, false, false, false, false, false))
+    // doc 2 ("the cat"): min_words + top_bigram (its one bigram is
+    // 100% of bigrams > 0.9 cap)
+    assert(flagsOf(out(1)) ==
+      Seq(true, false, false, false, false, true))
+    // doc 3 ("the the the the"): dup_words + top_bigram
+    assert(flagsOf(out(2)) ==
+      Seq(false, false, false, false, true, true))
   }
 
   test("funnelReport: per-stage rows_in chains to the previous stage's " +
