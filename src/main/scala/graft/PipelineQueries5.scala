@@ -24,22 +24,26 @@ object PipelineQueries5 {
       bench: DataFrame, dec: DataFrame, mixed: DataFrame, bud: DataFrame,
       caches: Seq[DataFrame])
 
-  /** `persistGate = true` caches the gate frame BEFORE `gated` is
-    * built — Spark compiles an InMemoryRelation's child plan eagerly
-    * at persist() time, so a persist issued after `gated` exists can
-    * never be referenced by gated's cached plan (the gate subtree
-    * would stay inlined and the cache would never fill from counting
-    * gated). The funnel row needs the gate cache (its reason tally
-    * re-reads the gate frame); q_pipeline_e2e does not. */
+  /** `persistBoundaries = true` caches EVERY stage boundary, each one
+    * BEFORE its consumer is built — Spark compiles an
+    * InMemoryRelation's child plan eagerly at persist() time, so a
+    * persist issued after a dependent frame exists can never be
+    * referenced by that dependent's cached plan (the subtree would
+    * stay inlined and the cache would never fill from materializing
+    * the dependent). The funnel row counts every boundary in build
+    * order, so build-order persists make each boundary evaluate
+    * exactly once; q_pipeline_e2e keeps the minimal three-cache set
+    * its consumers need. */
   private[graft] def e2eChain(s: SparkSession, d: String,
-                              persistGate: Boolean = false): E2eChain = {
+                              persistBoundaries: Boolean = false): E2eChain = {
+    def pb(df: DataFrame): DataFrame =
+      if (persistBoundaries) df.persist() else df
     val docs = T(s, d, "documents")
     val cleaned = docs.select(col("doc_id"), col("lang"), col("source"),
       Curation.cleanText(col("text")).as("t"))
-    val gate0 = Curation.gopherFilter(cleaned, "doc_id", "t",
+    val gate = pb(Curation.gopherFilter(cleaned, "doc_id", "t",
       minWords = 30, maxWords = 90, wordLenBand = (3.0, 4.6),
-      minStopFrac = 0.05, maxDupWordFrac = 0.6, maxTopBigramFrac = 0.2)
-    val gate = if (persistGate) gate0.persist() else gate0
+      minStopFrac = 0.05, maxDupWordFrac = 0.6, maxTopBigramFrac = 0.2))
     // STAGE-BOUNDARY MATERIALIZATION — the composition lesson this
     // chain exists to encode: each survivor frame below feeds TWO OR
     // MORE consumers (gated -> fuzzy + semi-join + downstream;
@@ -54,11 +58,11 @@ object PipelineQueries5 {
     val gated = cleaned.join(
       gate.filter(col("pass")).select(col("doc_id"), col("n_tokens")),
       Seq("doc_id")).persist()
-    val surv = gated.join(
+    val surv = pb(gated.join(
       Dedup.fuzzy(gated, "doc_id", "t", k = 5, bands = 4,
         rowsPerBand = 2).filter(col("keep")).select("doc_id"),
-      Seq("doc_id"), "left_semi")
-    val corpus = surv.filter(col("source") =!= "src0")
+      Seq("doc_id"), "left_semi"))
+    val corpus = pb(surv.filter(col("source") =!= "src0"))
     val bench = cleaned.filter(col("source") === "src0")
     val dec = corpus.join(
       Curation.decontaminate(corpus, bench, "doc_id", "t", k = 5)
@@ -66,14 +70,14 @@ object PipelineQueries5 {
       Seq("doc_id"), "left_semi").persist()
     val tier = when(col("doc_id") % 10 < 5, "big")
       .when(col("doc_id") % 10 < 8, "mid").otherwise("small")
-    val mixed = Curation.mixtureSample(dec.withColumn("tier", tier),
-      "doc_id", "tier", alpha = 0.5)
+    val mixed = pb(Curation.mixtureSample(dec.withColumn("tier", tier),
+      "doc_id", "tier", alpha = 0.5))
     val bud = Curation.tokenBudget(mixed, "doc_id", "lang",
       "n_tokens", budget = 500L).persist()
     E2eChain(docs, cleaned, gate, gated, surv, corpus, bench, dec,
       mixed, bud,
-      caches = (if (persistGate) Seq(gate) else Seq.empty) ++
-        Seq(gated, dec, bud))
+      caches = (if (persistBoundaries) Seq(gate, surv, corpus, mixed)
+        else Seq.empty) ++ Seq(gated, dec, bud))
   }
 
   /** The cl..bud CTE spine of the e2e oracle — every stage formula
@@ -204,6 +208,11 @@ object PipelineQueries5 {
       // e2eChain builder (also the q_pipeline_funnel spine); the
       // composition rationale lives on the builder
       val ch = e2eChain(s, d)
+      // EVERYTHING after the chain builds inside the try: a plan-
+      // construction failure (column collision — the failure class
+      // this row exists to catch) must also release the caches, not
+      // just a failed collect
+      try {
       val bud = ch.bud
       val pk = Curation.packGreedy(
           bud.select(col("doc_id"), col("n_tokens")),
@@ -233,19 +242,16 @@ object PipelineQueries5 {
       // of materializing an unbounded result on the driver (this row is
       // a verification harness; a production pipeline writes each stage
       // to storage instead of collecting anything)
-      val rows =
-        try {
-          val r = out.limit(100001).collect().toIndexedSeq
-          require(r.length <= 100000,
-            "q_pipeline_e2e: output exceeds the 100k-row verification " +
-              "cap — run the stages with per-stage storage writes instead")
-          r
-        } finally
-          // release even when the cap (or the collect) throws — a
-          // failed row must not leak cached blocks into the rest of
-          // the shared Verify/Bench session
-          ch.caches.foreach(_.unpersist(blocking = false))
+      val rows = out.limit(100001).collect().toIndexedSeq
+      require(rows.length <= 100000,
+        "q_pipeline_e2e: output exceeds the 100k-row verification " +
+          "cap — run the stages with per-stage storage writes instead")
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+      } finally
+        // release on EVERY exit — construction failure, cap trip, or
+        // failed collect must not leak cached blocks into the rest of
+        // the shared Verify/Bench session
+        ch.caches.foreach(_.unpersist(blocking = false))
     }),
 
     // ---- substring-dedup APPLIED: excise every duplicated >=30-char

@@ -21,16 +21,12 @@ object PipelineQueries6 {
     //      oracle uses, so each stage's survivor count is verified
     //      independently of the Spark chain ----
     "q_pipeline_funnel" -> ((s, d) => {
-      // persistGate: the chain caches the gate frame BEFORE building
-      // gated (persist ordering is load-bearing — see e2eChain's
-      // scaladoc), so the gopher_gate count fills the gate cache and
-      // the reason-tally aggregate below reads it instead of
-      // re-evaluating the gate subtree (the most expensive stage)
-      val ch = PipelineQueries5.e2eChain(s, d, persistGate = true)
-      // boundaries counted here that the chain itself doesn't persist:
-      // funnelReport counts IN ORDER, so each persist is materialized
-      // exactly when the next stage starts reading it
-      val extra = Seq(ch.surv, ch.corpus, ch.mixed).map(_.persist())
+      // persistBoundaries: the chain caches EVERY boundary at its own
+      // build point (persist ordering is load-bearing — see e2eChain's
+      // scaladoc), so funnelReport's in-order counts materialize each
+      // boundary exactly once and the reason tally reads the gate
+      // cache instead of re-evaluating the gate subtree
+      val ch = PipelineQueries5.e2eChain(s, d, persistBoundaries = true)
       try {
         val funnel = Curation.funnelReport(Seq(
           "input" -> ch.docs,
@@ -65,7 +61,7 @@ object PipelineQueries6 {
             Curation.FunnelSchema)
           .orderBy("stage_idx")
       } finally
-        (ch.caches ++ extra).foreach(_.unpersist(blocking = false))
+        ch.caches.foreach(_.unpersist(blocking = false))
     }),
 
     // ---- SEMANTIC-leg composition (VERDICT r12 item 6): the
