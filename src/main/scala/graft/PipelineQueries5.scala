@@ -36,11 +36,21 @@ object PipelineQueries5 {
     * its consumers need. */
   private[graft] def e2eChain(s: SparkSession, d: String,
                               persistBoundaries: Boolean = false): E2eChain = {
+    // every persist registers here the moment it is issued, so a
+    // construction failure INSIDE the builder (analysis is eager — a
+    // column collision in a mid-chain stage throws before the caller's
+    // try exists) unpersists whatever was already registered instead
+    // of leaking cache entries into the shared ~200-query session
+    val registered = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def reg(df: DataFrame): DataFrame = {
+      df.persist(); registered += df; df
+    }
     def pb(df: DataFrame): DataFrame =
-      if (persistBoundaries) df.persist() else df
+      if (persistBoundaries) reg(df) else df
+    try {
     val docs = T(s, d, "documents")
-    val cleaned = docs.select(col("doc_id"), col("lang"), col("source"),
-      Curation.cleanText(col("text")).as("t"))
+    val cleaned = pb(docs.select(col("doc_id"), col("lang"), col("source"),
+      Curation.cleanText(col("text")).as("t")))
     val gate = pb(Curation.gopherFilter(cleaned, "doc_id", "t",
       minWords = 30, maxWords = 90, wordLenBand = (3.0, 4.6),
       minStopFrac = 0.05, maxDupWordFrac = 0.6, maxTopBigramFrac = 0.2))
@@ -55,29 +65,31 @@ object PipelineQueries5 {
     // A production 100 TB pipeline writes each stage's survivors to
     // storage between stages; persist() of the narrow survivor frame
     // is the single-plan equivalent.
-    val gated = cleaned.join(
+    val gated = reg(cleaned.join(
       gate.filter(col("pass")).select(col("doc_id"), col("n_tokens")),
-      Seq("doc_id")).persist()
+      Seq("doc_id")))
     val surv = pb(gated.join(
       Dedup.fuzzy(gated, "doc_id", "t", k = 5, bands = 4,
         rowsPerBand = 2).filter(col("keep")).select("doc_id"),
       Seq("doc_id"), "left_semi"))
     val corpus = pb(surv.filter(col("source") =!= "src0"))
     val bench = cleaned.filter(col("source") === "src0")
-    val dec = corpus.join(
+    val dec = reg(corpus.join(
       Curation.decontaminate(corpus, bench, "doc_id", "t", k = 5)
         .filter(!col("contaminated")).select("doc_id"),
-      Seq("doc_id"), "left_semi").persist()
+      Seq("doc_id"), "left_semi"))
     val tier = when(col("doc_id") % 10 < 5, "big")
       .when(col("doc_id") % 10 < 8, "mid").otherwise("small")
     val mixed = pb(Curation.mixtureSample(dec.withColumn("tier", tier),
       "doc_id", "tier", alpha = 0.5))
-    val bud = Curation.tokenBudget(mixed, "doc_id", "lang",
-      "n_tokens", budget = 500L).persist()
+    val bud = reg(Curation.tokenBudget(mixed, "doc_id", "lang",
+      "n_tokens", budget = 500L))
     E2eChain(docs, cleaned, gate, gated, surv, corpus, bench, dec,
-      mixed, bud,
-      caches = (if (persistBoundaries) Seq(gate, surv, corpus, mixed)
-        else Seq.empty) ++ Seq(gated, dec, bud))
+      mixed, bud, caches = registered.toSeq)
+    } catch { case t: Throwable =>
+      registered.foreach(_.unpersist(blocking = false))
+      throw t
+    }
   }
 
   /** The cl..bud CTE spine of the e2e oracle — every stage formula
