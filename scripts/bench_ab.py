@@ -6,9 +6,11 @@ Methodology (validated on two same-tree runs, round 11):
 - per-query statistic: MIN of the interleaved reps (noise-robust;
   reps are round-robin so a slow ambient stretch cannot poison all of
   one query's reps);
-- cross-run normalization: divide by the run's median CALIBRATION time
-  (a fixed lineitem shuffle+agg run once per cycle) — cancels uniform
-  ambient speed differences between runs/machines;
+- cross-run normalization: the median of PER-SHAPE calibration ratios
+  (r14: three probe shapes — shuffle+agg, distinct, window — run once
+  per cycle; one shape JIT-swinging cannot move the unit), falling back
+  to the single agg probe's median against pre-r14 records — cancels
+  uniform ambient speed differences between runs/machines;
 - gate: >= 95% of rows inside [0.67, 1.5] in calibration units.
   Measured same-tree A/B: 98% inside [0.67,1.5], 89% inside
   [0.77,1.3], 51% inside [0.9,1.1] — whole query families shift
@@ -34,18 +36,42 @@ for name, run in (("A", a), ("B", b)):
               "timing comparison on an errored run is not a gate result")
         bad = True
 
-def norm(run):
-    cal = median(run["calibration"]) if run.get("calibration") else 1.0
+def shape_medians(run):
+    """Per-shape calibration medians (r14 format: >=3 probe shapes)."""
+    probes = run.get("calibration_probes")
+    if not probes:
+        return None
+    return {k: median(v) for k, v in probes.items() if v}
+
+
+def norm(run, cal):
     runs = run.get("runs") or {q: [t] for q, t in run["queries"].items()}
     # drop every query that errored in ANY cycle (its surviving reps
     # would count as a healthy row in the band stats) plus rows with
     # empty/-1.0 marker reps
     errored = set(run.get("errors") or {})
     return {q: min(v) / cal for q, v in runs.items()
-            if q not in errored and v and min(v) > 0}, cal
+            if q not in errored and v and min(v) > 0}
 
-qa, calA = norm(a)
-qb, calB = norm(b)
+
+# Cross-run ambient unit. Preferred (both runs carry the r14 probe
+# record): the MEDIAN OF PER-SHAPE RATIOS — each probe shape's
+# cross-cycle median compared across runs, then the median over shapes,
+# so one shape JIT-swinging >4x within a run (the r13 failure mode that
+# forced the A/B back to raw) cannot move the unit. Legacy: the single
+# agg probe's median, as before.
+pmA, pmB = shape_medians(a), shape_medians(b)
+shared_shapes = sorted(set(pmA or {}) & set(pmB or {}))
+if shared_shapes:
+    amb_shape = median([pmB[k] / pmA[k] for k in shared_shapes])
+    calA, calB = 1.0, amb_shape
+    cal_mode = f"per-shape ({','.join(shared_shapes)})"
+else:
+    calA = median(a["calibration"]) if a.get("calibration") else 1.0
+    calB = median(b["calibration"]) if b.get("calibration") else 1.0
+    cal_mode = "legacy single-probe"
+qa = norm(a, calA)
+qb = norm(b, calB)
 # Self-annotate ambient context (BASELINE.md round-11/12 observation:
 # same-tree sessions 90 minutes apart measured calibration 1.3-1.4x
 # apart; within-run cycles swung 0.20-0.79s). Two flags:
@@ -89,7 +115,8 @@ outside = sorted(((r, q) for q, r in ratios.items() if not lo <= r <= hi),
 pct = 100.0 * len(inside) / len(ratios)
 print(f"rows: {len(ratios)}  inside [{lo},{hi}]: {len(inside)} ({pct:.1f}%)"
       f"  [tight 0.9-1.1: {100.0*tight/len(ratios):.0f}%]")
-print(f"calibration medians: A={calA:.4f}s B={calB:.4f}s (ambient ratio {calB/calA:.3f})")
+print(f"calibration [{cal_mode}]: A={calA:.4f} B={calB:.4f} "
+      f"(ambient ratio {calB/calA:.3f})")
 print(f"raw totals: A={a['value']:.1f}s B={b['value']:.1f}s  "
       f"calibrated: A={a.get('total_calibrated', 0):.1f} B={b.get('total_calibrated', 0):.1f}")
 med = sorted(ratios.values())[len(ratios) // 2]

@@ -133,8 +133,8 @@ object Bench {
 
   /** The 5 hottest sf1 rows, re-run at sf10 (VERDICT r12 item 2) for a
     * SECOND decade of scale evidence — two points make a trend line.
-    * Run with `--sf sf10 --only hot5sf10` (~16 GB input, generated on
-    * first use). */
+    * Run with `--sf sf10 --only hot5sf10` (~1.6 GB of parquet on disk,
+    * several× that decoded; generated on first use). */
   val hot5sf10: Seq[String] = Seq(
     "q_corr_matrix_full", "q_groupby_corr_spearman", "q_pagerank",
     "q_pq_topk", "q_ngram_star_clusters")
@@ -249,23 +249,44 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     require(selected.nonEmpty, "Bench: --only matched no queries")
     val maxReps = selected.map { case (n, _) => repsFor(n) }.max
-    // fixed calibration query: one real shuffle+agg over lineitem,
-    // deliberately DIFFERENT from the warmup's key so no cached state
-    // short-circuits it; ~constant work at a given SF
-    def calibrate(): Double = {
+    // THREE calibration probes of different shape (VERDICT r13 item 8):
+    // the original shuffle+agg, a pure-shuffle distinct, and a
+    // partitioned window — round 13's two closing runs disagreed 1.745x
+    // on the calibration unit because the lone agg probe JIT-swung >4x
+    // within both runs, forcing the A/B back to raw. A per-shape median
+    // with the cross-run ambient taken as the MEDIAN OF PER-SHAPE
+    // RATIOS (bench_ab.py) survives any single shape swinging. The agg
+    // probe stays probe 0 and is emitted as "calibration" unchanged, so
+    // records remain comparable against pre-r14 BENCH files.
+    def calibrate(): Seq[Double] = {
       import org.apache.spark.sql.functions._
-      val t0 = System.nanoTime()
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .groupBy("l_suppkey").agg(sum("l_extendedprice")).count()
-      (System.nanoTime() - t0) / 1e9
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      Seq(
+        timed(spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .groupBy("l_suppkey").agg(sum("l_extendedprice")).count()),
+        timed(spark.read.parquet(s"$sfDir/orders.parquet")
+          .select("o_custkey").distinct().count()),
+        timed {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("ts")
+          spark.read.parquet(s"$sfDir/events.parquet")
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") <= 3).count()
+        })
     }
+    val calProbeNames = Seq("agg", "shuffle", "window")
     val times = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.ArrayBuffer[Double]]()
     selected.foreach { case (n, _) =>
       times(n) = scala.collection.mutable.ArrayBuffer.empty[Double] }
     val calib = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val calProbes = scala.collection.mutable.ArrayBuffer.empty[Seq[Double]]
     for (cycle <- 1 to maxReps) {
-      calib += calibrate()
+      val probes = calibrate()
+      calProbes += probes
+      calib += probes.head // the legacy agg probe keeps its record slot
       spark.catalog.clearCache(); System.gc()
       selected.foreach { case (name, fn) =>
         if (cycle <= repsFor(name) && !errors.contains(name)) {
@@ -293,7 +314,14 @@ object Bench {
         f"calib=${calib.last}%.3fs  postGcHeap=${heapMb}MB")
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    val calMed = median(calib.toSeq)
+    // per-cycle ambient drift factor: each probe shape normalized by its
+    // own cross-cycle median, then the MEDIAN across shapes — one shape
+    // JIT-swinging (the r13 failure mode) moves its own ratio but not
+    // the cycle's factor
+    val probeMed = calProbeNames.indices.map(p =>
+      median(calProbes.map(_(p)).toSeq))
+    val drift = calProbes.map(ps =>
+      median(calProbeNames.indices.map(p => ps(p) / probeMed(p)))).toSeq
     val runs = selected.map { case (name, _) =>
       val ts = times(name).toSeq
       // a failed query reports -1, never its partial wall time: a broken
@@ -303,8 +331,7 @@ object Bench {
         else median(ts)
       // rep i ran in cycle i+1 (reps are contiguous from cycle 1 until
       // completion or first failure) -> normalize by that cycle's drift
-      val calTs = ts.zipWithIndex.map { case (t, i) =>
-        t * calMed / calib(i) }
+      val calTs = ts.zipWithIndex.map { case (t, i) => t / drift(i) }
       val medCal =
         if (errors.contains(name) || ts.isEmpty) -1.0
         else median(calTs)
@@ -330,8 +357,12 @@ object Bench {
     // clean one without seeing the flag (ADVICE r7)
     val rc = if (errors.nonEmpty) 1 else 0
     val calJson = calib.map(c => f"$c%.4f").mkString("[", ",", "]")
+    val calProbesJson = calProbeNames.zipWithIndex.map { case (n, p) =>
+      "\"" + n + "\":" + calProbes.map(ps => f"${ps(p)}%.4f")
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"nerrors":${errors.size},"rc":$rc,"reps":$baseReps,"stress_reps":$stressReps,"aggregation":"median","interleaved":true,"total_calibrated":$totalCal,"calibration":$calJson,"queries":$qs,"queries_calibrated":$qsCal,"runs":$runsJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"nerrors":${errors.size},"rc":$rc,"reps":$baseReps,"stress_reps":$stressReps,"aggregation":"median","interleaved":true,"total_calibrated":$totalCal,"calibration":$calJson,"calibration_probes":$calProbesJson,"queries":$qs,"queries_calibrated":$qsCal,"runs":$runsJson,"errors":$errJson,"sf":"$sfDir"}"""
     // The per-query map is ~100 entries and outgrew the driver's tail
     // capture in round 4 (BENCH_r04.json: parsed null). Emit the full
     // record first (and persist it to BENCH.json for the repo), then the

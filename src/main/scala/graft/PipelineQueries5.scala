@@ -14,15 +14,19 @@ object PipelineQueries5 {
 
   /** Every stage frame of the 9-stage text-leg composition, shared by
     * q_pipeline_e2e (which consumes `bud` downstream) and
-    * q_pipeline_funnel (which counts every boundary). `caches` are the
-    * frames this builder persisted — callers MUST unpersist them in a
-    * finally once their small final result is materialized, or the
-    * blocks leak into the rest of the shared ~200-query session. */
+    * q_pipeline_funnel (which harvests every boundary count). `caches`
+    * are the frames this builder persisted — callers MUST unpersist
+    * them in a finally once their small final result is materialized,
+    * or the blocks leak into the rest of the shared ~200-query session.
+    * `obs` (observe mode only) maps each boundary's stage name to its
+    * [[org.apache.spark.sql.Observation]]; `gate_reasons` additionally
+    * carries the six [[Curation.GateReasons]] trip sums. */
   private[graft] final case class E2eChain(
       docs: DataFrame, cleaned: DataFrame, gate: DataFrame,
       gated: DataFrame, surv: DataFrame, corpus: DataFrame,
       bench: DataFrame, dec: DataFrame, mixed: DataFrame, bud: DataFrame,
-      caches: Seq[DataFrame])
+      caches: Seq[DataFrame],
+      obs: Map[String, org.apache.spark.sql.Observation] = Map.empty)
 
   /** `persistBoundaries = true` caches EVERY stage boundary, each one
     * BEFORE its consumer is built — Spark compiles an
@@ -33,27 +37,66 @@ object PipelineQueries5 {
     * the dependent). The funnel row counts every boundary in build
     * order, so build-order persists make each boundary evaluate
     * exactly once; q_pipeline_e2e keeps the minimal three-cache set
-    * its consumers need. */
+    * its consumers need.
+    *
+    * `observeBoundaries = true` (r14, VERDICT r13 item 3) is the
+    * cheaper funnel form: every boundary gets a `CollectMetrics` node
+    * (`Dataset.observe`) carrying its row count — the gate's also
+    * carries the six per-reason trip sums — and ONLY the frames with
+    * 2+ consumers inside one downstream action are persisted (cleaned,
+    * gated, corpus, dec, mixed; each observe sits BELOW its persist so
+    * the metric fires exactly once, during cache materialization).
+    * A single action on `bud` then evaluates the whole chain once and
+    * every count arrives as a byproduct — the in-plan form of the
+    * "boundary counts come free from storage-write metrics" production
+    * story (PLANS.md), replacing eight count() jobs + an aggregate.
+    * The two modes are mutually exclusive; PipelineSpec pins
+    * observe-harvested == recounted. */
   private[graft] def e2eChain(s: SparkSession, d: String,
-                              persistBoundaries: Boolean = false): E2eChain = {
+                              persistBoundaries: Boolean = false,
+                              observeBoundaries: Boolean = false): E2eChain = {
+    require(!(persistBoundaries && observeBoundaries),
+      "e2eChain: persistBoundaries and observeBoundaries are exclusive " +
+        "funnel modes — pick one")
     // every persist registers here the moment it is issued, so a
     // construction failure INSIDE the builder (analysis is eager — a
     // column collision in a mid-chain stage throws before the caller's
     // try exists) unpersists whatever was already registered instead
     // of leaking cache entries into the shared ~200-query session
     val registered = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val observations =
+      scala.collection.mutable.LinkedHashMap.empty[String, org.apache.spark.sql.Observation]
     def reg(df: DataFrame): DataFrame = {
       df.persist(); registered += df; df
     }
     def pb(df: DataFrame): DataFrame =
       if (persistBoundaries) reg(df) else df
+    // persist set of the observe mode: exactly the frames consumed 2+
+    // times within the single bud action (see scaladoc); single-consumer
+    // boundaries (gate, surv) evaluate once by construction and only
+    // carry their metric node
+    def po(df: DataFrame): DataFrame =
+      if (observeBoundaries) reg(df) else pb(df)
+    def ob(name: String, df: DataFrame,
+           extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame =
+      if (!observeBoundaries) df
+      else {
+        val o = org.apache.spark.sql.Observation(name)
+        observations += name -> o
+        df.observe(o, count(lit(1)).as("rows"), extra: _*)
+      }
     try {
-    val docs = T(s, d, "documents")
-    val cleaned = pb(docs.select(col("doc_id"), col("lang"), col("source"),
-      Curation.cleanText(col("text")).as("t")))
-    val gate = pb(Curation.gopherFilter(cleaned, "doc_id", "t",
-      minWords = 30, maxWords = 90, wordLenBand = (3.0, 4.6),
-      minStopFrac = 0.05, maxDupWordFrac = 0.6, maxTopBigramFrac = 0.2))
+    val docs = ob("input", T(s, d, "documents"))
+    val cleaned = po(ob("clean",
+      docs.select(col("doc_id"), col("lang"), col("source"),
+        Curation.cleanText(col("text")).as("t"))))
+    val gate = pb(ob("gate_reasons",
+      Curation.gopherFilter(cleaned, "doc_id", "t",
+        minWords = 30, maxWords = 90, wordLenBand = (3.0, 4.6),
+        minStopFrac = 0.05, maxDupWordFrac = 0.6, maxTopBigramFrac = 0.2),
+      // an empty corpus sums to null; the funnel must report 0, not NPE
+      extra = Curation.GateReasons.map(n =>
+        coalesce(sum(col(n).cast("long")), lit(0L)).as(n))))
     // STAGE-BOUNDARY MATERIALIZATION — the composition lesson this
     // chain exists to encode: each survivor frame below feeds TWO OR
     // MORE consumers (gated -> fuzzy + semi-join + downstream;
@@ -65,27 +108,28 @@ object PipelineQueries5 {
     // A production 100 TB pipeline writes each stage's survivors to
     // storage between stages; persist() of the narrow survivor frame
     // is the single-plan equivalent.
-    val gated = reg(cleaned.join(
+    val gated = reg(ob("gopher_gate", cleaned.join(
       gate.filter(col("pass")).select(col("doc_id"), col("n_tokens")),
-      Seq("doc_id")))
-    val surv = pb(gated.join(
+      Seq("doc_id"))))
+    val surv = pb(ob("fuzzy_dedup", gated.join(
       Dedup.fuzzy(gated, "doc_id", "t", k = 5, bands = 4,
         rowsPerBand = 2).filter(col("keep")).select("doc_id"),
-      Seq("doc_id"), "left_semi"))
-    val corpus = pb(surv.filter(col("source") =!= "src0"))
+      Seq("doc_id"), "left_semi")))
+    val corpus = po(ob("bench_split", surv.filter(col("source") =!= "src0")))
     val bench = cleaned.filter(col("source") === "src0")
-    val dec = reg(corpus.join(
+    val dec = reg(ob("decontaminate", corpus.join(
       Curation.decontaminate(corpus, bench, "doc_id", "t", k = 5)
         .filter(!col("contaminated")).select("doc_id"),
-      Seq("doc_id"), "left_semi"))
+      Seq("doc_id"), "left_semi")))
     val tier = when(col("doc_id") % 10 < 5, "big")
       .when(col("doc_id") % 10 < 8, "mid").otherwise("small")
-    val mixed = pb(Curation.mixtureSample(dec.withColumn("tier", tier),
-      "doc_id", "tier", alpha = 0.5))
-    val bud = reg(Curation.tokenBudget(mixed, "doc_id", "lang",
-      "n_tokens", budget = 500L))
+    val mixed = po(ob("mixture",
+      Curation.mixtureSample(dec.withColumn("tier", tier),
+        "doc_id", "tier", alpha = 0.5)))
+    val bud = reg(ob("token_budget", Curation.tokenBudget(mixed,
+      "doc_id", "lang", "n_tokens", budget = 500L)))
     E2eChain(docs, cleaned, gate, gated, surv, corpus, bench, dec,
-      mixed, bud, caches = registered.toSeq)
+      mixed, bud, caches = registered.toSeq, obs = observations.toMap)
     } catch { case t: Throwable =>
       registered.foreach(_.unpersist(blocking = false))
       throw t

@@ -10,6 +10,41 @@ import graft.pipeline._
   * as [[PipelineQueries]]. */
 object PipelineQueries6 {
 
+  /** The semantic-leg store shared by q_pipeline_semantic and
+    * q_pipeline_semantic_ann: SemDeDup (k-means + in-cluster cosine,
+    * min-id survivor) -> semantic decontamination vs the vec_id<16
+    * bench matrix -> int8 quantize -> DEQUANTIZED survivor store.
+    * Returns the store plus the persisted frames the caller MUST
+    * unpersist in a finally (same contract as e2eChain's `caches`);
+    * a construction failure after the first persist releases it here.
+    * Boundaries persist because sem feeds decontaminate AND the
+    * survivor semi-join, and deq feeds the query side AND the corpus
+    * side of the downstream search. */
+  private def semanticStore(s: SparkSession, d: String)
+      : (DataFrame, Seq[DataFrame]) = {
+    val emb = graft.engine.Core.normalizeTs(
+      s.read.parquet(s"$d/embeddings.parquet"))
+    val bench = emb.filter(col("vec_id") < 16)
+    val corpus = emb.filter(col("vec_id") >= 16)
+    val sem = corpus.join(
+      Similarity.semDedup(corpus, "vec_id", "embedding",
+        k = 4, iters = 2, tau = 0.4)
+        .filter(col("keep") === 1).select("vec_id"),
+      Seq("vec_id"), "left_semi").persist()
+    try {
+      val dec = sem.join(
+        Similarity.semanticDecontaminate(sem, bench, threshold = 0.4)
+          .filter(!col("contaminated")).select(col("id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      val deq = Similarity.dequantizeInt8(
+        Similarity.quantizeInt8(dec)).persist()
+      (deq, Seq(sem, deq))
+    } catch { case t: Throwable =>
+      sem.unpersist(blocking = false)
+      throw t
+    }
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- pipeline FUNNEL report (VERDICT r12 item 5): one row per
@@ -21,40 +56,31 @@ object PipelineQueries6 {
     //      oracle uses, so each stage's survivor count is verified
     //      independently of the Spark chain ----
     "q_pipeline_funnel" -> ((s, d) => {
-      // persistBoundaries: the chain caches EVERY boundary at its own
-      // build point (persist ordering is load-bearing — see e2eChain's
-      // scaladoc), so funnelReport's in-order counts materialize each
-      // boundary exactly once and the reason tally reads the gate
-      // cache instead of re-evaluating the gate subtree
-      val ch = PipelineQueries5.e2eChain(s, d, persistBoundaries = true)
+      // observe mode (r14, VERDICT r13 item 3): every boundary carries
+      // a CollectMetrics node (gate_reasons also carries the six
+      // per-reason trip sums — thresholds still stated ONCE, inside
+      // gopherFilter; flag names single-sourced in GateReasons), so ONE
+      // action on the final stage evaluates the chain once and every
+      // funnel count arrives as a byproduct — replacing r13's eight
+      // in-order count() jobs + reason aggregate. Harvested counts are
+      // spec-pinned equal to the recounted form (PipelineSpec).
+      val ch = PipelineQueries5.e2eChain(s, d, observeBoundaries = true)
       try {
-        val funnel = Curation.funnelReport(Seq(
-          "input" -> ch.docs,
-          "clean" -> ch.cleaned,
-          "gopher_gate" -> ch.gated,
-          "fuzzy_dedup" -> ch.surv,
-          "bench_split" -> ch.corpus,
-          "decontaminate" -> ch.dec,
-          "mixture" -> ch.mixed,
-          "token_budget" -> ch.bud)).collect().toIndexedSeq
-        // per-reason gate tallies straight from gopherFilter's own
-        // fail_* flag columns — the thresholds are stated ONCE, inside
-        // the gate (coalesce: an empty corpus sums to null, and the
-        // report must emit zero-count rows, not NPE).
+        ch.bud.count() // the ONE action; metrics fire as caches fill
+        def rowsOf(stage: String): Long =
+          ch.obs(stage).get("rows").asInstanceOf[Long]
+        val stages = Seq("input", "clean", "gopher_gate", "fuzzy_dedup",
+          "bench_split", "decontaminate", "mixture", "token_budget")
+        val funnel = Curation.funnelRows(stages.map(st => st -> rowsOf(st)))
         // rows_out = docs that SURVIVE the reason alone, so
         // rows_in - rows_out = dropped stays the row invariant.
-        val reasons = Curation.GateReasons
-        val g = ch.gate.agg(
-          coalesce(sum(col(reasons.head).cast("long")), lit(0L)),
-          reasons.tail.map(n =>
-            coalesce(sum(col(n).cast("long")), lit(0L))): _*)
-          .collect()(0)
-        val gateIn = funnel.find(_.getString(1) == "gopher_gate").get
-          .getLong(2)
-        val reasonRows = reasons.zipWithIndex.map { case (name, j) =>
-          val trips = g.getLong(j)
-          org.apache.spark.sql.Row(10 + j, s"gate_$name", gateIn,
-            gateIn - trips, trips)
+        val g = ch.obs("gate_reasons").get
+        val gateIn = rowsOf("clean")
+        val reasonRows = Curation.GateReasons.zipWithIndex.map {
+          case (name, j) =>
+            val trips = g(name).asInstanceOf[Long]
+            org.apache.spark.sql.Row(10 + j, s"gate_$name", gateIn,
+              gateIn - trips, trips)
         }
         s.createDataFrame(
             s.sparkContext.parallelize(funnel ++ reasonRows, 1),
@@ -78,37 +104,104 @@ object PipelineQueries6 {
     //      q_semantic_decontam, q_quantize_int8, q_quant_recall); the
     //      oracle below recomputes the full chain independently ----
     "q_pipeline_semantic" -> ((s, d) => {
+      val (deq, caches) = semanticStore(s, d)
+      try {
+        val out = Similarity.bruteForceTopK(
+            deq.filter(col("vec_id") % 10 === 0), deq, k = 3)
+          .select(col("query_id"), col("neighbor_id"),
+            graft.engine.Core.r(col("cos"), 6).as("cos"), col("rank"))
+          .orderBy("query_id", "rank")
+        // bounded: (survivors/10) queries x 3 neighbors
+        val rows = out.collect().toIndexedSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+      } finally caches.foreach(_.unpersist(blocking = false))
+    }),
+
+    // ---- the PRODUCTION ANN path composed (VERDICT r13 item 2): the
+    //      row above deliberately finishes with exact bruteForceTopK
+    //      (the verification shape); this one feeds the SAME
+    //      SemDeDup -> decontam -> quantize -> dequantize store into
+    //      ivfPqTopK — the scale path, with its pinned cells/codebooks
+    //      from the raw embeddings table — and emits measured recall@5
+    //      against the exact L2 top-5 over the SAME composed store.
+    //      Column collisions between the chain's vec_id outputs and the
+    //      IVF-PQ machinery, and the quantize round trip feeding the
+    //      residual encoder, have never run composed before this row.
+    //      The oracle recomputes chain, IVF-PQ and exact search ----
+    "q_pipeline_semantic_ann" -> ((s, d) => {
       val emb = graft.engine.Core.normalizeTs(
         s.read.parquet(s"$d/embeddings.parquet"))
-      val bench = emb.filter(col("vec_id") < 16)
-      val corpus = emb.filter(col("vec_id") >= 16)
-      // stage boundaries persist for the same reason as e2eChain: sem
-      // feeds decontaminate AND the survivor semi-join; deq feeds the
-      // query side AND the corpus side of the search
-      val sem = corpus.join(
-        Similarity.semDedup(corpus, "vec_id", "embedding",
-          k = 4, iters = 2, tau = 0.4)
-          .filter(col("keep") === 1).select("vec_id"),
-        Seq("vec_id"), "left_semi").persist()
+      val (cells, books) = Queries9.ivfPqTables(emb)
+      val (deq, caches) = semanticStore(s, d)
       try {
-        val dec = sem.join(
-          Similarity.semanticDecontaminate(sem, bench, threshold = 0.4)
-            .filter(!col("contaminated")).select(col("id").as("vec_id")),
-          Seq("vec_id"), "left_semi")
-        val deq = Similarity.dequantizeInt8(
-          Similarity.quantizeInt8(dec)).persist()
-        try {
-          val out = Similarity.bruteForceTopK(
-              deq.filter(col("vec_id") % 10 === 0), deq, k = 3)
-            .select(col("query_id"), col("neighbor_id"),
-              graft.engine.Core.r(col("cos"), 6).as("cos"), col("rank"))
-            .orderBy("query_id", "rank")
-          // bounded: (survivors/10) queries x 3 neighbors
-          val rows = out.collect().toIndexedSeq
-          s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
-        } finally deq.unpersist(blocking = false)
-      } finally sem.unpersist(blocking = false)
+        val q = deq.filter(col("vec_id") % 10 === 0)
+        val out = Similarity.recallAtK(
+            Similarity.ivfPqTopK(q, deq, cells, books, k = 5, nprobe = 2),
+            Similarity.bruteForceTopKL2(q, deq, 5), 5)
+          .select(col("query_id"),
+            graft.engine.Core.r(col("recall"), 6).as("recall"))
+          .orderBy("query_id")
+        // bounded: one row per query (survivors/10)
+        val rows = out.collect().toIndexedSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), out.schema)
+      } finally caches.foreach(_.unpersist(blocking = false))
     }))
+
+  /** Shared CTE spine of the two semantic-leg oracles: k-means (2
+    * Lloyd iterations, first-4-by-id init, same blocks as the
+    * q_semdedup oracle) -> in-cluster cosine dedup -> max-cos
+    * decontamination vs the bench matrix -> int8 quantize/dequantize.
+    * Ends at `dq0` (vec_id, dv = the dequantized DOUBLE vector) — the
+    * SQL twin of [[semanticStore]]'s `deq`. */
+  private val SemanticCte: String =
+    s"""embd AS (SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+             FROM embeddings),
+         bench AS (SELECT vec_id, x FROM embd WHERE vec_id < 16),
+         e AS (SELECT vec_id, x FROM embd WHERE vec_id >= 16),
+         c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+                    AS INTEGER) AS cid, x AS cv
+                FROM (SELECT vec_id, x FROM e ORDER BY vec_id LIMIT 4)),
+         ${PipelineQueries2.kmeansIter(1)},
+         ${PipelineQueries2.kmeansIter(2)},
+         df AS (SELECT e.vec_id, c.cid,
+                  list_sum(list_transform(generate_series(1, 64),
+                    j -> (x[j]-cv[j])*(x[j]-cv[j]))) AS d
+                FROM e, c2 c),
+         af AS (SELECT vec_id, cid FROM (
+                  SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d, cid) AS rn
+                  FROM df) WHERE rn = 1),
+         m AS (SELECT e.vec_id, af.cid AS cluster, e.x,
+                 sqrt(list_sum(list_transform(generate_series(1, 64),
+                   j -> x[j]*x[j]))) AS nn
+               FROM e JOIN af USING (vec_id)),
+         p AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+               FROM m a JOIN m b
+                 ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+               WHERE round(list_sum(list_transform(generate_series(1, 64),
+                       j -> a.x[j]*b.x[j])) / (a.nn * b.nn) + 1e-9, 6)
+                     >= 0.4
+               GROUP BY 1),
+         sem AS (SELECT m.vec_id, m.x FROM m LEFT JOIN p USING (vec_id)
+                 WHERE p.dup_of IS NULL),
+         mc AS (SELECT s.vec_id,
+                  max(list_cosine_similarity(s.x, b.x)) AS mcos
+                FROM sem s, bench b GROUP BY 1),
+         dec AS (SELECT sem.vec_id, sem.x FROM sem JOIN mc USING (vec_id)
+                 WHERE NOT coalesce(mcos >= 0.4, false)),
+         qs AS (SELECT vec_id, x,
+                  list_max(list_transform(x, v -> abs(v))) AS scale
+                FROM dec),
+         dq0 AS (SELECT vec_id,
+                   CASE WHEN isfinite(scale) AND scale > 0
+                     THEN list_transform(x, v ->
+                       CAST(floor(v * 127.0 / scale + 0.5) AS TINYINT)
+                         * scale / 127.0)
+                     ELSE list_transform(x, v -> CAST(0 AS DOUBLE)) END
+                     AS dv
+                 FROM qs)"""
 
   val oracle: Map[String, String] = Map(
 
@@ -169,54 +262,7 @@ object PipelineQueries6 {
     // matrix (same formula as q_semantic_decontam) -> int8 quantize /
     // dequantize (same as q_quant_recall) -> guarded cosine top-3
     "q_pipeline_semantic" ->
-      s"""WITH embd AS (SELECT vec_id,
-               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
-             FROM embeddings),
-         bench AS (SELECT vec_id, x FROM embd WHERE vec_id < 16),
-         e AS (SELECT vec_id, x FROM embd WHERE vec_id >= 16),
-         c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
-                    AS INTEGER) AS cid, x AS cv
-                FROM (SELECT vec_id, x FROM e ORDER BY vec_id LIMIT 4)),
-         ${PipelineQueries2.kmeansIter(1)},
-         ${PipelineQueries2.kmeansIter(2)},
-         df AS (SELECT e.vec_id, c.cid,
-                  list_sum(list_transform(generate_series(1, 64),
-                    j -> (x[j]-cv[j])*(x[j]-cv[j]))) AS d
-                FROM e, c2 c),
-         af AS (SELECT vec_id, cid FROM (
-                  SELECT vec_id, cid,
-                    row_number() OVER (PARTITION BY vec_id
-                      ORDER BY d, cid) AS rn
-                  FROM df) WHERE rn = 1),
-         m AS (SELECT e.vec_id, af.cid AS cluster, e.x,
-                 sqrt(list_sum(list_transform(generate_series(1, 64),
-                   j -> x[j]*x[j]))) AS nn
-               FROM e JOIN af USING (vec_id)),
-         p AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
-               FROM m a JOIN m b
-                 ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-               WHERE round(list_sum(list_transform(generate_series(1, 64),
-                       j -> a.x[j]*b.x[j])) / (a.nn * b.nn) + 1e-9, 6)
-                     >= 0.4
-               GROUP BY 1),
-         sem AS (SELECT m.vec_id, m.x FROM m LEFT JOIN p USING (vec_id)
-                 WHERE p.dup_of IS NULL),
-         mc AS (SELECT s.vec_id,
-                  max(list_cosine_similarity(s.x, b.x)) AS mcos
-                FROM sem s, bench b GROUP BY 1),
-         dec AS (SELECT sem.vec_id, sem.x FROM sem JOIN mc USING (vec_id)
-                 WHERE NOT coalesce(mcos >= 0.4, false)),
-         qs AS (SELECT vec_id, x,
-                  list_max(list_transform(x, v -> abs(v))) AS scale
-                FROM dec),
-         dq0 AS (SELECT vec_id,
-                   CASE WHEN isfinite(scale) AND scale > 0
-                     THEN list_transform(x, v ->
-                       CAST(floor(v * 127.0 / scale + 0.5) AS TINYINT)
-                         * scale / 127.0)
-                     ELSE list_transform(x, v -> CAST(0 AS DOUBLE)) END
-                     AS dv
-                 FROM qs),
+      s"""WITH $SemanticCte,
          dq AS (SELECT vec_id, dv,
                   sqrt(list_sum(list_transform(dv, v -> v * v))) AS nn
                 FROM dq0),
@@ -238,5 +284,31 @@ object PipelineQueries6 {
                  WHERE rank <= 3)
          SELECT query_id, neighbor_id,
            round(cos + 1e-9, 6) + 0.0 AS cos, rank
-         FROM ann ORDER BY query_id, rank""")
+         FROM ann ORDER BY query_id, rank""",
+
+    // the SAME chain spine, then the production IVF-PQ machinery
+    // (Queries9.ivfPqCte — cells/codebooks pinned to the raw embeddings
+    // table exactly like the Spark side) over the dequantized survivor
+    // store, and recall@5 against the exact L2 top-5 over that store —
+    // the composed twin of q_ivfpq_recall
+    "q_pipeline_semantic_ann" ->
+      (s"""WITH $SemanticCte,
+         ${Queries9.ivfPqCte(
+        "SELECT vec_id AS id, dv AS x FROM dq0",
+        "SELECT vec_id AS qid, dv AS qx FROM dq0 WHERE vec_id % 10 = 0")},
+         ann AS (SELECT qid, id AS nid FROM ranked WHERE rank <= 5),
+         bf AS (SELECT qid, nid FROM (
+                  SELECT q.vec_id AS qid, c.vec_id AS nid,
+                    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                      list_distance(q.dv, c.dv), c.vec_id) AS rank
+                  FROM dq0 q, dq0 c
+                  WHERE q.vec_id % 10 = 0 AND c.vec_id <> q.vec_id)
+                WHERE rank <= 5),
+         hits AS (SELECT a.qid, count(*) AS h
+                  FROM ann a JOIN bf b ON a.qid = b.qid AND a.nid = b.nid
+                  GROUP BY 1)
+         SELECT b.qid AS query_id,
+           round(coalesce(h, 0) / 5.0 + 1e-9, 6) AS recall
+         FROM (SELECT DISTINCT qid FROM bf) b
+         LEFT JOIN hits USING (qid) ORDER BY query_id"""))
 }

@@ -113,11 +113,11 @@ object Queries11 {
       require(byLabel.size == exact.length,
         "duplicate describe stat labels — the band delta no longer " +
           "keeps the nine fractions label-distinct")
-      // same formatting contract as Reductions.pctLabel; a drift in
-      // either side surfaces as a loud missing-label failure below
+      // label format comes from Reductions.pctLabel itself (ADVICE
+      // r13: single-sourced); the loud missing-label failure below now
+      // only fires if describe drops a requested fraction entirely
       def pctRow(p: Double): org.apache.spark.sql.Row = {
-        val v = math.round(p * 10000) / 100.0
-        val label = if (v == v.toInt) s"${v.toInt}%" else s"$v%"
+        val label = graft.engine.Reductions.pctLabel(p)
         byLabel.getOrElse(label, sys.error(
           s"describe emitted no '$label' row — percentile labeling " +
             "changed, update q_describe_approx"))

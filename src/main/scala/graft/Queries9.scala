@@ -235,7 +235,7 @@ object Queries9 {
   /** Pinned IVF-PQ tables: 8 coarse cells = full vectors of vec_id<8
     * (vec_id order = cell index), 4x16 residual codebooks = 16-wide
     * sub-slices of vec_id in [16,32) (vec_id order = code index). */
-  private def ivfPqTables(emb: DataFrame)
+  private[graft] def ivfPqTables(emb: DataFrame)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     def rows(f: DataFrame): Array[Array[Double]] =
       f.orderBy("vec_id").select(col("embedding").cast("array<double>"))
@@ -251,19 +251,27 @@ object Queries9 {
     * distances are indexed-lambda + list_reduce left folds, cell
     * assignment / probe lists / codebook argmins are
     * row_number-over-(dist, index), the ADC total is the explicit
-    * ((s0+s1)+s2)+s3 chain. */
-  private val IvfPqCte: String = {
+    * ((s0+s1)+s2)+s3 chain. Parameterized (r14) on the corpus
+    * (`SELECT … AS id, … AS x`) and query (`SELECT … AS qid, … AS qx`)
+    * relations so the composed semantic-chain row
+    * (q_pipeline_semantic_ann) can run the SAME machinery over its
+    * dequantized survivor store; cells and codebooks stay pinned to the
+    * raw embeddings table in both uses, exactly like the Spark side's
+    * [[ivfPqTables]]. */
+  private[graft] def ivfPqCte(corpusSel: String, querySel: String): String = {
     def sq(a: String, b: String) =
       s"list_reduce(list_transform($a, (x, i) -> (x - $b[i]) * (x - $b[i])), (p, q) -> p + q)"
     s"""cc AS (
            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,
              embedding::DOUBLE[] AS ccv
            FROM embeddings WHERE vec_id < 8),
+         corp0 AS ($corpusSel),
+         qry0 AS ($querySel),
          asg0 AS (
-           SELECT e.vec_id AS id, e.embedding::DOUBLE[] AS x, cl, ccv,
-             row_number() OVER (PARTITION BY e.vec_id
-               ORDER BY ${sq("e.embedding::DOUBLE[]", "ccv")}, cl) AS rn
-           FROM embeddings e, cc),
+           SELECT corp0.id, corp0.x, cl, ccv,
+             row_number() OVER (PARTITION BY corp0.id
+               ORDER BY ${sq("corp0.x", "ccv")}, cl) AS rn
+           FROM corp0, cc),
          res AS (
            SELECT id, cl, list_transform(x, (v, i) -> v - ccv[i]) AS rv
            FROM asg0 WHERE rn = 1),
@@ -283,20 +291,20 @@ object Queries9 {
            FROM ds JOIN cb ON ds.s = cb.s),
          enc AS (SELECT id, cl, s, c, cv FROM enc0 WHERE rn = 1),
          qp0 AS (
-           SELECT e.vec_id AS qid, e.embedding::DOUBLE[] AS qx, cl, ccv,
-             row_number() OVER (PARTITION BY e.vec_id
-               ORDER BY ${sq("e.embedding::DOUBLE[]", "ccv")}, cl) AS rn
-           FROM embeddings e, cc WHERE e.vec_id < 10),
+           SELECT qry0.qid, qry0.qx, cl, ccv,
+             row_number() OVER (PARTITION BY qry0.qid
+               ORDER BY ${sq("qry0.qx", "ccv")}, cl) AS rn
+           FROM qry0, cc),
          qp AS (
            SELECT qid, cl, list_transform(qx, (v, i) -> v - ccv[i]) AS qrv
            FROM qp0 WHERE rn <= 2),
-         qs AS (
+         qsl AS (
            SELECT qid, cl, t.s,
              list_slice(qrv, t.s*16 + 1, t.s*16 + 16) AS qv
            FROM qp, range(4) t(s)),
          subd AS (
            SELECT qid, id, enc.s, ${sq("qv", "cv")} AS sd
-           FROM enc JOIN qs ON qs.cl = enc.cl AND qs.s = enc.s
+           FROM enc JOIN qsl ON qsl.cl = enc.cl AND qsl.s = enc.s
            WHERE qid <> id),
          scored AS (
            SELECT qid, id,
@@ -310,6 +318,13 @@ object Queries9 {
              row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
            FROM scored)"""
   }
+
+  /** The standalone-row instance: full embeddings corpus, vec_id<10
+    * queries — byte-compatible with the pre-r14 inline CTE. */
+  private val IvfPqCte: String = ivfPqCte(
+    "SELECT vec_id AS id, embedding::DOUBLE[] AS x FROM embeddings",
+    "SELECT vec_id AS qid, embedding::DOUBLE[] AS qx FROM embeddings " +
+      "WHERE vec_id < 10")
 
   /** Program-generated unrolled BPE oracle, mirroring
     * TextAnalysis.bpeTrain's word-histogram formulation exactly: the

@@ -346,8 +346,20 @@ object Corr {
   /** Shared prestep of the matrix forms: the listwise-complete frame
     * with every column's midrank attached (`__c<i>` value, `__r<i>`
     * rank) after ONE batched stats job, plus the upper-triangle index
-    * pairs. */
-  private def rankedFrame(df: DataFrame, cols: Seq[String])
+    * pairs.
+    *
+    * The midrank sort stage sizes its OWN shuffle from input volume
+    * (VERDICT r13 item 1): a plan-stats gate (`bigBytes`, default
+    * [[Reductions.SortBigBytes]]) keeps small inputs on the session
+    * width with zero extra work; above it, one exact `count()` over the
+    * pruned frame (cheap next to the sort it protects) drives
+    * [[Reductions.sortWidth]], the bucket count scales to 2× that width
+    * so the hash fills every partition, and the quantile probe's
+    * accuracy scales with the cut count so adjacent cuts stay
+    * resolvable. Bucket count and width affect placement/balance only,
+    * never rank values — pinned by CorrSpec's forced-big-path equality. */
+  private[graft] def rankedFrame(df: DataFrame, cols: Seq[String],
+      bigBytes: Long = Reductions.SortBigBytes)
     : (DataFrame, Seq[(Int, Int)]) = {
     val spark = df.sparkSession
     val k = cols.size
@@ -357,11 +369,21 @@ object Corr {
     val base = df.filter(keep)
       .select(cols.zipWithIndex.map { case (c, i) =>
         col(c).cast("double").as(s"__c$i") }: _*)
-    val n = spark.sparkContext.defaultParallelism
+    val dp = spark.sparkContext.defaultParallelism
+    val est = base.queryExecution.optimizedPlan.stats.sizeInBytes
+    val (n, sortW) =
+      if (est < BigInt(bigBytes)) (dp, 0)
+      else {
+        val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        // sorted frame carries k values + k ranks + bucket id + offset
+        val w = Reductions.sortWidth(base.count(), 2 * k + 2, session)
+        (math.max(dp, math.min(2 * w, 4096)), w)
+      }
     val qs = (1 until n).map(i => lit(i.toDouble / n))
+    val acc = lit(math.max(100, 2 * n))
     val aggs = (0 until k).flatMap { i =>
       Seq(Reductions.boundedHistogram(col(s"__c$i")).as(s"h$i"),
-        percentile_approx(col(s"__c$i"), array(qs: _*), lit(100)).as(s"q$i"))
+        percentile_approx(col(s"__c$i"), array(qs: _*), acc).as(s"q$i"))
     }
     val st = base.agg(aggs.head, aggs.tail: _*).collect()(0)
     var ranked = base
@@ -383,7 +405,7 @@ object Corr {
               s"__p${i}_dense")
         } else Reductions.withMidrank(ranked, s"__c$i", s"__r$i",
           statsSource = Some(base.select(col(s"__c$i"))),
-          knownCuts = Some(cuts))
+          knownCuts = Some(cuts), width = sortW)
     }
     val pairs = for { i <- 0 until k; j <- (i + 1) until k } yield (i, j)
     (ranked, pairs)

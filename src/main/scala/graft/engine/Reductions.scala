@@ -285,10 +285,19 @@ object Reductions {
     * underlying slim frame the cuts/offsets should be computed from (it
     * must contain the same `c` distribution). Ties all land in one
     * bucket, so a single dominant value skews its bucket — inherent to
-    * exact tie-aware ranking; bucket counts otherwise balance to ~n/buckets. */
+    * exact tie-aware ranking; bucket counts otherwise balance to ~n/buckets.
+    *
+    * `width`: when > 0, the bucket-partitioned window's shuffle is
+    * explicitly repartitioned to this many partitions (the caller sized
+    * it from input volume via [[sortWidth]]) instead of inheriting the
+    * session width — the window's ClusteredDistribution is satisfied by
+    * the explicit hash exchange, so it is still ONE shuffle, just wide
+    * enough that the per-task sort does not spill. Width only moves
+    * work placement, never values. */
   def withMidrank(df: DataFrame, c: String, out: String, buckets: Int = 0,
                   statsSource: Option[DataFrame] = None,
-                  knownCuts: Option[Array[Double]] = None): DataFrame = {
+                  knownCuts: Option[Array[Double]] = None,
+                  width: Int = 0): DataFrame = {
     val src = statsSource.getOrElse(df).select(col(c))
     val n = if (buckets > 0) buckets
             else df.sparkSession.sparkContext.defaultParallelism
@@ -317,14 +326,43 @@ object Reductions {
     // the tie group.
     val wCum = Window.partitionBy("__bkt").orderBy(col(c))
     val wTie = wCum.rangeBetween(Window.currentRow, Window.currentRow)
-    df.withColumn("__bkt", bucketOf(col(c)))
+    val joined = df.withColumn("__bkt", bucketOf(col(c)))
       .join(broadcast(offs), Seq("__bkt"), "left")
+    val placed =
+      if (width > 0) joined.repartition(width, col("__bkt")) else joined
+    placed
       .withColumn(out, when(col(c).isNotNull,
         col("__off") + count(col(c)).over(wCum).cast("double")
           - count(col(c)).over(wTie)
           + (count(col(c)).over(wTie) + 1) / 2.0))
       .drop("__bkt", "__off")
   }
+
+  /** Volume-based shuffle width for a bucket-partitioned sort stage
+    * (VERDICT r13 item 1). A `Window.partitionBy(bucket).orderBy(value)`
+    * sorts each SHUFFLE PARTITION in one task sorter, so the session's
+    * core-count width (right for task-overhead-bound jobs) makes every
+    * sort partition `totalBytes / width` — measured to spill at 10×
+    * scale (q_corr_matrix_full sf10: 13.7× of sf1 at width 32, 7.5× at
+    * 256). This sizes the width so each task's in-flight sort stays
+    * within `targetBytes` of execution memory: never below the session
+    * width (small inputs keep today's plan), capped at 4096 (beyond
+    * local scale; a real cluster re-tunes `targetBytes`). `fields` is
+    * the sorted frame's column count; the per-row cost model is
+    * 8 B/field + 32 B of UnsafeRow + sorter pointer/prefix overhead. */
+  private[graft] def sortWidth(rows: Long, fields: Int, sessionWidth: Int,
+      targetBytes: Long = 32L << 20): Int = {
+    val rowBytes = 8L * fields + 32L
+    val need = math.ceil(rows.toDouble * rowBytes / targetBytes).toLong
+    math.max(sessionWidth.toLong, math.min(need, 4096L)).toInt
+  }
+
+  /** Plan-stats threshold above which the matrix rank prestep pays one
+    * exact `count()` to size its own sort shuffle ([[sortWidth]]); the
+    * pruned 4-column lineitem frame measures ~3.7 MB at sf0.1, ~38 MB
+    * at sf1 (both healthy at session width) and ~380 MB at sf10 (the
+    * measured spill decade), so 64 MB splits the decades cleanly. */
+  private[graft] val SortBigBytes: Long = 64L << 20
 
   /** GROUPED analogue of [[withMidrank]]: per-group average midranks of
     * `c` without a `Window.partitionBy(key).orderBy(c)` — which puts a
@@ -673,8 +711,11 @@ object Reductions {
     broadcast(spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema))
   }
 
-  /** pandas' percentile row label: 0.25 -> "25%", 0.025 -> "2.5%". */
-  private def pctLabel(p: Double): String = {
+  /** pandas' percentile row label: 0.25 -> "25%", 0.025 -> "2.5%".
+    * `private[graft]` so label-addressed consumers (q_describe_approx's
+    * band lookup) call THIS instead of re-stating the format — the
+    * contract is single-sourced (ADVICE r13). */
+  private[graft] def pctLabel(p: Double): String = {
     val v = math.round(p * 10000) / 100.0
     if (v == v.toInt) s"${v.toInt}%" else s"$v%"
   }

@@ -833,20 +833,39 @@ object Curation {
     * exactly the cache stage i+1 reads, and every boundary is evaluated
     * once. At 100 TB the boundaries are storage writes and these counts
     * come free from the writes' row-count metrics; this helper is the
-    * single-plan equivalent. A stage that EXPANDS rows (explode,
-    * windowing) reports negative `dropped` — the report is a ledger,
-    * not a monotonicity assertion. */
+    * single-plan equivalent, and the `observe()`-harvested form
+    * (q_pipeline_funnel since r14: one `CollectMetrics` node per
+    * boundary, all counts a byproduct of ONE chain execution — see
+    * [[funnelRows]]) is the in-plan equivalent of those write metrics.
+    * A stage that EXPANDS rows (explode, windowing) reports negative
+    * `dropped` — the report is a ledger, not a monotonicity assertion.
+    *
+    * Reason rows some consumers APPEND under the same schema
+    * (q_pipeline_funnel's `gate_*` rows) follow a DIFFERENT contract
+    * than stage rows: gate reasons OVERLAP (one doc can trip several),
+    * so a reason row's `rows_out` means "docs that survive that reason
+    * ALONE", reason rows do not chain (`rows_in` is the gate's input
+    * for every one of them, and their `dropped` can sum past the gate
+    * stage's), and only the per-row invariant
+    * `rows_in - rows_out = dropped` holds. */
   def funnelReport(stages: Seq[(String, DataFrame)]): DataFrame = {
     require(stages.nonEmpty, "funnelReport needs at least one stage")
     val spark = stages.head._2.sparkSession
-    val counts = stages.map { case (name, f) => (name, f.count()) }
-    val rows = counts.zipWithIndex.map { case ((name, c), i) =>
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        funnelRows(stages.map { case (name, f) => (name, f.count()) }), 1),
+      FunnelSchema)
+  }
+
+  /** The stage-row arithmetic of [[funnelReport]] over already-known
+    * counts — shared by the `count()`-driven form above and the
+    * `observe()`-harvested funnel (q_pipeline_funnel), so the two
+    * forms cannot drift. */
+  def funnelRows(counts: Seq[(String, Long)]): Seq[org.apache.spark.sql.Row] =
+    counts.zipWithIndex.map { case ((name, c), i) =>
       val in = if (i == 0) c else counts(i - 1)._2
       org.apache.spark.sql.Row(i, name, in, c, in - c)
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), FunnelSchema)
-  }
 
   /** Output schema of [[funnelReport]] (and of the reason rows
     * q_pipeline_funnel appends to it). */

@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * (VERDICT r10 item 6): the driver ships testdata up to sf0.1; the 10×
   * explode stress rows approximate but don't replace a real data step.
   * This materializes a genuine 10×-row dataset ONCE into `target/sf1`
-  * (~1.5 GB parquet) so `graft.Bench --sf sf1 --only hot10` measures the
+  * (~160 MB parquet on disk — snappy-compressed; decoded row volume is
+  * several× that) so `graft.Bench --sf sf1 --only hot10` measures the
   * hot queries against order-of-magnitude-larger INPUT FILES — real scan
   * volume, real shuffle widths, no in-plan explode node.
   *
@@ -46,16 +47,24 @@ object MakeSf1 {
     }.drop("__c")
   }
 
-  /** Generate (if absent) and return the sf1 directory. A marker file
-    * makes the generation once-only; a partial previous run regenerates. */
-  def ensure(spark: SparkSession, srcDir: String, outDir: String,
+  /** Generate (if absent) and return the scaled directory. A marker
+    * file (named after the target dir, e.g. `_GRAFT_SF10_COMPLETE` for
+    * `target/sf10`) makes the generation once-only; a partial previous
+    * run regenerates. `srcDir` is BY-NAME: chained scales
+    * (`ensure(ensure(sf0.1 → sf1) → sf10)`) only resolve — and
+    * potentially regenerate — the intermediate scale when the final one
+    * is actually missing (ADVICE r13: a completed sf10 no longer
+    * regenerates a cleaned sf1 it would never read). */
+  def ensure(spark: SparkSession, srcDir: => String, outDir: String,
              factor: Int = 10): String = {
-    val marker = new java.io.File(outDir, "_GRAFT_SF1_COMPLETE")
+    val name = new java.io.File(outDir).getName.toUpperCase
+    val marker = new java.io.File(outDir, s"_GRAFT_${name}_COMPLETE")
     if (marker.exists()) return outDir
-    System.err.println(s"[make-sf1] generating $outDir from $srcDir " +
+    val from = srcDir // resolve the source scale only when generating
+    System.err.println(s"[make-sf1] generating $outDir from $from " +
       s"(factor=$factor) ...")
     scaled.foreach { case (t, ids) =>
-      val src = spark.read.parquet(s"$srcDir/$t.parquet")
+      val src = spark.read.parquet(s"$from/$t.parquet")
       tenfold(src, ids, factor)
         // spread the copies so downstream scans see balanced splits
         .repartition(spark.sparkContext.defaultParallelism)
@@ -63,7 +72,7 @@ object MakeSf1 {
       System.err.println(s"[make-sf1] wrote $t")
     }
     copied.foreach { t =>
-      spark.read.parquet(s"$srcDir/$t.parquet")
+      spark.read.parquet(s"$from/$t.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
     marker.createNewFile()

@@ -663,4 +663,46 @@ class GroupCorrSpec extends SparkSpec {
     assert(math.abs(out(Seq("a,b")) - (-1.0 / 3)) < 1e-12)
     assert(math.abs(out(Seq("a", "b")) - 1.0 / 3) < 1e-12)
   }
+
+  test("sortWidth: session width on small inputs, volume-scaled above, capped") {
+    import graft.engine.Reductions.sortWidth
+    // sf0.1 shape (600k rows, k=4 matrix -> 10 fields): stays at session
+    assert(sortWidth(600000L, 10, 32) == 32)
+    // sf10 shape (60M rows): 60e6 * 112 B / 32 MB -> 201 partitions,
+    // matching the measured-good width-256 decade (BASELINE.md sf10)
+    assert(sortWidth(60000000L, 10, 32) == 201)
+    // never below the session width, monotone in rows
+    assert(sortWidth(0L, 10, 32) == 32)
+    assert(sortWidth(60000000L, 10, 512) == 512)
+    // bounded: a 10B-row frame cannot demand unbounded partitions
+    assert(sortWidth(10000000000L, 10, 32) == 4096)
+  }
+
+  test("rankedFrame: forced volume-sized sort path ranks identically " +
+    "to the session-width path (width/buckets move placement, not values)") {
+    // > 65536 distinct values so the midrank WINDOW path actually runs
+    // (the bounded histogram overflows; small frames always broadcast)
+    val df = (1 to 70000).map { i =>
+      val a = (i * 2654435761L % 100003).toDouble + i * 1e-7
+      (a, (i % 97).toDouble)
+    }.toDF("a", "b")
+    def rankMap(bigBytes: Long): Map[Double, (Double, Double)] =
+      Corr.rankedFrame(df, Seq("a", "b"), bigBytes)._1
+        .collect()
+        .map(r => r.getDouble(0) -> (r.getDouble(2), r.getDouble(3)))
+        .toMap
+    val small = rankMap(Long.MaxValue) // plan-stats gate: session width
+    val big = rankMap(0L)              // forced: count + sortWidth + repartition
+    assert(small.size == 70000 && big.size == 70000)
+    small.foreach { case (v, (ra, rb)) =>
+      assert(big(v) == ((ra, rb)), s"rank mismatch at value $v")
+    }
+    // and the forced path really carries the explicit exchange
+    val planned = Corr.rankedFrame(df, Seq("a", "b"), 0L)._1
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(planned.contains("repartitionbyexpression"))
+    assert(!Corr.rankedFrame(df, Seq("a", "b"), Long.MaxValue)._1
+      .queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("repartitionbyexpression"))
+  }
 }

@@ -1010,4 +1010,40 @@ class PipelineSpec extends SparkSpec {
     assertApprox(optD(out(0), 2), Some(lp1), 1e-9)
     assertApprox(optD(out(1), 2), Some(lp2), 1e-9)
   }
+
+  test("pipeline funnel: observe()-harvested counts equal the recounted " +
+    "form (every stage row and every gate_* reason row)") {
+    val d = "/root/testdata/sf0.001"
+    // recount form (the r13 shape): count every persisted boundary in
+    // build order, then aggregate the gate's reason flags — the ground
+    // truth the observe() metrics must reproduce exactly
+    val ch = PipelineQueries5.e2eChain(spark, d, persistBoundaries = true)
+    val expected = try {
+      val funnel = Curation.funnelReport(Seq(
+        "input" -> ch.docs, "clean" -> ch.cleaned,
+        "gopher_gate" -> ch.gated, "fuzzy_dedup" -> ch.surv,
+        "bench_split" -> ch.corpus, "decontaminate" -> ch.dec,
+        "mixture" -> ch.mixed, "token_budget" -> ch.bud))
+        .collect().toIndexedSeq
+      val reasons = Curation.GateReasons
+      val g = ch.gate.agg(
+        coalesce(sum(col(reasons.head).cast("long")), lit(0L)),
+        reasons.tail.map(n =>
+          coalesce(sum(col(n).cast("long")), lit(0L))): _*)
+        .collect()(0)
+      val gateIn = funnel.find(_.getString(1) == "gopher_gate").get
+        .getLong(2)
+      funnel ++ reasons.zipWithIndex.map { case (name, j) =>
+        org.apache.spark.sql.Row(10 + j, s"gate_$name", gateIn,
+          gateIn - g.getLong(j), g.getLong(j))
+      }
+    } finally ch.caches.foreach(_.unpersist(blocking = false))
+    val got = SparkEntry.queries("q_pipeline_funnel")(spark, d)
+      .orderBy("stage_idx").collect().toIndexedSeq
+    assert(got.map(_.toSeq) == expected.map(_.toSeq),
+      s"observe-harvested funnel diverged from the recounted form:\n" +
+        s"got      ${got.map(_.toSeq)}\nexpected ${expected.map(_.toSeq)}")
+    // and the funnel really dropped docs at sf0.001 (non-degenerate)
+    assert(expected.head.getLong(3) > 0)
+  }
 }
