@@ -34,6 +34,21 @@ object Bench {
       graft.pipeline.Dedup.fuzzy(big, "doc_id", "text",
         k = 3, bands = 4, rowsPerBand = 2)
     },
+    // the SAME 10x corpus through the storage-stage protocol (VERDICT
+    // r13 item 5): cluster contraction truncates through RELIABLE
+    // checkpoint files instead of localCheckpoint block-manager blocks,
+    // so this row's spread vs bench_dedup_fuzzy_10x measures the
+    // shared-batch block-contention tax the knob removes (sf10:
+    // 27-63 s swing shared vs 8.8-29.8 s isolated, BASELINE.md)
+    "bench_dedup_fuzzy_ckpt" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val big = graft.tools.MakeSf1.tenfold(docs, Seq("doc_id"))
+      graft.pipeline.Dedup.fuzzy(big, "doc_id", "text",
+        k = 3, bands = 4, rowsPerBand = 2,
+        checkpointDir = Some("target/ckpt"))
+    },
     // 10x corpus through the IVF-PQ cell-keyed equi-join: 20k vectors
     // x 64d against 64 queries with 8 coarse cells / nprobe 2 —
     // candidate volume and code-table size both scale 10x while the

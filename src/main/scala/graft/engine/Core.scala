@@ -197,4 +197,28 @@ object Core {
     }
     Truncated(spark.createDataFrame(ck.rdd, ck.schema), inner)
   }
+
+  /** [[truncatePlan]] with selectable truncation STORAGE (r14, VERDICT
+    * r13 item 5). `None` -> `localCheckpoint` (executor block manager:
+    * fastest, but its MEMORY_AND_DISK blocks contend with every other
+    * cached/checkpointed frame in a shared batch — the measured sf10
+    * dedup-fuzzy 27-63 s swing, BASELINE.md). `Some(dir)` -> RELIABLE
+    * checkpoint files under `dir` — the "CC runs as a dedicated storage
+    * stage" production protocol: block-manager-free, so concurrent
+    * rows' storage churn cannot evict or stall the iteration state. An
+    * already-configured SparkContext checkpoint dir wins over `dir`
+    * (set once per session); checkpoint FILES are cleaned by Spark at
+    * application exit (or eagerly with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`), so
+    * `release()` is a no-op for them by design. */
+  def truncatePlan(df: DataFrame, checkpointDir: Option[String]): Truncated =
+    checkpointDir match {
+      case None => truncatePlan(df)
+      case Some(dir) =>
+        val spark = df.sparkSession
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(dir)
+        val ck = df.checkpoint() // eager + reliable
+        Truncated(spark.createDataFrame(ck.rdd, ck.schema), None)
+    }
 }

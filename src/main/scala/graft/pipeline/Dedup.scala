@@ -495,13 +495,23 @@ object Dedup {
     * into the LogicalRDD, so the join-product estimate SQUARES per round
     * until the planner is multiplying million-digit BigInts. The
     * contraction form does a constant number of distributed passes
-    * (usually zero at bench scale) regardless of diameter. */
+    * (usually zero at bench scale) regardless of diameter.
+    *
+    * `checkpointDir` (r14): when set, iteration state truncates through
+    * RELIABLE checkpoint files under that directory instead of
+    * `localCheckpoint` block-manager blocks — the "CC as a dedicated
+    * storage stage" production protocol. In a shared batch the local
+    * blocks contend with every other row's cached state (the sf10
+    * dedup-fuzzy 27-63 s swing vs 8.8-29.8 s isolated, BASELINE.md);
+    * the storage-dir form trades a file write for immunity to that
+    * churn. Output is identical either way (PipelineSpec). */
   def clusters(pairs: DataFrame, doc1: String = "doc1", doc2: String = "doc2",
-               driverEdgeLimit: Long = 2000000L, maxContract: Int = 6): DataFrame = {
+               driverEdgeLimit: Long = 2000000L, maxContract: Int = 6,
+               checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     def truncate(df: DataFrame): DataFrame =
-      graft.engine.Core.truncatePlan(df).df
+      graft.engine.Core.truncatePlan(df, checkpointDir).df
     // no distinct here: the driver union-find tolerates duplicate edges,
     // and the contraction loop dedups whenever it actually runs
     var edges = truncate(pairs
@@ -579,9 +589,11 @@ object Dedup {
     * (|clustered docs| rows — only docs with at least one near-dup),
     * which AQE broadcasts when small. */
   def fuzzy(df: DataFrame, id: String, text: String, k: Int = 3,
-            bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+            bands: Int = 4, rowsPerBand: Int = 2,
+            checkpointDir: Option[String] = None): DataFrame = {
     val cl = clusters(
-      minhashLshEdges(df, id, text, k, bands, rowsPerBand))
+      minhashLshEdges(df, id, text, k, bands, rowsPerBand),
+      checkpointDir = checkpointDir)
       .withColumnRenamed("doc", "__doc")
     df.select(col(id))
       .join(cl, col(id) === col("__doc"), "left")

@@ -1011,6 +1011,28 @@ class PipelineSpec extends SparkSpec {
     assertApprox(optD(out(1), 2), Some(lp2), 1e-9)
   }
 
+  test("clusters: reliable-checkpoint truncation yields identical " +
+    "components to localCheckpoint (the knob moves storage, not values)") {
+    val edges = Seq((2L, 1L), (2L, 3L), (7L, 9L), (5L, 5L))
+      .toDF("doc1", "doc2")
+    def comp(ck: Option[String]) =
+      Dedup.clusters(edges, checkpointDir = ck)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = comp(None)
+    val reliable = comp(Some("target/test-ckpt"))
+    assert(local == reliable)
+    assert(local == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L,
+      9L -> 7L, 5L -> 5L))
+    // the contraction path (driverEdgeLimit forces a pass) agrees too
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val a = Dedup.clusters(chain, driverEdgeLimit = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.clusters(chain, driverEdgeLimit = 10L,
+      checkpointDir = Some("target/test-ckpt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b && a.values.forall(_ == 1L) && a.size == 40)
+  }
+
   test("pipeline funnel: observe()-harvested counts equal the recounted " +
     "form (every stage row and every gate_* reason row)") {
     val d = "/root/testdata/sf0.001"
