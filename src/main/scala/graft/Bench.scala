@@ -49,6 +49,21 @@ object Bench {
         k = 3, bands = 4, rowsPerBand = 2,
         checkpointDir = Some("target/ckpt"))
     },
+    // q_dedup_fuzzy's EXACT shape (no tenfold) with the reliable-
+    // checkpoint knob, so the storage-stage protocol can be A/B'd at
+    // whatever --sf the batch runs (the r13 variance finding was
+    // q_dedup_fuzzy at sf10 in a SHARED batch: 27-63 s swing vs
+    // 8.8-29.8 isolated; this row is the knob-on twin at that volume)
+    "bench_fuzzy_ckpt_1x" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      graft.pipeline.Dedup.fuzzy(
+          s.read.parquet(s"$d/documents.parquet"), "doc_id", "text",
+          k = 3, bands = 4, rowsPerBand = 2,
+          checkpointDir = Some("target/ckpt"))
+        .select(col("doc_id"), col("cluster_rep"),
+          col("keep").cast("int").as("keep"))
+        .orderBy("doc_id")
+    },
     // 10x corpus through the IVF-PQ cell-keyed equi-join: 20k vectors
     // x 64d against 64 queries with 8 coarse cells / nprobe 2 —
     // candidate volume and code-table size both scale 10x while the

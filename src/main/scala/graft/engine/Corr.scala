@@ -269,8 +269,15 @@ object Corr {
     *
     * Rows where either side is null are excluded up front (pandas
     * pairwise-complete masking — ranks are computed on the common
-    * subset). */
-  def spearman(df: DataFrame, a: String, b: String): DataFrame = {
+    * subset).
+    *
+    * Like [[rankedFrame]], the continuous-side midrank sort sizes its
+    * OWN shuffle from input volume above the plan-stats gate
+    * ([[Reductions.SortBigBytes]]): same count -> [[Reductions.sortWidth]]
+    * -> explicit repartition, so the single-pair form inherits the
+    * measured sf10 lesson too (width moves placement, never ranks). */
+  def spearman(df: DataFrame, a: String, b: String,
+               bigBytes: Long = Reductions.SortBigBytes): DataFrame = {
     val spark = df.sparkSession
     val base = df.filter(col(a).isNotNull && col(b).isNotNull)
       .select(col(a).cast("double").as("__a"), col(b).cast("double").as("__b"))
@@ -279,13 +286,23 @@ object Corr {
     // whole per-value rank prestep in a single pass) and bucket cut
     // points for the continuous fallback (balance only, never rank
     // values).
-    val n = spark.sparkContext.defaultParallelism
+    val dp = spark.sparkContext.defaultParallelism
+    val est = base.queryExecution.optimizedPlan.stats.sizeInBytes
+    val (n, sortW) =
+      if (est < BigInt(bigBytes)) (dp, 0)
+      else {
+        val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        // ranked frame carries 2 values + 2 ranks + bucket id + offset
+        val w = Reductions.sortWidth(base.count(), 6, session)
+        (math.max(dp, math.min(2 * w, 4096)), w)
+      }
     val qs = (1 until n).map(i => lit(i.toDouble / n))
+    val acc = lit(math.max(100, 2 * n))
     val st = base.agg(
       Reductions.boundedHistogram(col("__a")).as("ha"),
       Reductions.boundedHistogram(col("__b")).as("hb"),
-      percentile_approx(col("__a"), array(qs: _*), lit(100)).as("qa"),
-      percentile_approx(col("__b"), array(qs: _*), lit(100)).as("qb"))
+      percentile_approx(col("__a"), array(qs: _*), acc).as("qa"),
+      percentile_approx(col("__b"), array(qs: _*), acc).as("qb"))
       .collect()(0)
     def histOf(i: Int): Seq[(Double, Long)] =
       if (st.isNullAt(i)) null else st.getMap[Double, Long](i).toSeq
@@ -305,7 +322,7 @@ object Corr {
           .withColumn(out, col(s"${pfx}_before") + (col(s"${pfx}_cnt") + 1) / 2.0)
           .drop(s"${pfx}v", s"${pfx}_cnt", s"${pfx}_before", s"${pfx}_dense")
       } else Reductions.withMidrank(in, c, out,
-        statsSource = Some(base), knownCuts = Some(cuts))
+        statsSource = Some(base), knownCuts = Some(cuts), width = sortW)
     val ranked = rankCol(
       rankCol(base, "__a", "ra", histOf(0), cutsOf(2), "__ra"),
       "__b", "rb", histOf(1), cutsOf(3), "__rb")

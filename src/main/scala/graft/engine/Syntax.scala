@@ -234,9 +234,11 @@ object Syntax {
     // structure, and edges give identical components with linear
     // output per bucket — no quadratic left to cap, so no maxBucket
     // parameter (the dead r12 one was removed in r13)
-    def dedupClusters(id: String, text: String): DataFrame =
+    def dedupClusters(id: String, text: String,
+                      checkpointDir: Option[String] = None): DataFrame =
       graft.pipeline.Dedup.clusters(
-        graft.pipeline.Dedup.minhashLshEdges(df, id, text))
+        graft.pipeline.Dedup.minhashLshEdges(df, id, text),
+        checkpointDir = checkpointDir)
     def minhashLshEdges(id: String, text: String): DataFrame =
       graft.pipeline.Dedup.minhashLshEdges(df, id, text)
     def substringDedupText(id: String, text: String, win: Int = 30,
@@ -247,8 +249,13 @@ object Syntax {
     def ngramShingleEdges(id: String, text: String, k: Int = 3,
                           maxShingleDf: Int = 1000): DataFrame =
       graft.pipeline.Dedup.ngramShingleEdges(df, id, text, k, maxShingleDf)
-    def dedupFuzzy(id: String, text: String): DataFrame =
-      graft.pipeline.Dedup.fuzzy(df, id, text)
+    // checkpointDir: the r14 storage-stage protocol knob — reliable
+    // checkpoint files for the CC iteration state instead of
+    // localCheckpoint blocks (see Dedup.clusters)
+    def dedupFuzzy(id: String, text: String,
+                   checkpointDir: Option[String] = None): DataFrame =
+      graft.pipeline.Dedup.fuzzy(df, id, text,
+        checkpointDir = checkpointDir)
     def decontaminate(bench: DataFrame, id: String, text: String,
                       k: Int = 3): DataFrame =
       graft.pipeline.Curation.decontaminate(df, bench, id, text, k)

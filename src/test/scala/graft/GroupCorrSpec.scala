@@ -705,4 +705,21 @@ class GroupCorrSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString.toLowerCase
       .contains("repartitionbyexpression"))
   }
+
+  test("spearman (single pair): forced volume-sized sort path computes " +
+    "the same rho as the session-width path") {
+    // continuous values (> 65536 distinct) so the midrank WINDOW path
+    // runs on both columns
+    val df = (1 to 70000).map { i =>
+      val a = (i * 2654435761L % 100003).toDouble + i * 1e-7
+      val b = (i * 40503L % 99991).toDouble + i * 1e-7
+      (a, b)
+    }.toDF("a", "b")
+    def rho(bigBytes: Long): Double =
+      Corr.spearman(df, "a", "b", bigBytes).collect()(0).getDouble(0)
+    val small = rho(Long.MaxValue) // plan-stats gate: session width
+    val big = rho(0L)              // forced: count + sortWidth + repartition
+    assert(math.abs(small - big) < 1e-12,
+      s"single-pair spearman diverged: session-width $small vs forced $big")
+  }
 }

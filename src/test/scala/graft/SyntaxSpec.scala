@@ -202,4 +202,21 @@ class SyntaxSpec extends SparkSpec {
       assert((1L to 4L).forall(comps(_) == 1L))
     }
   }
+
+  test("round-14 surface: checkpointDir threads through dedupFuzzy / " +
+    "dedupClusters (reliable-checkpoint protocol, identical output)") {
+    val dup = (1L to 4L).map(i => (i, "same text body for every doc"))
+      .toDF("doc_id", "text")
+    val local = dup.pp.dedupFuzzy("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    val ckpt = dup.pp.dedupFuzzy("doc_id", "text",
+        checkpointDir = Some("target/test-ckpt"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    assert(local == ckpt)
+    assert(ckpt.count(_._2) == 1) // one survivor among 4 identical docs
+    val comps = dup.pp.dedupClusters("doc_id", "text",
+        checkpointDir = Some("target/test-ckpt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(comps(_) == 1L))
+  }
 }
