@@ -80,11 +80,39 @@ object Corr {
       case "pearson" => df
       case "spearman" =>
         val n = df.sparkSession.sparkContext.defaultParallelism
-        val probs = (1 until n).map(_.toDouble / n).toArray
-        val allCuts = df.stat.approxQuantile(cols.toArray, probs, 0.01)
+        // ONE probe job for every column: NDV estimate (the counts-table
+        // size gate) + quantile cut points (bucketed-window fallback
+        // only), plus the key's NDV. percentile_approx(acc=100) matches
+        // approxQuantile(relativeError=0.01) quality; NDV error and cut
+        // quality both affect PLACEMENT only, never a rank value.
+        val probs = (1 until n).map(i => lit(i.toDouble / n))
+        val probeAggs =
+          approx_count_distinct(col(key)).as("__ndk") +:
+          cols.zipWithIndex.flatMap { case (c, i) => Seq(
+            approx_count_distinct(col(c)).as(s"__nd$i"),
+            percentile_approx(col(c).cast("double"), array(probs: _*),
+              lit(100)).as(s"__q$i")) }
+        val st = df.agg(probeAggs.head, probeAggs.tail: _*).collect()(0)
+        val ndk = st.getLong(st.fieldIndex("__ndk"))
+        def cutsOf(i: Int): Array[Double] = {
+          val f = st.fieldIndex(s"__q$i")
+          if (st.isNullAt(f)) Array.empty
+          else st.getSeq[Any](f).filter(_ != null)
+            .map(_.asInstanceOf[Number].doubleValue()).toArray
+        }
+        // Low-cardinality columns rank via the grouped rank-stats
+        // BROADCAST join (no shuffle/sort of the frame at all — the
+        // exchange moves per-(key,value) partial counts); only columns
+        // whose counts table would outgrow the broadcast gate pay the
+        // bucketed midrank window.
         cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-          Reductions.withMidrankBy(d, key, c, s"__mr_$c", n,
-              knownCuts = Some(allCuts(i)))
+          val ndc = st.getLong(st.fieldIndex(s"__nd$i"))
+          if (ndk * ndc <= Reductions.GroupRankStatsMaxRows)
+            Reductions.withGroupRankStats(d, key, c, s"__mr_$c",
+              statsSource = Some(df.select(col(key), col(c))))
+          else Reductions.withMidrankBy(d, key, c, s"__mr_$c", n,
+            knownCuts = Some(cutsOf(i)),
+            statsSource = Some(df.select(col(key), col(c))))
         }.select(col(key) +: cols.map(c => col(s"__mr_$c").as(c)): _*)
       case "kendall" =>
         return kendallMatrixBy(df, key, cols,

@@ -384,14 +384,22 @@ object Reductions {
     * one aggregation job. */
   def withMidrankBy(df: DataFrame, key: String, c: String, out: String,
                     buckets: Int = 0,
-                    knownCuts: Option[Array[Double]] = None): DataFrame = {
+                    knownCuts: Option[Array[Double]] = None,
+                    statsSource: Option[DataFrame] = None): DataFrame = {
     val n = if (buckets > 0) buckets
             else df.sparkSession.sparkContext.defaultParallelism
-    val cuts = knownCuts.getOrElse(df.select(col(c)).stat.approxQuantile(
+    // `statsSource` (same contract as [[withMidrank]]): the per-(key,
+    // bucket) counts only need (key, c) — pass the slim base frame when
+    // `df` is itself an expensive plan (e.g. already joined to earlier
+    // columns' rank stats), so the offsets aggregate never re-evaluates
+    // those joins. Row multiplicity is identical by construction (rank
+    // joins are 1:1 on (key, value)), so offsets are unchanged.
+    val src = statsSource.getOrElse(df)
+    val cuts = knownCuts.getOrElse(src.select(col(c)).stat.approxQuantile(
       c, (1 until n).map(_.toDouble / n).toArray, 0.01)).distinct.sorted
     def bucketOf(v: Column): Column =
       coalesce(graft.functions.BucketBin.bucketBin(v, cuts), lit(0))
-    val offs = df.filter(col(c).isNotNull)
+    val offs = src.filter(col(c).isNotNull)
       .groupBy(col(key), bucketOf(col(c)).as("__bkt"))
       .agg(count(lit(1)).cast("double").as("__pn"))
       .withColumn("__off", coalesce(sum(col("__pn")).over(
@@ -407,6 +415,49 @@ object Reductions {
           - count(col(c)).over(wTie)
           + (count(col(c)).over(wTie) + 1) / 2.0))
       .drop("__bkt", "__off")
+  }
+
+  /** Counts-table cap for [[withGroupRankStats]]: the grouped rank-stats
+    * frame has one row per (group, distinct value) and is BROADCAST, so
+    * the per-column gate is NDV(key) × NDV(c) ≤ this (≈1.5 MB of
+    * (key, value, cnt, before) doubles — same order as the
+    * [[boundedHistogram]] cap the ungrouped matrix path uses). */
+  private[graft] val GroupRankStatsMaxRows: Long = 65536L
+
+  /** GROUPED low-cardinality midrank: per-(key, value) counts — ONE
+    * map-side-combinable aggregate whose exchange moves at most
+    * NDV(key) × NDV(c) partial rows, NOT the frame — a per-key running
+    * offset over that tiny table, and a BROADCAST join-back attaching
+    * `rank = offset + (cnt + 1) / 2`. The frame itself is never
+    * shuffled or sorted: this is the grouped twin of the ungrouped
+    * matrix path's rank-stats join ([[rankStatsFromCounts]]), built
+    * distributedly so no driver collect is needed. Midranks are EXACT
+    * and identical to [[withMidrankBy]]'s (counts are exact; Spark
+    * groups NaN with NaN and orders it greatest, same as the window
+    * sort; -0.0/0.0 normalize in both); NULL cells get NULL (spec +
+    * oracle pin equality). Callers gate on the counts-table size
+    * ([[GroupRankStatsMaxRows]]) — above it, fall back to the bucketed
+    * window ([[withMidrankBy]]).
+    * `statsSource`: slim (key, c) frame for the counts when `df` is an
+    * expensive plan (same contract as [[withMidrank]]). */
+  def withGroupRankStats(df: DataFrame, key: String, c: String,
+                         out: String,
+                         statsSource: Option[DataFrame] = None): DataFrame = {
+    val src = statsSource.getOrElse(df)
+    val cnts = src.filter(col(c).isNotNull)
+      .groupBy(col(key).as("__gk"), col(c).as("__gv"))
+      .agg(count(lit(1)).cast("double").as("__gc"))
+    // running offset within each key, over the aggregate only (bounded
+    // by the caller's gate — never the frame)
+    val wKey = Window.partitionBy(col("__gk")).orderBy(col("__gv"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val stats = cnts
+      .withColumn("__gb", coalesce(sum(col("__gc")).over(wKey), lit(0.0)))
+    df.join(broadcast(stats),
+        col(key) === col("__gk") && col(c) === col("__gv"), "left")
+      .withColumn(out, when(col(c).isNotNull,
+        col("__gb") + (col("__gc") + 1) / 2.0))
+      .drop("__gk", "__gv", "__gc", "__gb")
   }
 
   /** Within-tie ordinal — the 1-based position of each row inside its

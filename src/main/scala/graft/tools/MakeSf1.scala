@@ -39,7 +39,15 @@ object MakeSf1 {
     * must not drift apart, so both call this. */
   def tenfold(df: DataFrame, ids: Seq[String],
               factor: Int = 10): DataFrame = {
-    val withC = df.select(
+    // Spread BEFORE the multiplying explode (guide §2.5 input skew /
+    // §6 split sizing): the sf0.1 parquet inputs are single-row-group
+    // files, so a bare scan is ONE task and the ×factor explode — and
+    // every map-side stage after it (probe aggregates, signature
+    // kernels, window-hash explodes) — would run on one core. Moving
+    // the (small) base across a round-robin exchange first costs a few
+    // MB of shuffle and makes the synthetic corpus behave like the
+    // many-split table it stands in for. Output multiset unchanged.
+    val withC = graft.engine.Core.spread(df).select(
       explode(sequence(lit(0), lit(factor - 1))).as("__c") +:
         df.columns.map(col): _*)
     ids.foldLeft(withC) { case (d, id) =>

@@ -722,4 +722,62 @@ class GroupCorrSpec extends SparkSpec {
     assert(math.abs(small - big) < 1e-12,
       s"single-pair spearman diverged: session-width $small vs forced $big")
   }
+
+  test("withGroupRankStats == withMidrankBy midranks exactly (r14 " +
+    "grouped rank-stats broadcast path): ties, nulls, per-group ranks") {
+    import graft.engine.Reductions
+    // multi-group frame with heavy ties, nulls, and uneven group sizes
+    val rows = (1 to 5000).map { i =>
+      val k = s"g${i % 7}"
+      val v: java.lang.Double =
+        if (i % 41 == 0) null else (i * 131 % 23).toDouble
+      (k, v, i.toLong)
+    }
+    val df = rows.toDF("k", "v", "id")
+    val a = Reductions.withGroupRankStats(df, "k", "v", "r")
+      .select("id", "r").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    val b = Reductions.withMidrankBy(df, "k", "v", "r", buckets = 8)
+      .select("id", "r").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(a.size == 5000 && b.size == 5000)
+    a.foreach { case (id, ra) =>
+      assert(ra == b(id), s"midrank mismatch at id=$id: $ra vs ${b(id)}")
+    }
+    // nulls rank to null on both paths
+    assert(rows.filter(_._2 == null).forall { case (_, _, id) => a(id).isEmpty })
+  }
+
+  test("corrMatrixBy spearman: low-NDV columns take the broadcast " +
+    "rank-stats path (no corpus-sized WindowExec), values unchanged") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // x, y both low-NDV: the ranked frame must carry NO window over
+    // non-aggregated input (the offset window over the counts agg is
+    // the only legitimate one)
+    val df = (1 to 2000).map { i =>
+      (s"g${i % 3}", (i % 5).toDouble, (i * 7 % 11).toDouble)
+    }.toDF("g", "x", "y")
+    val out = Corr.corrMatrixBy(df, "g", Seq("x", "y"), "spearman")
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p.children ++ p.subqueries).flatMap(walk)
+    val wins = walk(out.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    wins.foreach { w =>
+      assert(walk(w.child).exists(_.isInstanceOf[BaseAggregateExec]),
+        "corpus-sized WindowExec survived the grouped rank-stats path")
+    }
+    // and the coefficient matches the direct per-group computation
+    val cells = out.filter(col("c1") === "x" && col("c2") === "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val slice = df.filter(col("g") === g)
+      val exp = Corr.spearman(slice, "x", "y").collect()(0).getDouble(0)
+      assert(math.abs(cells(g) - exp) < 1e-12,
+        s"group $g: ${cells(g)} vs single-pair $exp")
+    }
+  }
 }
