@@ -1045,10 +1045,15 @@ object Corr {
     val q = base.stat.approxQuantile(Array("x", "y"), probs, 0.01)
     val xCuts = q(0).distinct.sorted
     val yCuts = q(1).distinct.sorted
+    // the bucketed frame feeds THREE consuming jobs (grid counts, per-xb
+    // Knight pass, per-yb stripe pass) — persist it so the scan + bucket
+    // assignment run once, not three times; released before returning
     val withB = base
       .withColumn("xb", graft.functions.BucketBin.bucketBin(col("x"), xCuts))
       .withColumn("yb", graft.functions.BucketBin.bucketBin(col("y"), yCuts))
       .as[(Double, Double, Int, Int)]
+      .persist()
+    try {
 
     // class-3 pairs from the grid counts
     val nx = xCuts.length + 1; val ny = yCuts.length + 1
@@ -1106,6 +1111,7 @@ object Corr {
     spark.createDataFrame(
       java.util.Arrays.asList(org.apache.spark.sql.Row(tau)),
       StructType(Seq(StructField("kendall", DoubleType))))
+    } finally withB.unpersist(blocking = false)
   }
 
   /** Unbounded-exact kendall matrix: [[kendallDistributed]] per pair —
