@@ -39,6 +39,14 @@ object Corr {
   def kendallCollectMaxRows(k: Int, budgetBytes: Long = 256L << 20): Long =
     budgetBytes / (64L + 48L * k.max(1))
 
+  /** Key-NDV bound for [[corrMatrixBy]]'s grouped-probe regime (r15):
+    * at or below it, ONE grouped probe pass collects every column's
+    * per-key exact histograms / fixed-bucket counts (collect memory is
+    * bounded at ~cols × 2 × broadcast-gate entries by the per-key cap)
+    * and every rank attachment is driver-built; above it, the in-plan
+    * per-column machinery keeps the driver safe. */
+  private[graft] val GroupedProbeMaxKeys: Long = 1024L
+
   /** Pairwise pearson matrix in long form (c1, c2, corr), upper triangle. */
   def pearsonLong(df: DataFrame, cols: Seq[String]): DataFrame = {
     val pairs = for {
@@ -79,41 +87,124 @@ object Corr {
     val src = method match {
       case "pearson" => df
       case "spearman" =>
-        val n = df.sparkSession.sparkContext.defaultParallelism
-        // ONE probe job for every column: NDV estimate (the counts-table
-        // size gate) + quantile cut points (bucketed-window fallback
-        // only), plus the key's NDV. percentile_approx(acc=100) matches
-        // approxQuantile(relativeError=0.01) quality; NDV error and cut
-        // quality both affect PLACEMENT only, never a rank value.
-        val probs = (1 until n).map(i => lit(i.toDouble / n))
+        val spark = df.sparkSession
+        // floor 2: a defaultParallelism==1 session would degenerate the
+        // fallback bucket count; an extra bucket is placement-only
+        val n = math.max(spark.sparkContext.defaultParallelism, 2)
+        // The gate is sized from the session's
+        // autoBroadcastJoinThreshold (VERDICT r14 item 6) so no stats
+        // broadcast can outgrow what the session would broadcast.
+        val gate = Reductions.groupRankStatsMaxRows(spark)
+        // probe job 1: NDV gates only (key + every column)
         val probeAggs =
           approx_count_distinct(col(key)).as("__ndk") +:
-          cols.zipWithIndex.flatMap { case (c, i) => Seq(
-            approx_count_distinct(col(c)).as(s"__nd$i"),
-            percentile_approx(col(c).cast("double"), array(probs: _*),
-              lit(100)).as(s"__q$i")) }
+          cols.zipWithIndex.map { case (c, i) =>
+            approx_count_distinct(col(c)).as(s"__nd$i") }
         val st = df.agg(probeAggs.head, probeAggs.tail: _*).collect()(0)
         val ndk = st.getLong(st.fieldIndex("__ndk"))
-        def cutsOf(i: Int): Array[Double] = {
-          val f = st.fieldIndex(s"__q$i")
-          if (st.isNullAt(f)) Array.empty
-          else st.getSeq[Any](f).filter(_ != null)
-            .map(_.asInstanceOf[Number].doubleValue()).toArray
+        def ndc(i: Int): Long = st.getLong(st.fieldIndex(s"__nd$i"))
+        // exact double round-trip: the grouped probe histograms values
+        // cast to double, so its stats only equal raw-value grouping
+        // when the cast is injective
+        def castExact(c: String): Boolean = df.schema(c).dataType match {
+          case org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.FloatType |
+               org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.ShortType |
+               org.apache.spark.sql.types.ByteType => true
+          case _ => false
         }
-        // Low-cardinality columns rank via the grouped rank-stats
-        // BROADCAST join (no shuffle/sort of the frame at all — the
-        // exchange moves per-(key,value) partial counts); only columns
-        // whose counts table would outgrow the broadcast gate pay the
-        // bucketed midrank window.
-        cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
-          val ndc = st.getLong(st.fieldIndex(s"__nd$i"))
-          if (ndk * ndc <= Reductions.GroupRankStatsMaxRows)
-            Reductions.withGroupRankStats(d, key, c, s"__mr_$c",
-              statsSource = Some(df.select(col(key), col(c))))
-          else Reductions.withMidrankBy(d, key, c, s"__mr_$c", n,
-            knownCuts = Some(cutsOf(i)),
-            statsSource = Some(df.select(col(key), col(c))))
-        }.select(col(key) +: cols.map(c => col(s"__mr_$c").as(c)): _*)
+        val ranked =
+          if (ndk <= GroupedProbeMaxKeys && cols.forall(castExact)) {
+            // probe job 2 (r15): ONE grouped pass collects, per key and
+            // per column, the exact value histogram (capped so the
+            // whole collect stays within the broadcast gate), the exact
+            // fixed-bucket counts ([[graft.functions.SortableBucket]]),
+            // and the NaN count. EVERY column's rank attachment is then
+            // driver-built — per-(key,value) stats join or per-(key,
+            // bucket) offsets + window — with ZERO per-column in-plan
+            // aggregate subtrees: the former plan re-evaluated the
+            // (key, c) source once per column for the stats counts and
+            // once for the window offsets (guide §2.4: remove the
+            // passes outright), plus a percentile sketch per column in
+            // the probe.
+            val capPerKey = math.max(16L, gate / math.max(ndk, 1L)).toInt
+            def fb(c: Column) = graft.functions.SortableBucket
+              .sortableBucket(c.cast("double")).cast("double")
+            val hAggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+              Reductions.boundedHistogram(col(c).cast("double"), capPerKey)
+                .as(s"__h$i"),
+              Reductions.boundedHistogram(fb(col(c)), capPerKey)
+                .as(s"__b$i"),
+              count(when(isnan(col(c).cast("double")), 1)).as(s"__nan$i")) }
+            val rowsK = df.groupBy(col(key).as("__k"))
+              .agg(hAggs.head, hAggs.tail: _*).collect().toSeq
+            def histsOf(fld: String): Seq[(Any, Seq[(Double, Long)])] =
+              rowsK.map { r =>
+                val f = r.fieldIndex(fld)
+                (r.get(0), if (r.isNullAt(f)) null
+                  else r.getMap[Double, Long](f).toSeq)
+              }
+            cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+              val out = s"__mr_$c"
+              val vh = histsOf(s"__h$i"); val bh = histsOf(s"__b$i")
+              val nans = rowsK.map(r =>
+                r.getLong(r.fieldIndex(s"__nan$i")))
+              val vhOk = vh.forall(_._2 != null) &&
+                vh.map(_._2.size).sum + nans.count(_ > 0) <= gate
+              val bhOk = bh.forall(_._2 != null) &&
+                bh.map(_._2.size).sum <= gate && {
+                  // window balance: no single (key, bucket) partition
+                  // may dominate (same 20% bound as the ungrouped path)
+                  val all = bh.flatMap(_._2.map(_._2))
+                  val total = all.sum
+                  total == 0 || all.max.toDouble / total <= 0.2
+                }
+              if (vhOk) {
+                val stats = Reductions.rankStatsFromGroupCounts(spark,
+                  d.schema(key).dataType,
+                  vh.zip(nans).map { case ((k, h), nc) => (k, h, nc) })
+                d.join(stats, col(key) === col("__gk") &&
+                    col(c) === col("__gv"), "left")
+                  .withColumn(out, when(col(c).isNotNull,
+                    col("__gb") + (col("__gc") + 1) / 2.0))
+                  .drop("__gk", "__gv", "__gc", "__gb")
+              } else if (bhOk)
+                Reductions.withGroupMidrankFixed(d, key, c, out, bh)
+              else Reductions.withMidrankBy(d, key, c, out, n,
+                statsSource = Some(df.select(col(key), col(c))))
+            }.select(col(key) +: cols.map(c => col(s"__mr_$c").as(c)): _*)
+          } else {
+            // high-NDV-key regime: the per-column in-plan machinery
+            // (grouped stats aggregate / bucketed-window offsets) stays
+            // — those subtrees are what keeps this regime driver-safe.
+            // Window-fallback columns get their quantile cuts from ONE
+            // batched approxQuantile job (the old probe carried a
+            // percentile sketch for every column on every call).
+            val need = cols.zipWithIndex
+              .filter { case (_, i) => ndk * ndc(i) > gate }
+            val cutsByCol: Map[Int, Array[Double]] =
+              if (need.isEmpty) Map.empty
+              else {
+                val probs = (1 until n).map(_.toDouble / n).toArray
+                val named = need.map { case (c, i) => (s"__qc$i", i) }
+                val slim = df.select(need.map { case (c, i) =>
+                  col(c).cast("double").as(s"__qc$i") }: _*)
+                val qs = slim.stat.approxQuantile(
+                  named.map(_._1).toArray, probs, 0.01)
+                named.map(_._2).zip(qs.map(_.distinct.sorted)).toMap
+              }
+            cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+              if (ndk * ndc(i) <= gate)
+                Reductions.withGroupRankStats(d, key, c, s"__mr_$c",
+                  statsSource = Some(df.select(col(key), col(c))))
+              else Reductions.withMidrankBy(d, key, c, s"__mr_$c", n,
+                knownCuts = Some(cutsByCol(i)),
+                statsSource = Some(df.select(col(key), col(c))))
+            }.select(col(key) +: cols.map(c => col(s"__mr_$c").as(c)): _*)
+          }
+        ranked
       case "kendall" =>
         return kendallMatrixBy(df, key, cols,
             maxGroupRows = kendallMaxGroupRows, minPeriods = minPeriods)
@@ -286,14 +377,20 @@ object Corr {
     one.select(expr(stacked))
   }
 
-  /** Spearman rho for one pair: pearson over average ranks. Each
-    * column's midrank comes from [[Reductions.withMidrank]] — the
-    * deterministic-bucket distributed rank (cuts job + bucketed
-    * windows; cuts/offsets always derive from the slim BASE frame via
-    * `statsSource`, so the second ranking never re-runs the first's
-    * plan). One lazy job does both bucket shuffles and the final corr;
-    * no checkpoint, no frame-sized broadcast, no single-task sort at
-    * any cardinality.
+  /** Spearman rho for one pair: pearson over average ranks. ONE probe
+    * pass fetches, per column, the EXACT value counts if the column is
+    * low-cardinality (bounded histogram — the whole per-value rank
+    * prestep in a single pass, broadcast join-back) AND exact counts
+    * of the FIXED order-preserving bucket
+    * ([[graft.functions.SortableBucket]], r15): a continuous column's
+    * midrank window gets its per-bucket offsets straight from the
+    * probe via [[Reductions.withMidrankFixed]] — no quantile sketch,
+    * no in-plan offsets subtree re-reading the base. One lazy job does
+    * the bucket shuffle(s) and the final corr; no checkpoint, no
+    * frame-sized broadcast, no single-task sort at any cardinality.
+    * A column too concentrated for fixed buckets falls back to
+    * [[Reductions.withMidrank]]'s quantile-cut buckets (placement
+    * only, never rank values).
     *
     * Rows where either side is null are excluded up front (pandas
     * pairwise-complete masking — ranks are computed on the common
@@ -309,51 +406,53 @@ object Corr {
     val spark = df.sparkSession
     val base = df.filter(col(a).isNotNull && col(b).isNotNull)
       .select(col(a).cast("double").as("__a"), col(b).cast("double").as("__b"))
-    // ONE stats job fetches, for both columns at once, the EXACT value
-    // counts if the column is low-cardinality (bounded histogram — the
-    // whole per-value rank prestep in a single pass) and bucket cut
-    // points for the continuous fallback (balance only, never rank
-    // values).
-    val dp = spark.sparkContext.defaultParallelism
+    val dp = math.max(spark.sparkContext.defaultParallelism, 2)
     val est = base.queryExecution.optimizedPlan.stats.sizeInBytes
-    val (n, sortW) =
-      if (est < BigInt(bigBytes)) (dp, 0)
-      else {
-        val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
-        // ranked frame carries 2 values + 2 ranks + bucket id + offset
-        val w = Reductions.sortWidth(base.count(), 6, session)
-        (math.max(dp, math.min(2 * w, 4096)), w)
-      }
-    val qs = (1 until n).map(i => lit(i.toDouble / n))
-    val acc = lit(math.max(100, 2 * n))
+    def fb(c: Column) = graft.functions.SortableBucket
+      .sortableBucket(c).cast("double")
     val st = base.agg(
       Reductions.boundedHistogram(col("__a")).as("ha"),
       Reductions.boundedHistogram(col("__b")).as("hb"),
-      percentile_approx(col("__a"), array(qs: _*), acc).as("qa"),
-      percentile_approx(col("__b"), array(qs: _*), acc).as("qb"))
+      Reductions.boundedHistogram(fb(col("__a"))).as("ba"),
+      Reductions.boundedHistogram(fb(col("__b"))).as("bb"))
       .collect()(0)
     def histOf(i: Int): Seq[(Double, Long)] =
       if (st.isNullAt(i)) null else st.getMap[Double, Long](i).toSeq
-    def cutsOf(i: Int): Array[Double] =
-      if (st.isNullAt(i)) Array.empty
-      else st.getSeq[Any](i).filter(_ != null)
-        .map(_.asInstanceOf[Number].doubleValue()).toArray
+    // width from the probe's own counts — the pairwise-complete base
+    // has no nulls, so any surviving histogram sums to the row count;
+    // a count() job only runs if every histogram poisoned (r15)
+    lazy val probedRows: Long = (0 until 4).iterator
+      .map(st.getMap[Double, Long](_))
+      .collectFirst { case m if m != null => m.values.sum }
+      .getOrElse(base.count())
+    val sortW =
+      if (est < BigInt(bigBytes)) 0
+      else {
+        val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        // ranked frame carries 2 values + 2 ranks + bucket id + offset
+        Reductions.sortWidth(probedRows, 6, session)
+      }
     // Low-cardinality side: driver-built rank-stats LocalRelation,
     // broadcast join — no shuffle of the frame, no second scan.
-    // Continuous side: deterministic-bucket midrank windows. Both exact.
+    // Continuous side: fixed-bucket midrank window fed by the probe's
+    // exact bucket counts. Both exact.
     def rankCol(in: DataFrame, c: String, out: String,
-                hist: Seq[(Double, Long)], cuts: Array[Double],
+                hist: Seq[(Double, Long)], bcnt: Seq[(Double, Long)],
                 pfx: String): DataFrame =
       if (hist != null) {
         val stt = Reductions.rankStatsFromCounts(spark, hist, pfx)
         in.join(stt, col(c) === col(s"${pfx}v"), "left")
           .withColumn(out, col(s"${pfx}_before") + (col(s"${pfx}_cnt") + 1) / 2.0)
           .drop(s"${pfx}v", s"${pfx}_cnt", s"${pfx}_before", s"${pfx}_dense")
-      } else Reductions.withMidrank(in, c, out,
-        statsSource = Some(base), knownCuts = Some(cuts), width = sortW)
+      } else if (Reductions.fixedBucketsBalanced(bcnt))
+        Reductions.withMidrankFixed(in, c, out, bcnt, width = sortW)
+      else Reductions.withMidrank(in, c, out,
+        buckets = if (sortW > 0) math.max(dp, math.min(2 * sortW, 4096))
+                  else dp,
+        statsSource = Some(base), width = sortW)
     val ranked = rankCol(
-      rankCol(base, "__a", "ra", histOf(0), cutsOf(2), "__ra"),
-      "__b", "rb", histOf(1), cutsOf(3), "__rb")
+      rankCol(base, "__a", "ra", histOf(0), histOf(2), "__ra"),
+      "__b", "rb", histOf(1), histOf(3), "__rb")
     ranked.agg(Core.safeCorr(col("ra"), col("rb")).as("spearman"))
   }
 
@@ -393,16 +492,26 @@ object Corr {
     * rank) after ONE batched stats job, plus the upper-triangle index
     * pairs.
     *
+    * The probe computes, per column, a bounded exact value histogram
+    * (low-NDV columns rank via a broadcast stats join — no shuffle of
+    * the frame) AND exact counts of the FIXED order-preserving bucket
+    * ([[graft.functions.SortableBucket]], r15): a high-NDV column's
+    * midrank window gets its per-bucket offsets straight from the
+    * probe (driver prefix sum over ≤2¹⁸ ids, broadcast back), so the
+    * main job no longer re-evaluates the base inside an offsets
+    * subtree and the probe no longer pays a percentile sketch per
+    * column. A column whose fixed buckets are too imbalanced (>20% of
+    * rows in one bucket — concentration inside ≲2⁻⁶ relative width)
+    * falls back to quantile-cut buckets via [[Reductions.withMidrank]].
+    *
     * The midrank sort stage sizes its OWN shuffle from input volume
     * (VERDICT r13 item 1): a plan-stats gate (`bigBytes`, default
     * [[Reductions.SortBigBytes]]) keeps small inputs on the session
     * width with zero extra work; above it, one exact `count()` over the
     * pruned frame (cheap next to the sort it protects) drives
-    * [[Reductions.sortWidth]], the bucket count scales to 2× that width
-    * so the hash fills every partition, and the quantile probe's
-    * accuracy scales with the cut count so adjacent cuts stay
-    * resolvable. Bucket count and width affect placement/balance only,
-    * never rank values — pinned by CorrSpec's forced-big-path equality. */
+    * [[Reductions.sortWidth]]. Bucket choice and width affect
+    * placement/balance only, never rank values — pinned by CorrSpec's
+    * forced-big-path equality. */
   private[graft] def rankedFrame(df: DataFrame, cols: Seq[String],
       bigBytes: Long = Reductions.SortBigBytes)
     : (DataFrame, Seq[(Int, Int)]) = {
@@ -414,32 +523,48 @@ object Corr {
     val base = df.filter(keep)
       .select(cols.zipWithIndex.map { case (c, i) =>
         col(c).cast("double").as(s"__c$i") }: _*)
-    val dp = spark.sparkContext.defaultParallelism
+    // floor 2: dp==1 would otherwise degenerate the fallback bucket
+    // count below; an extra bucket affects placement only
+    val dp = math.max(spark.sparkContext.defaultParallelism, 2)
     val est = base.queryExecution.optimizedPlan.stats.sizeInBytes
-    val (n, sortW) =
-      if (est < BigInt(bigBytes)) (dp, 0)
+    // ONE probe pass, TWO bounded exact aggregates per column (r15):
+    // the value histogram (broadcast rank-stats path, unchanged) and
+    // the counts of the FIXED order-preserving 18-bit bucket
+    // ([[graft.functions.SortableBucket]]). The fixed mapping needs no
+    // cut points, so for a high-NDV column the probe itself yields the
+    // EXACT per-bucket counts the midrank window needs for its offsets
+    // — the former plan re-evaluated the whole base a second time
+    // inside the main job just to aggregate those counts (guide §2.4:
+    // remove the pass outright), and paid a percentile_approx sketch
+    // per column here for cut points the fixed mapping obsoletes.
+    val aggs = (0 until k).flatMap { i =>
+      Seq(Reductions.boundedHistogram(col(s"__c$i")).as(s"h$i"),
+        Reductions.boundedHistogram(graft.functions.SortableBucket
+          .sortableBucket(col(s"__c$i")).cast("double")).as(s"b$i"))
+    }
+    val st = base.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // volume-sized sort width WITHOUT a count() job (r15): the base is
+    // listwise-complete, so any column's surviving histogram sums to
+    // the exact row count; a dedicated count pass only runs in the
+    // (pathological) case where every histogram poisoned
+    lazy val probedRows: Long = (0 until 2 * k).iterator
+      .map(st.getMap[Double, Long](_))
+      .collectFirst { case m if m != null => m.values.sum }
+      .getOrElse(base.count())
+    val sortW =
+      if (est < BigInt(bigBytes)) 0
       else {
         val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
         // sorted frame carries k values + k ranks + bucket id + offset
-        val w = Reductions.sortWidth(base.count(), 2 * k + 2, session)
-        (math.max(dp, math.min(2 * w, 4096)), w)
+        Reductions.sortWidth(probedRows, 2 * k + 2, session)
       }
-    val qs = (1 until n).map(i => lit(i.toDouble / n))
-    val acc = lit(math.max(100, 2 * n))
-    val aggs = (0 until k).flatMap { i =>
-      Seq(Reductions.boundedHistogram(col(s"__c$i")).as(s"h$i"),
-        percentile_approx(col(s"__c$i"), array(qs: _*), acc).as(s"q$i"))
-    }
-    val st = base.agg(aggs.head, aggs.tail: _*).collect()(0)
     var ranked = base
     for (i <- 0 until k) {
-      val hi = st.fieldIndex(s"h$i"); val qi = st.fieldIndex(s"q$i")
+      val hi = st.fieldIndex(s"h$i"); val bi = st.fieldIndex(s"b$i")
       val hist: Seq[(Double, Long)] =
         if (st.isNullAt(hi)) null else st.getMap[Double, Long](hi).toSeq
-      val cuts: Array[Double] =
-        if (st.isNullAt(qi)) Array.empty
-        else st.getSeq[Any](qi).filter(_ != null)
-          .map(_.asInstanceOf[Number].doubleValue()).toArray
+      val bcnt: Seq[(Double, Long)] =
+        if (st.isNullAt(bi)) null else st.getMap[Double, Long](bi).toSeq
       ranked =
         if (hist != null) {
           val stt = Reductions.rankStatsFromCounts(spark, hist, s"__p$i")
@@ -448,9 +573,19 @@ object Corr {
               col(s"__p${i}_before") + (col(s"__p${i}_cnt") + 1) / 2.0)
             .drop(s"__p${i}v", s"__p${i}_cnt", s"__p${i}_before",
               s"__p${i}_dense")
+        } else if (Reductions.fixedBucketsBalanced(bcnt)) {
+          // driver-built per-bucket offsets (exact counts from the
+          // probe) broadcast back; the window sorts within buckets
+          // only. A column too concentrated for fixed buckets (>20% of
+          // rows in one — ≲2⁻⁶ relative width) takes the quantile-cut
+          // fallback below, which CAN split such a cluster (placement
+          // only, never rank values).
+          Reductions.withMidrankFixed(ranked, s"__c$i", s"__r$i", bcnt,
+            width = sortW)
         } else Reductions.withMidrank(ranked, s"__c$i", s"__r$i",
-          statsSource = Some(base.select(col(s"__c$i"))),
-          knownCuts = Some(cuts), width = sortW)
+          buckets = if (sortW > 0) math.max(dp, math.min(2 * sortW, 4096))
+                    else dp,
+          statsSource = Some(base.select(col(s"__c$i"))), width = sortW)
     }
     val pairs = for { i <- 0 until k; j <- (i + 1) until k } yield (i, j)
     (ranked, pairs)

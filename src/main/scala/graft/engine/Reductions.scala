@@ -338,6 +338,68 @@ object Reductions {
       .drop("__bkt", "__off")
   }
 
+  /** Midrank via the FIXED order-preserving bucket
+    * ([[graft.functions.SortableBucket]], r15) with EXACT per-bucket
+    * counts the caller already probed: a driver prefix sum turns the
+    * counts into per-bucket offsets (LocalRelation, broadcast), the
+    * frame attaches its bucket with one codegen bit-twiddle (no cut
+    * array, no binary search) and one (bucket)-partitioned window adds
+    * the within-bucket midrank. Unlike [[withMidrank]] there is NO
+    * in-plan offsets subtree re-evaluating the source and NO quantile
+    * probe — the caller's single probe pass feeds everything.
+    * `bucketCounts` MUST be the exact (bucketOf(c) → count) histogram
+    * of `df`'s non-null `c` (callers probe it with
+    * [[boundedHistogram]] over the bucket expression); callers gate on
+    * [[fixedBucketsBalanced]] first and fall back to [[withMidrank]]
+    * when a single bucket would dominate the window. Values are exact
+    * and identical to [[withMidrank]]'s on any input — bucket choice
+    * moves placement, never ranks. */
+  def withMidrankFixed(df: DataFrame, c: String, out: String,
+                       bucketCounts: Seq[(Double, Long)],
+                       width: Int = 0): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType,
+      StructField, StructType}
+    val spark = df.sparkSession
+    val sorted = bucketCounts.sortBy(_._1)
+    var before = 0.0
+    val rows = sorted.map { case (b, cnt) =>
+      val r = org.apache.spark.sql.Row(b.toInt, before)
+      before += cnt; r
+    }
+    val offs = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("__fbk", IntegerType, nullable = false),
+        StructField("__foff", DoubleType, nullable = false)))))
+    val withBkt = df
+      .withColumn("__fbkt",
+        graft.functions.SortableBucket.sortableBucket(col(c)))
+      .join(offs, col("__fbkt") === col("__fbk"), "left")
+    val placed =
+      if (width > 0) withBkt.repartition(width, col("__fbkt"))
+      else withBkt
+    val wCum = Window.partitionBy("__fbkt").orderBy(col(c))
+    val wTie = wCum.rangeBetween(Window.currentRow, Window.currentRow)
+    placed
+      .withColumn(out, when(col(c).isNotNull,
+        col("__foff") + count(col(c)).over(wCum).cast("double")
+          - count(col(c)).over(wTie)
+          + (count(col(c)).over(wTie) + 1) / 2.0))
+      .drop("__fbkt", "__fbk", "__foff")
+  }
+
+  /** Balance gate for [[withMidrankFixed]]: fixed buckets are usable
+    * when no single bucket holds more than `maxShare` of the rows (the
+    * same 20% share bound the PlanGuard skew test enforces on
+    * corpus-sized windows). A null histogram (probe overflowed: values
+    * span > cap active buckets) also fails the gate. */
+  def fixedBucketsBalanced(bucketCounts: Seq[(Double, Long)],
+                           maxShare: Double = 0.2): Boolean =
+    bucketCounts != null && {
+      val total = bucketCounts.map(_._2).sum
+      total == 0 || bucketCounts.map(_._2).max.toDouble / total <= maxShare
+    }
+
   /** Volume-based shuffle width for a bucket-partitioned sort stage
     * (VERDICT r13 item 1). A `Window.partitionBy(bucket).orderBy(value)`
     * sorts each SHUFFLE PARTITION in one task sorter, so the session's
@@ -417,12 +479,41 @@ object Reductions {
       .drop("__bkt", "__off")
   }
 
-  /** Counts-table cap for [[withGroupRankStats]]: the grouped rank-stats
-    * frame has one row per (group, distinct value) and is BROADCAST, so
-    * the per-column gate is NDV(key) × NDV(c) ≤ this (≈1.5 MB of
-    * (key, value, cnt, before) doubles — same order as the
-    * [[boundedHistogram]] cap the ungrouped matrix path uses). */
+  /** Default counts-table cap for [[withGroupRankStats]]: the grouped
+    * rank-stats frame has one row per (group, distinct value) and is
+    * BROADCAST, so the per-column gate is NDV(key) × NDV(c) ≤ this
+    * (≈1.5 MB of (key, value, cnt, before) doubles — same order as the
+    * [[boundedHistogram]] cap the ungrouped matrix path uses). Callers
+    * compare approx_count_distinct PRODUCTS against it (default ~5% rsd
+    * per estimate), so the realized table can exceed the cap by the
+    * combined estimation error — the cap is a sizing target with that
+    * headroom, not a hard bound; the 160 B/row footprint model in
+    * [[groupRankStatsMaxRows]] absorbs it. */
   private[graft] val GroupRankStatsMaxRows: Long = 65536L
+
+  /** Session-adaptive form of the gate (VERDICT r14 item 6): size the
+    * counts-table row cap from `spark.sql.autoBroadcastJoinThreshold`
+    * so the broadcast stats table never outgrows what the session is
+    * configured to broadcast. 160 B/row is a conservative
+    * HashedRelation footprint for the 4-field row (boxed key +
+    * UnsafeRow + hash-table entry), and intentionally maps the 10 MB
+    * default threshold to exactly [[GroupRankStatsMaxRows]] (65536) so
+    * default-config plans are unchanged. A disabled auto-broadcast
+    * (threshold ≤ 0) falls back to the default cap: the join-back uses
+    * an explicit broadcast() hint, which a -1 threshold does not
+    * disable. */
+  private[graft] def groupRankStatsMaxRows(
+      spark: org.apache.spark.sql.SparkSession): Long = {
+    val s = spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+      "10485760").trim
+    // plain longs (incl. the -1 "disabled" sentinel) are not byte
+    // strings; parse them directly
+    val thr =
+      try java.lang.Long.parseLong(s)
+      catch { case _: NumberFormatException =>
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(s) }
+    if (thr <= 0) GroupRankStatsMaxRows else thr / 160L
+  }
 
   /** GROUPED low-cardinality midrank: per-(key, value) counts — ONE
     * map-side-combinable aggregate whose exchange moves at most
@@ -436,10 +527,16 @@ object Reductions {
     * groups NaN with NaN and orders it greatest, same as the window
     * sort; -0.0/0.0 normalize in both); NULL cells get NULL (spec +
     * oracle pin equality). Callers gate on the counts-table size
-    * ([[GroupRankStatsMaxRows]]) — above it, fall back to the bucketed
+    * ([[groupRankStatsMaxRows]]) — above it, fall back to the bucketed
     * window ([[withMidrankBy]]).
     * `statsSource`: slim (key, c) frame for the counts when `df` is an
-    * expensive plan (same contract as [[withMidrank]]). */
+    * expensive plan (same contract as [[withMidrank]]). CONTRACT: the
+    * frame passed MUST be row-for-row equivalent to `df`'s (key, c)
+    * projection — same multiset of (key, c) rows — or the counts (and
+    * therefore every offset and rank) are silently wrong; the callers
+    * here pass the exact slim base the ranked frame was built from
+    * (rank joins are 1:1 on (key, value), so multiplicity is preserved
+    * by construction). */
   def withGroupRankStats(df: DataFrame, key: String, c: String,
                          out: String,
                          statsSource: Option[DataFrame] = None): DataFrame = {
@@ -744,7 +841,17 @@ object Reductions {
                           counts: Seq[(Double, Long)], prefix: String,
                           ascending: Boolean = true): DataFrame = {
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
-    val sorted = if (ascending) counts.sortBy(_._1) else counts.sortBy(-_._1)
+    // merge -0.0 into 0.0 first: the histogram's boxed-Double keys
+    // distinguish them, but Spark's join normalizes them EQUAL — two
+    // stats rows for one join key would duplicate every 0.0-valued
+    // frame row through the join-back (r15 hardening)
+    val counts0 =
+      if (counts.exists(t => t._1 == 0.0 &&
+          (java.lang.Double.doubleToRawLongBits(t._1) != 0L)))
+        counts.groupBy(t => if (t._1 == 0.0) 0.0 else t._1)
+          .map { case (v, ts) => (v, ts.map(_._2).sum) }.toSeq
+      else counts
+    val sorted = if (ascending) counts0.sortBy(_._1) else counts0.sortBy(-_._1)
     var before = 0.0
     val rows = new Array[org.apache.spark.sql.Row](sorted.length)
     var i = 0
@@ -760,6 +867,95 @@ object Reductions {
       StructField(s"${prefix}_before", DoubleType),
       StructField(s"${prefix}_dense", DoubleType)))
     broadcast(spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema))
+  }
+
+  /** GROUPED analogue of [[rankStatsFromCounts]] (r15): driver-built
+    * per-(key, value) midrank stats from per-key exact value
+    * histograms plus per-key NaN counts, broadcast as a LocalRelation
+    * with [[withGroupRankStats]]'s exact join-back columns
+    * (`__gk` key, `__gv` value, `__gc` count, `__gb` before). Within
+    * each key, before-counts accumulate in ascending value order with
+    * NaN greatest (Spark's sort order; Spark's `===` matches NaN to
+    * NaN, so the NaN stats row joins back) and -0.0 merges into 0.0
+    * (Spark groups/joins them equal — two rows would duplicate
+    * 0.0-valued frame rows through the join). Rank attachment is the
+    * caller's `__gb + (__gc + 1) / 2`, identical to
+    * [[withGroupRankStats]] — but with ZERO in-plan aggregate subtree:
+    * the caller's single probe pass already paid for the counts. */
+  def rankStatsFromGroupCounts(spark: org.apache.spark.sql.SparkSession,
+      keyType: org.apache.spark.sql.types.DataType,
+      perKey: Seq[(Any, Seq[(Double, Long)], Long)]): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val rows = perKey.flatMap { case (k, hist, nanCnt) =>
+      val merged =
+        if (hist.exists(t => t._1 == 0.0 &&
+            java.lang.Double.doubleToRawLongBits(t._1) != 0L))
+          hist.groupBy(t => if (t._1 == 0.0) 0.0 else t._1)
+            .map { case (v, ts) => (v, ts.map(_._2).sum) }.toSeq
+        else hist
+      val sorted = merged.sortBy(_._1) // hist never holds NaN keys
+      var before = 0.0
+      val base = sorted.map { case (v, cnt) =>
+        val r = org.apache.spark.sql.Row(k, v, cnt.toDouble, before)
+        before += cnt; r
+      }
+      if (nanCnt > 0)
+        base :+ org.apache.spark.sql.Row(k, Double.NaN, nanCnt.toDouble, before)
+      else base
+    }
+    broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("__gk", keyType),
+        StructField("__gv", DoubleType),
+        StructField("__gc", DoubleType, nullable = false),
+        StructField("__gb", DoubleType, nullable = false)))))
+  }
+
+  /** GROUPED analogue of [[withMidrankFixed]] (r15): per-group midrank
+    * of `c` from the caller-probed exact per-(key, fixed-bucket)
+    * counts — driver prefix sum per key → broadcast offsets → ONE
+    * (key, bucket)-partitioned window. Replaces [[withMidrankBy]]'s
+    * in-plan offsets aggregate (a full pass over the source) and its
+    * quantile-cut probe. Values identical to [[withMidrankBy]]: NaN
+    * buckets greatest (SortableBucket order = Spark sort order), null
+    * cells rank to null, equal values never split buckets. */
+  def withGroupMidrankFixed(df: DataFrame, key: String, c: String,
+      out: String, perKey: Seq[(Any, Seq[(Double, Long)])],
+      width: Int = 0): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType,
+      StructField, StructType}
+    val spark = df.sparkSession
+    val rows = perKey.flatMap { case (k, bcnt) =>
+      val sorted = bcnt.sortBy(_._1)
+      var before = 0.0
+      sorted.map { case (b, cnt) =>
+        val r = org.apache.spark.sql.Row(k, b.toInt, before)
+        before += cnt; r
+      }
+    }
+    val offs = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("__fk", df.schema(key).dataType),
+        StructField("__fbk", IntegerType, nullable = false),
+        StructField("__foff", DoubleType, nullable = false)))))
+    val withBkt = df
+      .withColumn("__fbkt",
+        graft.functions.SortableBucket.sortableBucket(col(c)))
+      .join(offs, col(key) === col("__fk") &&
+        col("__fbkt") === col("__fbk"), "left")
+    val placed =
+      if (width > 0) withBkt.repartition(width, col(key), col("__fbkt"))
+      else withBkt
+    val wCum = Window.partitionBy(col(key), col("__fbkt")).orderBy(col(c))
+    val wTie = wCum.rangeBetween(Window.currentRow, Window.currentRow)
+    placed
+      .withColumn(out, when(col(c).isNotNull,
+        col("__foff") + count(col(c)).over(wCum).cast("double")
+          - count(col(c)).over(wTie)
+          + (count(col(c)).over(wTie) + 1) / 2.0))
+      .drop("__fbkt", "__fk", "__fbk", "__foff")
   }
 
   /** pandas' percentile row label: 0.25 -> "25%", 0.025 -> "2.5%".

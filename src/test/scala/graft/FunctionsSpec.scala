@@ -178,4 +178,39 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getString(0) == "caf\u00e9")
     assert(r.getString(1) == "fin")
   }
+
+  test("SortableBucket: monotone over the double order, equal values " +
+    "(incl. -0.0/0.0 and any NaN payload) share a bucket, null -> null") {
+    import graft.functions.SortableBucket
+    // scalar form: monotonicity across signs, magnitudes, infinities
+    val vals = Seq(Double.NegativeInfinity, -1e300, -2.5, -1.0, -1e-300,
+      -0.0, 0.0, 1e-300, 0.5, 1.0, 1.0000001, 2.5, 1e300,
+      Double.PositiveInfinity)
+    val bks = vals.map(SortableBucket.bucketOf(_, 18))
+    bks.sliding(2).foreach { case Seq(a, b) =>
+      assert(a <= b, s"bucket order violated: $a > $b in $bks")
+    }
+    // -0.0 and 0.0 compare equal in Spark and must share a bucket
+    assert(SortableBucket.bucketOf(-0.0, 18) ==
+      SortableBucket.bucketOf(0.0, 18))
+    // NaN buckets greatest regardless of payload bits
+    val oddNaN = java.lang.Double.longBitsToDouble(0x7ff0000000000001L)
+    assert(SortableBucket.bucketOf(oddNaN, 18) ==
+      SortableBucket.bucketOf(Double.NaN, 18))
+    assert(SortableBucket.bucketOf(Double.NaN, 18) >
+      SortableBucket.bucketOf(Double.PositiveInfinity, 18))
+    // codegen path agrees with the scalar form, null propagates
+    val df = (vals.map(v => java.lang.Double.valueOf(v)) :+
+        null.asInstanceOf[java.lang.Double])
+      .toDF("v")
+      .select(col("v"),
+        SortableBucket.sortableBucket(col("v")).as("b"))
+      .collect()
+    df.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1))
+      else assert(r.getInt(1) ==
+        SortableBucket.bucketOf(r.getDouble(0), 18),
+        s"codegen/eval disagree at ${r.getDouble(0)}")
+    }
+  }
 }

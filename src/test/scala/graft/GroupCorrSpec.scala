@@ -706,6 +706,48 @@ class GroupCorrSpec extends SparkSpec {
       .contains("repartitionbyexpression"))
   }
 
+  test("rankedFrame fixed-bucket offsets path (r15) and its imbalance " +
+    "fallback both produce exact midranks vs driver ground truth") {
+    import graft.functions.SortableBucket
+    val n = 70000
+    val rows = (1 to n).map { i =>
+      // a: spread over [0, 100003] -> many active fixed buckets, with
+      // deliberate ties every 1000th row; > 65536 distinct so the value
+      // histogram overflows and the WINDOW path runs
+      val ai = if (i % 1000 == 0) i - 1 else i
+      val a = (ai * 2654435761L % 100003).toDouble + ai * 1e-7
+      // b: > 65536 distinct values concentrated inside ~7e-5 relative
+      // width -> ONE fixed bucket -> the quantile-cut fallback runs
+      val b = 1.0 + (i * 40503L % 70001).toDouble * 1e-9
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    def truth(vs: Seq[Double]): Map[Double, Double] = {
+      val sorted = vs.sorted
+      val first = scala.collection.mutable.HashMap.empty[Double, Int]
+      val last = scala.collection.mutable.HashMap.empty[Double, Int]
+      sorted.zipWithIndex.foreach { case (v, i) =>
+        if (!first.contains(v)) first(v) = i + 1
+        last(v) = i + 1
+      }
+      first.keysIterator.map(v => v -> (first(v) + last(v)) / 2.0).toMap
+    }
+    val ta = truth(rows.map(_._1)); val tb = truth(rows.map(_._2))
+    // fixture really exercises BOTH paths: a spreads across buckets,
+    // b concentrates in one (the > 20%-share fallback trigger)
+    assert(rows.map(r => SortableBucket.bucketOf(r._1, 18)).distinct.size > 16)
+    assert(rows.map(r => SortableBucket.bucketOf(r._2, 18)).distinct.size == 1)
+    assert(ta.size > 65536 && tb.size > 65536)
+    val got = Corr.rankedFrame(df, Seq("a", "b"))._1.collect()
+    assert(got.length == n)
+    got.foreach { r =>
+      val (a, b, ra, rb) =
+        (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(ra == ta(a), s"a=$a: $ra vs ${ta(a)}")
+      assert(rb == tb(b), s"b=$b: $rb vs ${tb(b)}")
+    }
+  }
+
   test("spearman (single pair): forced volume-sized sort path computes " +
     "the same rho as the session-width path") {
     // continuous values (> 65536 distinct) so the midrank WINDOW path
@@ -779,5 +821,46 @@ class GroupCorrSpec extends SparkSpec {
       assert(math.abs(cells(g) - exp) < 1e-12,
         s"group $g: ${cells(g)} vs single-pair $exp")
     }
+  }
+
+  test("grouped rank-stats gate derives from autoBroadcastJoinThreshold " +
+    "(VERDICT r14 item 6): conf-sized cap, default unchanged, spearman " +
+    "values identical on both sides of the gate") {
+    import graft.engine.Reductions
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val dflt = spark.conf.get(key)
+    try {
+      // default 10 MB threshold maps to exactly the legacy constant
+      spark.conf.set(key, (10L * 1024 * 1024).toString)
+      assert(Reductions.groupRankStatsMaxRows(spark) ===
+        Reductions.GroupRankStatsMaxRows)
+      // cap scales linearly with the session threshold (160 B/row)
+      spark.conf.set(key, (160L * 1000).toString)
+      assert(Reductions.groupRankStatsMaxRows(spark) === 1000L)
+      // disabled auto-broadcast keeps the explicit-hint default cap
+      spark.conf.set(key, "-1")
+      assert(Reductions.groupRankStatsMaxRows(spark) ===
+        Reductions.GroupRankStatsMaxRows)
+      // and the gate only moves PLACEMENT: squeezing every column onto
+      // the bucketed-window fallback leaves each coefficient equal
+      // (midranks are bit-identical — pinned by the sibling spec — the
+      // corr aggregate's float summation order differs by path)
+      val df = (1 to 2000).map { i =>
+        (s"g${i % 3}", (i % 5).toDouble, (i * 7 % 11).toDouble)
+      }.toDF("g", "x", "y")
+      spark.conf.set(key, dflt)
+      val viaStats = Corr.corrMatrixBy(df, "g", Seq("x", "y"), "spearman")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))
+          -> r.getDouble(3)).toMap
+      spark.conf.set(key, "160") // cap = 1 row: nothing fits the stats path
+      val viaWindow = Corr.corrMatrixBy(df, "g", Seq("x", "y"), "spearman")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))
+          -> r.getDouble(3)).toMap
+      assert(viaStats.keySet == viaWindow.keySet)
+      viaStats.foreach { case (k3, v) =>
+        assert(math.abs(v - viaWindow(k3)) < 1e-9,
+          s"gate moved cell $k3: $v vs ${viaWindow(k3)}")
+      }
+    } finally spark.conf.set(key, dflt)
   }
 }
