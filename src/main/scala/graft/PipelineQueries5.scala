@@ -269,7 +269,24 @@ object PipelineQueries5 {
       // this row exists to catch) must also release the caches, not
       // just a failed collect
       try {
-      val bud = ch.bud
+      // Re-root the four downstream consumers (pack, shuffle-order,
+      // windows, final join) on a LocalRelation of `bud` instead of the
+      // live 9-stage plan (r15, guide §3.3 plan-size blowup): `bud` is
+      // BOUNDED BY CONSTRUCTION — cum_tokens ≤ 500 per language with
+      // the gate's n_tokens ≥ 30 floor caps it at ~16 rows/lang — but
+      // its LOGICAL plan is the whole chain, and the final 4-way join
+      // re-analyzed/re-optimized that tree once per branch (measured:
+      // a 5.1 s zero-jobs driver gap planning the final collect at
+      // sf0.1). One bounded eager collect truncates the plan; the
+      // 100k cap keeps the harness loud if the bound ever breaks.
+      val budRows = ch.bud.limit(100001).collect().toIndexedSeq
+      require(budRows.length <= 100000,
+        "q_pipeline_e2e: token-budget stage exceeds the 100k-row " +
+          "verification cap — run the stages with per-stage storage " +
+          "writes instead")
+      val bud = s.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(budRows).asJava), ch.bud.schema)
       val pk = Curation.packGreedy(
           bud.select(col("doc_id"), col("n_tokens")),
           "doc_id", "n_tokens", ctxLen = 512)
