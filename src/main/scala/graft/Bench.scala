@@ -411,6 +411,16 @@ object Bench {
       val w = new java.io.PrintWriter(out)
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
+    // One COMPACT line per query (VERDICT r14 item 2): the driver's
+    // tail capture truncates the giant single-line record above
+    // mid-map, which left PERF.per_query and the scaling block empty
+    // two rounds running. Short independent lines parse one by one
+    // even when the capture window cuts into the stream. Additions
+    // only — the full record above and the total line below are
+    // byte-identical to previous rounds' emission.
+    runs.foreach { case (name, med, _, ts) =>
+      println(f"""{"q":"$name","med":$med%.3f,"reps":[${ts.map(t => f"$t%.3f").mkString(",")}]}""")
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"nerrors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
