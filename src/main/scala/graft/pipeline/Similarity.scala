@@ -518,13 +518,6 @@ object Similarity {
   private def sqDistLit(v: Column, cv: Array[Double]): Column =
     graft.functions.VectorFunctions.sqdist(v, array(cv.map(lit): _*))
 
-  /** Argmin over literal sub-centroids: index of the nearest codebook
-    * entry (ties -> lowest index, via lexicographic struct min). */
-  private def argminCode(v: Column, book: Array[Array[Double]]): Column =
-    array_min(array(book.zipWithIndex.map { case (cv, c) =>
-      struct(sqDistLit(v, cv).as("d"), lit(c).as("c"))
-    }: _*)).getField("c")
-
   /** Train PQ codebooks: split the `dim`-dimensional space into `m`
     * contiguous subspaces of dim/m and run the bit-reproducible Lloyd
     * trainer ([[kmeansCentroids]]) independently in each — m bounded
@@ -554,7 +547,10 @@ object Similarity {
       asDouble(col(vecCol)).as("x"))
     base.select(col("vec_id"),
       array(books.indices.map { s =>
-        argminCode(slice(col("x"), s * w + 1, w), books(s))
+        // native one-kernel argmin (r15): bit-identical to the
+        // struct-min tree it replaces — [[graft.functions.NearestCentroid]]
+        graft.functions.NearestCentroid.nearestCentroid(
+          col("x"), books(s), s * w, w)
       }: _*).as("codes"))
   }
 
@@ -592,16 +588,25 @@ object Similarity {
              books: Array[Array[Array[Double]]], k: Int,
              qId: String = "vec_id", qVec: String = "embedding"): DataFrame = {
     val w = books(0)(0).length
+    // ADC lookup table (r15, guide §1.2 step 2 — per-task work):
+    // ||q_sub_s - book[s][c]||² is a pure function of the QUERY, so
+    // compute all m×k entries ONCE per query row BEFORE the broadcast;
+    // each (query, candidate) pair then reads m table cells instead of
+    // re-running m subvector sqdist kernels (with their slice
+    // allocations). Float-identical: every entry is the exact sqdist
+    // the per-pair form computed, summed in the same subspace order.
     val q = queries.select(col(qId).cast("long").as("query_id"),
-      asDouble(col(qVec)).as("qv"))
+        asDouble(col(qVec)).as("qv"))
+      .withColumn("qlut", array(books.indices.map { s =>
+        array(books(s).map(cv => graft.functions.VectorFunctions.sqdist(
+          slice(col("qv"), s * w + 1, w), array(cv.map(lit): _*))): _*)
+      }: _*))
+      .drop("qv")
     val scored = codes.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("dist", books.indices.map { s =>
-        val qsub = slice(col("qv"), s * w + 1, w)
-        val cent = element_at(
-          array(books(s).map(cv => array(cv.map(lit): _*)): _*),
+        element_at(element_at(col("qlut"), s + 1),
           col("codes").getItem(s) + 1)
-        graft.functions.VectorFunctions.sqdist(qsub, cent)
       }.reduce(_ + _))
     val win = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("vec_id"))
@@ -768,7 +773,8 @@ object Similarity {
     * via broadcast UDF ([[ivfTopKWith]]'s pattern) — the join shape is
     * identical. `nprobe = nlist` degrades to exact-over-codes (= pqTopK
     * ranking on residual codebooks). Fold/tie-break orders mirror
-    * [[pqTopK]]/[[argminCode]] so a SQL oracle can replicate bit-exact. */
+    * [[pqTopK]]/[[graft.functions.NearestCentroid]] so a SQL oracle can
+    * replicate bit-exact. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
                 cells: Array[Array[Double]],
                 books: Array[Array[Array[Double]]],
@@ -788,7 +794,7 @@ object Similarity {
     def sqd(a: Column, b: Column): Column =
       graft.functions.VectorFunctions.sqdist(a, b)
     // (dist, cell-index) structs; array_min/array_sort lexicographic
-    // order = dist-then-lowest-index tie-break, same as argminCode
+    // order = dist-then-lowest-index tie-break, same as NearestCentroid
     def cellStructs(v: Column) =
       transform(sequence(lit(0), lit(cells.length - 1)),
         i => struct(sqd(v, element_at(cellsLit, i + 1)).as("d"),
@@ -796,15 +802,16 @@ object Similarity {
     val c0 = corpus
       .select(col(cId).cast("long").as("neighbor_id"),
         asDouble(col(cVec)).as("x"))
-      .withColumn("cell", array_min(cellStructs(col("x"))).getField("c"))
+      // native one-kernel argmins (r15): bit-identical to the
+      // struct-min trees they replace — [[graft.functions.NearestCentroid]]
+      .withColumn("cell", graft.functions.NearestCentroid
+        .nearestCentroid(col("x"), cells, 0, cells(0).length))
       .withColumn("rv", zip_with(col("x"),
         element_at(cellsLit, col("cell") + 1), (a, b) => a - b))
     val codes = c0.select(col("neighbor_id"), col("cell"),
       array(books.indices.map { s =>
-        array_min(transform(sequence(lit(0), lit(books(s).length - 1)),
-          c => struct(sqd(slice(col("rv"), s * w + 1, w),
-            element_at(element_at(booksLit, s + 1), c + 1)).as("d"),
-            c.as("c")))).getField("c")
+        graft.functions.NearestCentroid.nearestCentroid(
+          col("rv"), books(s), s * w, w)
       }: _*).as("codes"))
     val q0 = queries
       .select(col(qId).cast("long").as("query_id"),
@@ -815,12 +822,29 @@ object Similarity {
       .withColumn("qrv", zip_with(col("qx"),
         element_at(cellsLit, col("cell") + 1), (a, b) => a - b))
       .drop("qx")
-    val scored = codes.join(q0, Seq("cell"))
+      // ADC lookup table (r15, same as [[pqTopK]]): the residual is a
+      // pure function of (query, probed cell), so the m×k sqdist table
+      // is computed once per q0 row — |queries| × nprobe rows — before
+      // the cell-keyed join; scoring reads m cells per candidate.
+      // Float-identical entries, same subspace summation order.
+      .withColumn("qlut", array(books.indices.map { s =>
+        array(books(s).indices.map { c =>
+          sqd(slice(col("qrv"), s * w + 1, w),
+            element_at(element_at(booksLit, s + 1), lit(c + 1)))
+        }: _*)
+      }: _*))
+      .drop("qrv")
+    // the query side is |queries| × nprobe rows BY CONTRACT — the small
+    // side. The hint pins the build side (guide §3.1): size ESTIMATES
+    // here are heuristic (explode × literal-heavy projections), and a
+    // mis-estimate that broadcasts the CORPUS side instead would build
+    // a corpus-sized hash relation on the driver every run (measured:
+    // 2 s -> 20 s on the 10× stress row when the estimate flipped).
+    val scored = codes.join(broadcast(q0), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("dist", books.indices.map { s =>
-        sqd(slice(col("qrv"), s * w + 1, w),
-          element_at(element_at(booksLit, s + 1),
-            col("codes").getItem(s) + 1))
+        element_at(element_at(col("qlut"), s + 1),
+          col("codes").getItem(s) + 1)
       }.reduce(_ + _))
     val win = Window.partitionBy(col("query_id"))
       .orderBy(col("dist").asc, col("neighbor_id"))

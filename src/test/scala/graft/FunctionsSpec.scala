@@ -179,6 +179,55 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getString(1) == "fin")
   }
 
+  test("NearestCentroid: bit-identical to the struct-min argmin tree " +
+    "on ties, NaN, null vectors, short vectors and offsets") {
+    import graft.functions.NearestCentroid.nearestCentroid
+    import graft.functions.VectorFunctions.sqdist
+    val book = Array(
+      Array(1.0, 2.0), Array(1.0, 2.0), // exact duplicate -> tie
+      Array(0.0, 0.0), Array(-1.0, 5.0))
+    val w = 2
+    // rows: plain, exact tie with c0/c1, NaN element, null vector,
+    // short (1-elem) vector, empty vector, -0.0 vs 0.0 centroid hit
+    val rows: Seq[Seq[java.lang.Double]] = Seq(
+      Seq(0.9, 2.1, 7.0, 7.0), Seq(1.0, 2.0, 0.0, 0.0),
+      Seq(Double.NaN, 2.0, 1.0, 2.0), null,
+      Seq(1.0), Seq.empty[java.lang.Double], Seq(-0.0, 0.0, -0.0, 0.0))
+    val df = rows.toDF("v").select(col("v").cast("array<double>").as("v"))
+    // the r14 formulation this kernel replaced, built inline: struct
+    // lexicographic min over (sqdist(slice(v)), index)
+    def oldForm(off: Int): org.apache.spark.sql.Column =
+      array_min(array(book.zipWithIndex.map { case (cv, c) =>
+        struct(sqdist(slice(col("v"), off + 1, w),
+          array(cv.map(lit): _*)).as("d"), lit(c).as("c"))
+      }: _*)).getField("c")
+    for (off <- Seq(0, 2)) {
+      val got = df.select(
+        nearestCentroid(col("v"), book, off, w).as("nc"),
+        oldForm(off).as("old")).collect()
+      got.zip(rows).foreach { case (r, in) =>
+        val exp = if (r.isNullAt(1)) 0 else r.getInt(1)
+        assert(r.getInt(0) == exp,
+          s"offset=$off input=$in: kernel ${r.getInt(0)} vs tree $exp")
+      }
+    }
+    // interpreted eval agrees with the codegen result the DataFrame
+    // runs produced above (incl. the null -> 0 contract)
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val expr = graft.functions.NearestCentroid(
+      BoundReference(0, ArrayType(DoubleType), nullable = true), book, 0, w)
+    val viaCodegen = df.select(
+      nearestCentroid(col("v"), book, 0, w)).collect().map(_.getInt(0))
+    rows.zip(viaCodegen).foreach { case (vs, cg) =>
+      val ad = if (vs == null) null
+        else ArrayData.toArrayData(vs.map(Double.unbox).toArray)
+      val viaEval = expr.eval(new GenericInternalRow(Array[Any](ad)))
+      assert(viaEval == cg, s"eval/codegen disagree on $vs: $viaEval vs $cg")
+    }
+  }
+
   test("SortableBucket: monotone over the double order, equal values " +
     "(incl. -0.0/0.0 and any NaN payload) share a bucket, null -> null") {
     import graft.functions.SortableBucket
