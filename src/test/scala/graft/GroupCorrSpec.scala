@@ -823,6 +823,31 @@ class GroupCorrSpec extends SparkSpec {
     }
   }
 
+  test("corrMatrixBy(spearman) grouped-probe regime attaches every rank " +
+    "via a broadcast LocalRelation join — no window, no in-plan " +
+    "aggregate subtree, no frame exchange before the corr agg (r15 pin)") {
+    // low NDV key and values: the grouped probe collects everything and
+    // every column takes the driver-built stats join
+    val df = (1 to 5000).map { i =>
+      (s"g${i % 4}", (i % 7).toDouble, (i * 3 % 11).toDouble)
+    }.toDF("g", "x", "y")
+    val plan = Corr.corrMatrixBy(df, "g", Seq("x", "y"), "spearman")
+      .queryExecution.optimizedPlan
+    val s = plan.toString.toLowerCase
+    // rank attachment is the broadcast join-back on (__gk, __gv)
+    assert(s.contains("__gk") && s.contains("localrelation"),
+      "expected the driver-built rank-stats LocalRelation join")
+    // ZERO windows and ZERO aggregates BELOW the final per-key corr
+    // aggregate: a regression to the window path (or to the r14
+    // in-plan stats subtree) re-adds one of these
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWin}
+    assert(plan.collect { case w: LWin => w }.isEmpty,
+      "grouped-probe regime must not rank via windows")
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(aggs.length == 1,
+      s"expected ONLY the final corr aggregate, found ${aggs.length}")
+  }
+
   test("grouped rank-stats gate derives from autoBroadcastJoinThreshold " +
     "(VERDICT r14 item 6): conf-sized cap, default unchanged, spearman " +
     "values identical on both sides of the gate") {
