@@ -105,6 +105,11 @@ case class NearestCentroid(child: Expression, book: Array[Array[Double]],
     val n = ctx.freshName("n")
     val s = ctx.freshName("s")
     val d = ctx.freshName("d")
+    val better = ctx.freshName("better")
+    // NOTE the flat if/else chain instead of one compound (a || (b &&
+    // !c) || d) condition: janino misparses the parenthesized
+    // conjunction as a cast ("expression is not a type") and the whole
+    // stage would silently fall back to interpreted execution
     val code =
       code"""
         |${childGen.code}
@@ -122,8 +127,15 @@ case class NearestCentroid(child: Expression, book: Array[Array[Double]],
         |        - $bookRef[$c * $width + $i];
         |      $s += $d * $d;
         |    }
-        |    if ($c == 0 || (Double.isNaN($best) && !Double.isNaN($s))
-        |        || $s < $best) { $best = $s; $bestC = $c; }
+        |    boolean $better = false;
+        |    if ($c == 0) {
+        |      $better = true;
+        |    } else if (Double.isNaN($best)) {
+        |      $better = !Double.isNaN($s);
+        |    } else {
+        |      $better = $s < $best;
+        |    }
+        |    if ($better) { $best = $s; $bestC = $c; }
         |  }
         |  ${ev.value} = $bestC;
         |}

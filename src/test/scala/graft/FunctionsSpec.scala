@@ -211,20 +211,28 @@ class FunctionsSpec extends SparkSpec {
           s"offset=$off input=$in: kernel ${r.getInt(0)} vs tree $exp")
       }
     }
-    // interpreted eval agrees with the codegen result the DataFrame
-    // runs produced above (incl. the null -> 0 contract)
+    // interpreted eval agrees with COMPILED codegen — compiled
+    // explicitly via GenerateMutableProjection, which THROWS on a
+    // janino error where a DataFrame run would silently fall back to
+    // interpreted execution and hide a codegen bug (r15: the first
+    // NearestCentroid codegen misparse was invisible to a
+    // collect-based comparison for exactly that reason)
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateMutableProjection
     import org.apache.spark.sql.catalyst.util.ArrayData
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val expr = graft.functions.NearestCentroid(
       BoundReference(0, ArrayType(DoubleType), nullable = true), book, 0, w)
-    val viaCodegen = df.select(
-      nearestCentroid(col("v"), book, 0, w)).collect().map(_.getInt(0))
-    rows.zip(viaCodegen).foreach { case (vs, cg) =>
+    val compiled = GenerateMutableProjection.generate(Seq(expr),
+      useSubexprElimination = false)
+    rows.foreach { vs =>
       val ad = if (vs == null) null
         else ArrayData.toArrayData(vs.map(Double.unbox).toArray)
-      val viaEval = expr.eval(new GenericInternalRow(Array[Any](ad)))
-      assert(viaEval == cg, s"eval/codegen disagree on $vs: $viaEval vs $cg")
+      val in = new GenericInternalRow(Array[Any](ad))
+      val viaEval = expr.eval(in)
+      val viaCodegen = compiled(in).getInt(0)
+      assert(viaEval == viaCodegen,
+        s"eval/codegen disagree on $vs: $viaEval vs $viaCodegen")
     }
   }
 
